@@ -1,0 +1,132 @@
+"""Text-analysis functions for the LLM-data-pipeline surface.
+
+All pure built-in expressions (JVM-side, codegen'd) — no Python UDFs in
+any of these paths, so they run at parquet-scan speed on a 100 TB
+``documents`` table.  Formulas are deliberately closed-form so a DuckDB
+oracle can replicate them exactly (the driver's t2 gate hash-compares
+results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small marker-word dictionaries for the language-ID heuristic.  Accuracy is
+# a non-goal on synthetic fixtures; determinism and scale-shape are the
+# point (a real deployment swaps in a fastText-style model via pandas_udf).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es": ("el", "la", "de", "que", "y", "los", "un", "por"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "que"),
+}
+
+TOKEN_REGEX = r"[a-z0-9]+|[^a-z0-9\s]"  # BPE-ish: word pieces or single punct
+
+
+def tokenize(text: Column) -> Column:
+    """Lowercased whitespace tokens (empty strings filtered)."""
+    return F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokenize(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: alnum runs + individual punctuation marks."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(TOKEN_REGEX), 0))
+
+
+def _marker_hits(text: Column, words: tuple[str, ...]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language ID: argmax of per-language stopword hit counts,
+    deterministic alphabetical tie-break, 'und' (undetermined) when no
+    marker hits at all."""
+    scored = [
+        F.struct(_marker_hits(text, words).alias("hits"), F.lit(lang).alias("lang"))
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    # array_max on struct compares fieldwise: hits first, then lang.
+    # For the alphabetical-on-tie rule we want the SMALLEST lang among the
+    # max hits, so compare (hits, negated-rank) — simpler: reverse-sort langs
+    # and let max pick the later struct only on strictly more hits.
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    s["hits"].alias("hits"),
+                    F.lit(-i).alias("rank"),
+                    s["lang"].alias("lang"),
+                )
+                for i, s in enumerate(scored)
+            ]
+        )
+    )
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]:
+    0.25·len_ok + 0.25·(1-punct_ratio) + 0.25·stopword_signal + 0.25·word_len_ok
+
+    len_ok        — 1 if 200 ≤ chars ≤ 2000 else chars/200 (short) or
+                    2000/chars (long), i.e. a plateau with linear falloff
+    punct_ratio   — non-alnum-non-space chars / chars
+    stopword_sig  — min(1, en-stopword hits / (tokens/10 + 1))
+    word_len_ok   — 1 if 3 ≤ mean word len ≤ 10 else 0
+    """
+    chars = F.length(text).cast("double")
+    toks = token_count(text).cast("double")
+    len_ok = (
+        F.when(chars < 200.0, chars / 200.0)
+        .when(chars > 2000.0, 2000.0 / chars)
+        .otherwise(F.lit(1.0))
+    )
+    punct = F.size(
+        F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), 0)
+    ).cast("double")
+    punct_ratio = F.when(chars > 0.0, punct / chars).otherwise(F.lit(1.0))
+    stop_hits = _marker_hits(text, LANG_MARKERS["en"]).cast("double")
+    stop_sig = F.least(F.lit(1.0), stop_hits / (toks / 10.0 + 1.0))
+    mean_wl = F.when(toks > 0.0, (chars - (toks - 1.0)) / toks).otherwise(F.lit(0.0))
+    wl_ok = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), 1.0).otherwise(0.0)
+    return F.round(
+        0.25 * len_ok + 0.25 * (1.0 - punct_ratio) + 0.25 * stop_sig + 0.25 * wl_ok,
+        6,
+    )
+
+
+def ngrams(tokens: Column, n: int, sep: str = " ") -> Column:
+    """n-token shingles from a token array (empty array when < n tokens)."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.array_join(F.slice(tokens, i + 1, n), sep),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles of the lowercased text."""
+    return ngrams(tokenize(text), n)
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit content fingerprint (hex) of the normalized text.
+
+    Normalization: lowercase, collapse whitespace runs to single spaces,
+    trim.  Equal fingerprints ⇔ near-byte-equal content — the exact-dedup
+    key.  (The reference has no dedup; this is the §7.6 pipeline surface.)
+    """
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(norm)

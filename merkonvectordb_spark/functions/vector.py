@@ -1,0 +1,104 @@
+"""Vector math as Catalyst expressions (+ a pandas_udf fast path).
+
+Reference behavior being re-expressed: float32 cosine similarity
+(``TensorPrimitives.CosineSimilarity``, MerkonMemoryStore.cs:137) — NaN on
+zero-norm vectors, used with an inclusive ``>=`` relevance threshold
+(MerkonMemoryStore.cs:138).
+
+Design notes for 100 TB scale:
+
+* The default ``cosine_similarity`` is pure built-in expressions
+  (``zip_with`` + ``aggregate``) — it runs JVM-side inside whole-stage
+  codegen, no Python worker, no Arrow hop.  Summation is sequential in
+  element order, in DOUBLE, so results are deterministic and bit-identical
+  to any other engine that folds left-to-right in double (the DuckDB
+  oracle's ``list_dot_product`` over ``DOUBLE[]`` matches).
+* ``cosine_similarity_pandas`` is the Arrow/numpy batch path: for very wide
+  embeddings (d ≥ ~512) numpy's SIMD dot beats the per-element codegen
+  loop.  Same semantics (NaN on zero norm), float64 accumulation.
+* Pre-normalizing the corpus once (``l2_normalize`` at ingest) turns every
+  query's cosine into a plain dot product — at scale that halves the
+  per-query FLOPs and is the layout a real deployment should use.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def vector_literal(values: Sequence[float]) -> Column:
+    """A literal ARRAY<DOUBLE> column from a Python sequence (query vector)."""
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in DOUBLE: deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot_product(a, a))
+
+
+def l2_normalize(a: Column) -> Column:
+    """L2-normalize; zero vectors normalize to NULL elements avoided by guard."""
+    n = l2_norm(a)
+    return F.when(n > 0.0, F.transform(a, lambda x: x.cast("double") / n))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity in DOUBLE; NaN when either norm is zero.
+
+    Parity with TensorPrimitives.CosineSimilarity (MerkonMemoryStore.cs:137):
+    zero-norm input ⇒ NaN, which then fails the inclusive ``>=`` threshold
+    (reference :138).  Spark's comparison semantics for NaN differ from
+    IEEE (NaN sorts largest), so threshold filters must add an explicit
+    ``~isnan`` guard — `knn` does (SURVEY §2.2 P3).
+    """
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0.0, dot_product(a, b) / denom).otherwise(
+        F.lit(float("nan"))
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def _cosine_to_broadcast_query(s: pd.Series) -> pd.Series:  # pragma: no cover
+    raise RuntimeError("template only — use cosine_similarity_pandas(query)")
+
+
+def cosine_similarity_pandas(query: Sequence[float]):
+    """Arrow-batched numpy cosine vs a fixed query vector.
+
+    Returns a pandas_udf Column-builder: ``df.withColumn("score",
+    cosine_similarity_pandas(q)(F.col("embedding")))``.  The query vector is
+    captured in the closure (small — pickled once per task, not per row).
+    ~10-100× over row-at-a-time Python; on par with or better than the
+    codegen loop for wide vectors.
+    """
+    import numpy as np
+
+    q = np.asarray(list(query), dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    @F.pandas_udf(T.DoubleType())
+    def _cos(col: pd.Series) -> pd.Series:
+        # stack the Arrow list column into a (batch, dim) matrix
+        mat = np.vstack(col.to_numpy())
+        if mat.dtype != np.float64:
+            mat = mat.astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1)) * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = (mat @ q) / norms
+        out[norms == 0.0] = np.nan
+        return pd.Series(out)
+
+    return _cos

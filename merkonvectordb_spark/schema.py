@@ -1,0 +1,84 @@
+"""Schemas + fixture loaders.
+
+Data model (SURVEY.md §1.3): the reference's one-file database of
+``Dictionary<string, List<DatabaseEntry>>`` (MerkonDatabase.cs:12-16)
+becomes a single ``vectors`` table partitioned by ``collection``; the
+four-field ``DatabaseEntry`` (MerkonDatabase.cs:243-254) becomes a typed
+row with the embedding parsed ONCE at ingest into ``ARRAY<FLOAT>``
+(the reference JSON-decodes it per row per query,
+MerkonMemoryStore.cs:230 — §4.1 anti-optimization we leave behind).
+``ingest_seq`` provides the stable-sort tie-break the reference gets from
+.NET's stable OrderByDescending (MerkonMemoryStore.cs:146).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# --- the vector-store table (reference: DatabaseEntry, MerkonDatabase.cs:243-254)
+VECTORS_SCHEMA = T.StructType(
+    [
+        T.StructField("collection", T.StringType(), False),
+        T.StructField("key", T.StringType(), True),
+        T.StructField("metadata", T.StringType(), True),  # raw JSON, fidelity column
+        T.StructField("embedding", T.ArrayType(T.FloatType(), False), True),
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("ingest_seq", T.LongType(), False),
+    ]
+)
+
+# SK MemoryRecordMetadata fields (public Semantic Kernel 1.0.0-beta1 API;
+# produced at MerkonMemoryStore.cs:247, parsed at :232)
+METADATA_STRUCT = T.StructType(
+    [
+        T.StructField("is_reference", T.BooleanType(), True),
+        T.StructField("external_source_name", T.StringType(), True),
+        T.StructField("id", T.StringType(), True),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("additional_metadata", T.StringType(), True),
+    ]
+)
+
+# collections registry (SURVEY §2.3 W9): preserves exists/list semantics for
+# empty collections, which a partition-column design alone can't represent.
+COLLECTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("collection", T.StringType(), False),
+        T.StructField("created_at", T.TimestampType(), True),
+    ]
+)
+
+# driver-provided testdata tables (TESTDATA.md)
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver parquet table. Parquet scan → pushdown + pruning free."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view; returns the DataFrames."""
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,93 @@
+"""kNN operator: reference quirk parity (SURVEY §5.2.3) + plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from merkonvectordb_spark.operators.search import knn, knn_batch
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("collection", T.StringType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("ingest_seq", T.LongType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        ("c0", "a", [1.0, 0.0], 0),
+        ("c0", "b", [0.9, 0.1], 1),
+        ("c0", "c", [0.0, 1.0], 2),
+        ("c0", "zero", [0.0, 0.0], 3),   # NaN score — must never surface
+        ("c0", "", [1.0, 0.0], 4),       # empty key — purged (P4)
+        ("c0", None, [1.0, 0.0], 5),     # null key — purged (P4)
+        ("c0", "short", [1.0], 6),       # dim mismatch — excluded
+        ("c0", "tie1", [2.0, 0.0], 7),   # same direction as 'a' — tie
+        ("c0", "tie2", [3.0, 0.0], 8),   # tie; later ingest_seq loses
+        ("c1", "other", [1.0, 0.0], 9),  # different collection
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_limit_nonpositive_returns_empty(corpus):
+    # MerkonMemoryStore.cs:125-128
+    assert knn(corpus, [1.0, 0.0], k=0).count() == 0
+    assert knn(corpus, [1.0, 0.0], k=-3).count() == 0
+
+
+def test_nan_and_bad_rows_excluded(corpus):
+    keys = [r.key for r in knn(corpus, [1.0, 0.0], k=100, collection="c0").collect()]
+    assert "zero" not in keys  # NaN fails inclusive >= (MerkonMemoryStore.cs:138)
+    assert "" not in keys and None not in keys  # empty-key purge (P4)
+    assert "short" not in keys  # dimension mismatch
+
+
+def test_threshold_inclusive(corpus):
+    # score('b') vs [1,0] = 0.9/|b| ≈ 0.993884; inclusive >= keeps it
+    res = knn(corpus, [1.0, 0.0], k=10, min_score=0.993884, collection="c0")
+    keys = {r.key for r in res.collect()}
+    assert "b" in keys
+
+
+def test_tie_break_by_ingest_seq(corpus):
+    rows = knn(corpus, [1.0, 0.0], k=3, collection="c0").collect()
+    assert [r.key for r in rows] == ["a", "tie1", "tie2"]  # score 1.0 ties → seq order
+    assert all(r.score == 1.0 for r in rows)
+
+
+def test_collection_filter_and_projection(corpus):
+    rows = knn(corpus, [1.0, 0.0], k=10, collection="c1").collect()
+    assert [r.key for r in rows] == ["other"]
+    assert "embedding" not in rows[0].asDict()
+    with_emb = knn(corpus, [1.0, 0.0], k=1, collection="c1", with_embeddings=True)
+    assert "embedding" in with_emb.columns
+
+
+def test_topk_plans_take_ordered(corpus):
+    plan = knn(corpus, [1.0, 0.0], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_batch_per_query_topk(spark, corpus):
+    qs = spark.createDataFrame(
+        [("q0", [1.0, 0.0]), ("q1", [0.0, 1.0])],
+        T.StructType(
+            [
+                T.StructField("query_id", T.StringType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    out = knn_batch(corpus.where("collection = 'c0'"), qs, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.key)
+    assert by_q["q0"] == ["a", "tie1"]
+    assert by_q["q1"][0] == "c"
+    assert all(len(v) == 2 for v in by_q.values())

@@ -1,0 +1,72 @@
+"""Text-analysis function semantics (LLM-pipeline surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from merkonvectordb_spark.functions.text import (
+    bpe_token_count,
+    doc_fingerprint,
+    lang_id,
+    ngrams,
+    quality_score,
+    token_count,
+    tokenize,
+)
+
+
+def _one(spark, text, col):
+    return (
+        spark.createDataFrame([(text,)], "text string")
+        .select(col(F.col("text")).alias("v"))
+        .first()
+        .v
+    )
+
+
+def test_tokenize_and_counts(spark):
+    assert _one(spark, "  Hello   World  ", tokenize) == ["hello", "world"]
+    assert _one(spark, "a b  c", token_count) == 3
+    assert _one(spark, "", token_count) == 0
+    # BPE-ish: "don't stop!" → don ' t stop !
+    assert _one(spark, "don't stop!", bpe_token_count) == 5
+
+
+def test_ngrams_shingles(spark):
+    got = (
+        spark.createDataFrame([(["a", "b", "c", "d"],)], "toks array<string>")
+        .select(ngrams(F.col("toks"), 3).alias("v"))
+        .first()
+        .v
+    )
+    assert got == ["a b c", "b c d"]
+    short = (
+        spark.createDataFrame([(["a"],)], "toks array<string>")
+        .select(ngrams(F.col("toks"), 3).alias("v"))
+        .first()
+        .v
+    )
+    assert short == []
+
+
+def test_lang_id_markers(spark):
+    assert _one(spark, "the cat and the dog is in the house", lang_id) == "en"
+    assert _one(spark, "der hund und die katze ist nicht da", lang_id) == "de"
+    assert _one(spark, "xyzzy qwerty", lang_id) == "und"
+
+
+def test_quality_score_bounds(spark):
+    texts = ["", "short", "the " * 200, "a b c ! ! ! ? ?", "word " * 100]
+    for t in texts:
+        v = _one(spark, t, quality_score)
+        assert 0.0 <= v <= 1.0, (t[:20], v)
+
+
+def test_fingerprint_normalization(spark):
+    a = _one(spark, "Hello   World", doc_fingerprint)
+    b = _one(spark, "  hello world ", doc_fingerprint)
+    c = _one(spark, "hello worlds", doc_fingerprint)
+    assert a == b
+    assert a != c
+    assert len(a) == 32  # md5 hex
