@@ -15,6 +15,7 @@ from merkonvectordb_spark.functions.vector import (
     vector_literal,
 )
 from merkonvectordb_spark.functions.text import (
+    bpe_token_count,
     doc_fingerprint,
     lang_id,
     ngrams,
@@ -31,6 +32,7 @@ __all__ = [
     "l2_norm",
     "l2_normalize",
     "vector_literal",
+    "bpe_token_count",
     "doc_fingerprint",
     "lang_id",
     "ngrams",

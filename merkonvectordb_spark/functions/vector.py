@@ -32,8 +32,13 @@ from pyspark.sql import types as T
 
 
 def vector_literal(values: Sequence[float]) -> Column:
-    """A literal ARRAY<DOUBLE> column from a Python sequence (query vector)."""
-    return F.array(*[F.lit(float(v)) for v in values])
+    """A literal ARRAY<DOUBLE> column from a Python sequence (query vector).
+
+    Uses a single array literal (one expression node) rather than one
+    ``lit()`` per dimension — at d=1536 a per-element construction bloats
+    the expression tree and the codegen'd method size.
+    """
+    return F.lit([float(v) for v in values])
 
 
 def dot_product(a: Column, b: Column) -> Column:
@@ -56,23 +61,19 @@ def l2_normalize(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """Cosine similarity in DOUBLE; NaN when either norm is zero.
+    """Cosine similarity in DOUBLE; NULL when either norm is zero.
 
-    Parity with TensorPrimitives.CosineSimilarity (MerkonMemoryStore.cs:137):
-    zero-norm input ⇒ NaN, which then fails the inclusive ``>=`` threshold
-    (reference :138).  Spark's comparison semantics for NaN differ from
-    IEEE (NaN sorts largest), so threshold filters must add an explicit
-    ``~isnan`` guard — `knn` does (SURVEY §2.2 P3).
+    The reference's ``TensorPrimitives.CosineSimilarity`` yields NaN on
+    zero-norm input, which then fails the inclusive ``>=`` threshold
+    (MerkonMemoryStore.cs:137-138) — the row is excluded.  We represent
+    "unscorable" as NULL in BOTH scoring paths (expression and pandas):
+    NULL fails ``>=`` identically, so observable behavior matches the
+    reference, and the two paths can't diverge (Arrow converts float NaN
+    to NULL on the pandas→JVM hop, so NULL is the only representation the
+    pandas path can produce anyway).
     """
     denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom > 0.0, dot_product(a, b) / denom).otherwise(
-        F.lit(float("nan"))
-    )
-
-
-@F.pandas_udf(T.DoubleType())
-def _cosine_to_broadcast_query(s: pd.Series) -> pd.Series:  # pragma: no cover
-    raise RuntimeError("template only — use cosine_similarity_pandas(query)")
+    return F.when(denom > 0.0, dot_product(a, b) / denom)
 
 
 def cosine_similarity_pandas(query: Sequence[float]):
@@ -83,6 +84,9 @@ def cosine_similarity_pandas(query: Sequence[float]):
     captured in the closure (small — pickled once per task, not per row).
     ~10-100× over row-at-a-time Python; on par with or better than the
     codegen loop for wide vectors.
+
+    Zero-norm rows (either side) produce NULL — same semantics as
+    ``cosine_similarity`` (np.nan becomes NULL across the Arrow boundary).
     """
     import numpy as np
 
@@ -98,7 +102,7 @@ def cosine_similarity_pandas(query: Sequence[float]):
         norms = np.sqrt((mat * mat).sum(axis=1)) * qn
         with np.errstate(divide="ignore", invalid="ignore"):
             out = (mat @ q) / norms
-        out[norms == 0.0] = np.nan
+        out[norms == 0.0] = np.nan  # NaN → NULL across Arrow: the contract
         return pd.Series(out)
 
     return _cos

@@ -30,14 +30,18 @@ from merkonvectordb_spark.functions.vector import (
 )
 
 
-def _nan_safe_at_least(score: Column, threshold: float) -> Column:
-    """Inclusive threshold with explicit NaN exclusion.
+def _scoreable_at_least(score: Column, threshold: float) -> Column:
+    """Inclusive threshold over scoreable rows only.
 
-    The reference's ``similarity >= minRelevanceScore`` in C# is false for
-    NaN (MerkonMemoryStore.cs:138).  Spark ORDERS NaN as largest and its
-    ``>=`` can admit NaN, so parity needs the explicit guard (SURVEY §2.2 P3).
+    Unscorable rows (zero-norm vectors) carry NULL score (see
+    ``functions.vector.cosine_similarity``) and must be excluded — the
+    reference's NaN fails its ``>=`` the same way (MerkonMemoryStore.cs:138).
+    The explicit ``isnan`` guard stays because NaN can still arrive from NaN
+    *elements* in user data, and Spark orders NaN largest (SURVEY §2.2 P3).
     """
-    return (~F.isnan(score)) & (score >= F.lit(float(threshold)))
+    return (
+        score.isNotNull() & (~F.isnan(score)) & (score >= F.lit(float(threshold)))
+    )
 
 
 def knn(
@@ -79,12 +83,20 @@ def knn(
         score = cosine_similarity_pandas(query)(F.col(embedding_col))
     else:
         score = cosine_similarity(F.col(embedding_col), vector_literal(query))
-    df = df.withColumn("score", F.round(score, 6))
-    df = df.where(_nan_safe_at_least(F.col("score"), min_score))
-    order = [F.desc("score")]
+    # threshold + ordering act on the RAW score (the reference filters the
+    # raw similarity, MerkonMemoryStore.cs:138); rounding is output-only —
+    # filtering a rounded score would admit e.g. 0.5999996 at t=0.6.
+    df = df.withColumn("__raw", score)
+    df = df.where(_scoreable_at_least(F.col("__raw"), min_score))
+    order = [F.desc("__raw")]
     if tie_break and tie_break in df.columns:
         order.append(F.asc(tie_break))
-    df = df.orderBy(*order).limit(k)
+    df = (
+        df.orderBy(*order)
+        .limit(k)
+        .withColumn("score", F.round(F.col("__raw"), 6))
+        .drop("__raw")
+    )
     if not with_embeddings:
         df = df.drop(embedding_col)
     return df
@@ -105,7 +117,17 @@ def knn_batch(
     Not in the reference (its API is one query at a time) but required at
     Spark scale (SURVEY §2.4 batch form): broadcast the (small) query set,
     cross-join against the corpus — Catalyst plans BroadcastNestedLoopJoin,
-    so the 100 TB side streams once — then window top-k per query.
+    so the 100 TB side streams once — then per-query top-k via
+    ``row_number() <= k`` over ``Window.partitionBy(qid)``.
+
+    **Two-phase at the physical layer:** Spark ≥3.5 rewrites this window
+    into ``WindowGroupLimit Partial`` (map-side per-partition top-k heap,
+    bounded at k rows per query per input partition) → Exchange of
+    ≤ Q·P·k survivors → ``WindowGroupLimit Final``.  The scored N·Q
+    cross-product is therefore never shuffled — only k·Q rows per input
+    partition move.  ``tests/test_search.py`` pins this plan shape so a
+    config/version regression (which would reintroduce the full N·Q
+    shuffle into Q reducer tasks — a 100 TB scale-killer) fails loudly.
     """
     q = F.broadcast(
         queries.select(
@@ -120,18 +142,18 @@ def knn_batch(
         corpus.crossJoin(q)
         .where(F.size(F.col(embedding_col)) == F.size(F.col("__qvec")))
         .withColumn(
-            "score",
-            F.round(cosine_similarity(F.col(embedding_col), F.col("__qvec")), 6),
+            "__raw", cosine_similarity(F.col(embedding_col), F.col("__qvec"))
         )
-        .where(_nan_safe_at_least(F.col("score"), min_score))
+        .where(_scoreable_at_least(F.col("__raw"), min_score))
     )
-    order = [F.desc("score")]
+    order = [F.desc("__raw")]
     if tie_break and tie_break in vectors.columns:
         order.append(F.asc(tie_break))
     w = Window.partitionBy("__qid").orderBy(*order)
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
-        .drop("__rn", "__qvec", embedding_col)
+        .withColumn("score", F.round(F.col("__raw"), 6))
+        .drop("__rn", "__raw", "__qvec", embedding_col)
         .withColumnRenamed("__qid", query_id_col)
     )

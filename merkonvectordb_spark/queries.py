@@ -27,7 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from merkonvectordb_spark.functions.vector import dot_product, l2_norm
+from merkonvectordb_spark.functions.vector import l2_norm
 from merkonvectordb_spark.operators.search import knn, knn_batch
 from merkonvectordb_spark.schema import load_table
 
@@ -112,11 +112,12 @@ def _ts_str(col: F.Column) -> F.Column:
 
 _TS_STR_SQL = "strftime({c}, '%Y-%m-%d %H:%M:%S') || 'Z'"
 
-# DuckDB cosine between two DOUBLE[] lists, deterministic fold, 6dp —
-# mirrors functions.vector.cosine_similarity + F.round(…, 6).
-_COS_SQL = (
-    "round(list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+# DuckDB cosine between two DOUBLE[] lists, deterministic fold — the RAW
+# score (threshold + ordering act on this; rounding is output-only, exactly
+# as in operators.search).  Mirrors functions.vector.cosine_similarity.
+_COS_RAW_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
 
 
@@ -138,15 +139,15 @@ _KNN_ORACLE = f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT e.vec_id, e.label,
-         {_COS_SQL.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")} AS score
+         {_COS_RAW_SQL.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")} AS raw
   FROM embeddings e CROSS JOIN q
   WHERE len(e.embedding) = len(q.qv)
     AND sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) > 0
     AND sqrt(list_dot_product(q.qv, q.qv)) > 0
 )
-SELECT vec_id, label, score FROM scored
-WHERE score >= 0.1
-ORDER BY score DESC, vec_id ASC
+SELECT vec_id, label, round(raw, 6) AS score FROM scored
+WHERE raw >= 0.1
+ORDER BY raw DESC, vec_id ASC
 LIMIT 10
 """.strip()
 
@@ -168,17 +169,17 @@ WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id < 5),
 scored AS (
   SELECT q.query_id, e.vec_id, e.label,
-         {_COS_SQL.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")} AS score
+         {_COS_RAW_SQL.format(a="CAST(e.embedding AS DOUBLE[])", b="q.qv")} AS raw
   FROM embeddings e CROSS JOIN q
   WHERE len(e.embedding) = len(q.qv)
     AND sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) > 0
     AND sqrt(list_dot_product(q.qv, q.qv)) > 0
 ),
 ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
-  FROM scored WHERE score >= 0.0
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, vec_id ASC) AS rn
+  FROM scored WHERE raw >= 0.0
 )
-SELECT query_id, vec_id, label, score FROM ranked WHERE rn <= 3
+SELECT query_id, vec_id, label, round(raw, 6) AS score FROM ranked WHERE rn <= 3
 """.strip()
 
 
@@ -353,8 +354,10 @@ LIMIT 10
 """.strip(),
 )
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: broadcast the filtered dimension (customer), shuffle
-    only the fact side; deterministic tie-break for the LIMIT."""
+    """TPC-H Q3 shape: broadcast ONLY the filtered dimension (customer) —
+    orders is fact-sized, so the orders⋈lineitem strategy is left to
+    Catalyst/AQE (shuffle join at scale; never forced onto the driver).
+    Deterministic tie-break for the LIMIT."""
     cust = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -366,11 +369,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(
-                orders.join(
-                    F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
-                )
-            ),
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"),
             li.l_orderkey == orders.o_orderkey,
             "inner",
         )

@@ -55,5 +55,15 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate silently ignores builder configs when a session already
+    # exists in the JVM (e.g. the driver harness made one first).  The confs
+    # below are runtime-settable and correctness-critical (timestamp
+    # rendering must be UTC for oracle hash parity), so assert them here.
+    for k, v in {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }.items():
+        spark.conf.set(k, v)
     spark.sparkContext.setLogLevel("WARN")
     return spark

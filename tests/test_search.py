@@ -49,10 +49,20 @@ def test_nan_and_bad_rows_excluded(corpus):
 
 
 def test_threshold_inclusive(corpus):
-    # score('b') vs [1,0] = 0.9/|b| ≈ 0.993884; inclusive >= keeps it
+    # 'a'/'tie1'/'tie2' score exactly 1.0 — inclusive >= keeps them at t=1.0
+    res = knn(corpus, [1.0, 0.0], k=10, min_score=1.0, collection="c0")
+    keys = {r.key for r in res.collect()}
+    assert keys == {"a", "tie1", "tie2"}
+
+
+def test_threshold_filters_raw_not_rounded(corpus):
+    # score('b') vs [1,0] ≈ 0.9938837 which ROUNDS to 0.993884 — the filter
+    # must act on the raw score (MerkonMemoryStore.cs:138), so a threshold
+    # of 0.993884 excludes 'b' even though round(score,6) == threshold
     res = knn(corpus, [1.0, 0.0], k=10, min_score=0.993884, collection="c0")
     keys = {r.key for r in res.collect()}
-    assert "b" in keys
+    assert "b" not in keys
+    assert keys == {"a", "tie1", "tie2"}
 
 
 def test_tie_break_by_ingest_seq(corpus):
@@ -91,3 +101,22 @@ def test_knn_batch_per_query_topk(spark, corpus):
     assert by_q["q0"] == ["a", "tie1"]
     assert by_q["q1"][0] == "c"
     assert all(len(v) == 2 for v in by_q.values())
+
+
+def test_knn_batch_plans_bounded_window_limit(spark, corpus):
+    """The per-query top-k must push a map-side partial group-limit below
+    the exchange (WindowGroupLimit Partial) so the scored N·Q cross-product
+    is never shuffled — only ≤ k rows per query per input partition move.
+    Without this the window funnels each query's full corpus score set
+    through one reducer (the 100 TB scale-killer VERDICT r1 flagged)."""
+    qs = spark.createDataFrame(
+        [("q0", [1.0, 0.0])],
+        "query_id string, embedding array<float>",
+    )
+    plan = (
+        knn_batch(corpus, qs, k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan

@@ -3,8 +3,6 @@
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -54,11 +52,14 @@ def test_dot_and_norm_match_numpy(spark):
         assert r.na == pytest.approx(float(np.linalg.norm(a64)), rel=1e-12)
 
 
-def test_cosine_range_and_nan_on_zero(spark):
+def test_cosine_range_and_null_on_zero(spark):
     rows = [
         (0, [1.0, 0.0], [0.0, 1.0]),
         (1, [1.0, 2.0], [1.0, 2.0]),
-        (2, [0.0, 0.0], [1.0, 2.0]),  # zero norm ⇒ NaN (MerkonMemoryStore.cs:137)
+        # zero norm ⇒ unscorable ⇒ NULL in both paths (the reference's NaN
+        # at MerkonMemoryStore.cs:137 is observably identical: both fail
+        # the inclusive >= threshold at :138)
+        (2, [0.0, 0.0], [1.0, 2.0]),
         (3, [-1.0, -2.0], [1.0, 2.0]),
     ]
     got = {
@@ -69,10 +70,10 @@ def test_cosine_range_and_nan_on_zero(spark):
     }
     assert got[0] == pytest.approx(0.0, abs=1e-12)
     assert got[1] == pytest.approx(1.0, rel=1e-12)
-    assert math.isnan(got[2])
+    assert got[2] is None
     assert got[3] == pytest.approx(-1.0, rel=1e-12)
     for v in got.values():
-        assert math.isnan(v) or -1.0 - 1e-9 <= v <= 1.0 + 1e-9
+        assert v is None or -1.0 - 1e-9 <= v <= 1.0 + 1e-9
 
 
 def test_cosine_pandas_matches_expression(spark):
@@ -90,8 +91,8 @@ def test_cosine_pandas_matches_expression(spark):
     p = {r.id: r.c for r in pnd.collect()}
     assert set(e) == set(p)
     for k in e:
-        if math.isnan(e[k]):
-            assert math.isnan(p[k])
+        if e[k] is None:
+            assert p[k] is None  # unscorable rows: NULL in both paths
         else:
             assert p[k] == pytest.approx(e[k], rel=1e-9)
 
