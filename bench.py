@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "wall_clock_total", "value": <sum sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <float>}
+
+Timing methodology: each query is materialized with a ``noop``-format
+write (full pipeline executes on the executors; nothing funnels through
+the driver, so the number measures the plan, not ``collect()``
+serialization).  Each query runs ``BENCH_RUNS`` times (default 2) and the
+minimum is reported — the first run pays one-time costs (parquet footer
+reads, codegen), the min is the steady-state number a warm cluster sees.
+All diagnostics go to stderr; stdout carries exactly the one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    only = sys.argv[1:]  # optional query-name filter for local iteration
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from merkonvectordb_spark import get_spark
+
+    spark = get_spark("bench")
+    # warm the session: one trivial job so JVM/codegen startup isn't
+    # attributed to the first query
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        best = float("inf")
+        for _ in range(max(1, runs)):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    out = {
+        "metric": "wall_clock_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
