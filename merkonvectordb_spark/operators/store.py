@@ -1,0 +1,207 @@
+"""The write/CRUD surface (SURVEY.md §2.3 W1-W11, §2.5 R1) as PURE
+DataFrame transforms: (current state, change set) → new state.
+
+The reference mutates an in-memory ``List<DatabaseEntry>`` and rewrites
+the whole database file per mutation (MerkonDatabase.cs:89-104,149-162).
+Here every mutation is a declarative plan over the current table state —
+the stateful parquet-backed wrapper (``sources.vector_store.VectorStore``)
+applies these transforms with dynamic partition overwrite, rewriting only
+affected collections; a Delta/Iceberg deployment would express the same
+transforms as ``MERGE INTO`` / ``DELETE``.
+
+Observable semantics replicated from the reference:
+
+* **first-match-wins on duplicate keys** — upsert updates the FIRST
+  matching entry (lowest ``ingest_seq``, the stand-in for list position),
+  delete removes the first match; later duplicates are untouched
+  (MerkonDatabase.cs:30,62,93);
+* **key ← metadata.id** before upsert (MerkonMemoryStore.cs:240);
+* updated rows keep their original ``ingest_seq`` (in-place list update),
+  inserted rows get fresh sequence numbers after the current max;
+* **InsertOrIgnore upserts** — the reference's double-write
+  (MerkonMemoryStore.cs:243-260) is observably one upsert; we run one.
+
+Scale shape: every transform is a key-equi join between the (100 TB)
+state and a (small) change set — the change set is broadcast, the state
+never shuffles; the per-key ``row_number`` window only runs over
+collections touched by the change set when applied through VectorStore.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+STATE_COLS = ("collection", "key", "metadata", "embedding", "ts", "ingest_seq")
+
+_MERGE_KEYS = ["collection", "key"]
+
+
+def _first_match_rank(state: DataFrame) -> DataFrame:
+    """Rank duplicate keys by ingest order: rn=1 is the row the reference's
+    linear scan would find first (MerkonDatabase.cs:30)."""
+    w = Window.partitionBy("collection", "key").orderBy(F.asc("ingest_seq"))
+    return state.withColumn("__rn", F.row_number().over(w))
+
+
+def with_key_from_metadata(records: DataFrame) -> DataFrame:
+    """W3: overwrite ``key`` with ``metadata.id`` (MerkonMemoryStore.cs:240)
+    — the metadata id is the true primary key."""
+    return records.withColumn(
+        "key", F.get_json_object(F.col("metadata"), "$.id")
+    )
+
+
+def upsert(state: DataFrame, updates: DataFrame) -> DataFrame:
+    """W1/W2/W4 batched InsertOrUpdate (MerkonDatabase.cs:89-104).
+
+    Per (collection, key): update the first matching row in place (payload
+    from ``updates``, original ``ingest_seq`` kept), else append with a
+    fresh ``ingest_seq`` after the current max.  ``updates`` must carry
+    ``collection, key, metadata, embedding, ts``; duplicate keys within
+    ``updates`` collapse to the last occurrence (the reference applies
+    batch items sequentially, so the last write wins,
+    MerkonMemoryStore.cs:71-78).
+    """
+    u_w = Window.partitionBy("collection", "key").orderBy(F.desc("__uord"))
+    upd = (
+        updates.withColumn("__uord", F.monotonically_increasing_id())
+        .withColumn("__urn", F.row_number().over(u_w))
+        .where(F.col("__urn") == 1)
+        .drop("__uord", "__urn")
+    )
+
+    ranked = _first_match_rank(state)
+    first = ranked.where(F.col("__rn") == 1)
+    rest = ranked.where(F.col("__rn") > 1).drop("__rn")
+
+    # in-place update: first-match rows joined to their new payload
+    updated = (
+        first.select("collection", "key", "ingest_seq")
+        .join(F.broadcast(upd), _MERGE_KEYS, "inner")
+        .select(*STATE_COLS)
+    )
+    untouched_first = (
+        first.join(F.broadcast(upd), _MERGE_KEYS, "left_anti")
+        .drop("__rn")
+        .select(*STATE_COLS)
+    )
+    # appends: update keys with no existing row; fresh seq after global max
+    max_seq = F.broadcast(
+        state.agg(F.coalesce(F.max("ingest_seq"), F.lit(0)).alias("__max_seq"))
+    )
+    ins_w = Window.orderBy(F.asc("collection"), F.asc("key"))
+    inserted = (
+        upd.join(
+            state.select(*_MERGE_KEYS).distinct(), _MERGE_KEYS, "left_anti"
+        )
+        .withColumn("__ord", F.row_number().over(ins_w))
+        .crossJoin(max_seq)
+        .withColumn("ingest_seq", F.col("__max_seq") + F.col("__ord"))
+        .select(*STATE_COLS)
+    )
+    return (
+        untouched_first.unionByName(updated)
+        .unionByName(rest.select(*STATE_COLS))
+        .unionByName(inserted)
+    )
+
+
+def delete_keys(
+    state: DataFrame, collection: str, keys: Sequence[str]
+) -> DataFrame:
+    """W5/W6 delete item / batch: remove the FIRST entry matching each key
+    (MerkonDatabase.cs:58-70); later duplicates survive."""
+    ranked = _first_match_rank(state)
+    # null-safe: a NULL key is never "in" the delete list (the reference's
+    # x.Key == key is false for null) — without coalesce, ~NULL filters the
+    # row out and delete would silently drop unrelated NULL-key rows.
+    hit = (
+        (F.col("collection") == collection)
+        & F.coalesce(F.col("key").isin(list(keys)), F.lit(False))
+        & (F.col("__rn") == 1)
+    )
+    return ranked.where(~hit).drop("__rn")
+
+
+def delete_collection(state: DataFrame, collection: str) -> DataFrame:
+    """W7 drop a whole collection (MerkonDatabase.cs:49-56).  Through
+    VectorStore this is a partition drop — no data rewrite."""
+    return state.where(F.col("collection") != collection)
+
+
+def delete_empty_keys(state: DataFrame, collection: str) -> DataFrame:
+    """W8 purge null/empty keys in one collection (MerkonDatabase.cs:72-88).
+    The reference runs this as a side effect of every search
+    (MerkonMemoryStore.cs:226); we only ever run it explicitly."""
+    in_coll = F.col("collection") == collection
+    empty = F.col("key").isNull() | (F.col("key") == "")
+    return state.where(~(in_coll & empty))
+
+
+def get_batch(
+    state: DataFrame,
+    collection: str,
+    keys: Sequence[str],
+    mode: str = "faithful",
+) -> DataFrame:
+    """R1 GetBatch (MerkonMemoryStore.cs:87-102).
+
+    ``mode="faithful"``: iterate requested keys in order, yield first-match
+    records, STOP at the first missing key (the reference's ``yield break``
+    at :97-100 — prefix semantics).  ``mode="join"``: the sane semi-join
+    shape (all present keys, no early stop).
+
+    Output carries ``req_ord`` (the request position) so callers/oracles
+    can reproduce the request order deterministically.
+    """
+    if mode not in ("faithful", "join"):
+        raise ValueError(f"unknown get_batch mode: {mode!r}")
+    spark = state.sparkSession
+    req = F.broadcast(
+        spark.createDataFrame(
+            [(i, k) for i, k in enumerate(keys)], "req_ord INT, key STRING"
+        )
+    )
+    first = (
+        _first_match_rank(state)
+        .where((F.col("collection") == collection) & (F.col("__rn") == 1))
+        .drop("__rn")
+    )
+    joined = req.join(first, "key", "left")
+    if mode == "join":
+        return joined.where(F.col("ingest_seq").isNotNull()).select(
+            "req_ord", *STATE_COLS
+        )
+    # faithful: keep only positions before the first miss
+    first_miss = F.broadcast(
+        joined.where(F.col("ingest_seq").isNull()).agg(
+            F.coalesce(F.min("req_ord"), F.lit(2_147_483_647)).alias("__miss")
+        )
+    )
+    return (
+        joined.crossJoin(first_miss)
+        .where(F.col("req_ord") < F.col("__miss"))
+        .select("req_ord", *STATE_COLS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 F6 name validation / sanitization
+# ---------------------------------------------------------------------------
+
+_VALID_NAME_RE = "^[0-9A-Za-z_]+$"
+
+
+def sanitize_db_name(name: F.Column) -> F.Column:
+    """Database-name sanitization: spaces → underscores
+    (MerkonDatabase.cs:124)."""
+    return F.regexp_replace(name, " ", "_")
+
+
+def is_valid_collection_name(name: F.Column) -> F.Column:
+    """SK collection-name validation: non-empty ASCII letters/digits/
+    underscore (Diagnostics/Verify.cs:39-61)."""
+    return name.isNotNull() & name.rlike(_VALID_NAME_RE)

@@ -28,8 +28,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from merkonvectordb_spark.functions.vector import l2_norm
+from merkonvectordb_spark.operators import store as store_ops
 from merkonvectordb_spark.operators.search import knn, knn_batch
 from merkonvectordb_spark.schema import load_table
+from merkonvectordb_spark.sources.ingest import (
+    decode_embedding_json,
+    encode_embedding_json,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -296,6 +301,330 @@ def q_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ts_str(F.col("ts")).alias("ts_u"),
         F.unix_timestamp("ts").alias("ts_epoch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 the write surface (W1-W11) as pure state transitions, oracle-checked
+# ---------------------------------------------------------------------------
+
+# update batch: rewrite 20 existing keys + insert 10 new ones — derived from
+# `embeddings` with fixed vec_id ranges so it's stable across scale factors.
+_UPDATES_ORACLE_CTE = f"""
+updates AS (
+  SELECT 'coll_' || CAST(label % 5 AS VARCHAR)         AS collection,
+         'k' || printf('%06d', vec_id)                 AS key,
+         '{{"id":"k' || printf('%06d', vec_id) || '","source":"upsert"}}' AS metadata,
+         embedding,
+         TIMESTAMP '{_TS_BASE}' + INTERVAL (vec_id + 100000) SECOND AS ts
+  FROM embeddings WHERE vec_id BETWEEN 10 AND 29
+  UNION ALL
+  SELECT 'coll_' || CAST(label % 5 AS VARCHAR),
+         'n' || printf('%06d', vec_id),
+         '{{"id":"n' || printf('%06d', vec_id) || '","source":"insert"}}',
+         embedding,
+         TIMESTAMP '{_TS_BASE}' + INTERVAL (vec_id + 100000) SECOND
+  FROM embeddings WHERE vec_id BETWEEN 480 AND 489
+)
+""".strip()
+
+
+def _updates_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ts = (
+        F.lit(_TS_BASE).cast("timestamp")
+        + F.make_interval(secs=(F.col("vec_id") + 100000).cast("double"))
+    ).alias("ts")
+    coll = F.concat(F.lit("coll_"), (F.col("label") % 5).cast("string")).alias(
+        "collection"
+    )
+
+    def batch(lo: int, hi: int, prefix: str, source: str) -> DataFrame:
+        key = F.concat(F.lit(prefix), F.format_string("%06d", F.col("vec_id")))
+        meta = F.concat(
+            F.lit('{"id":"'), key, F.lit(f'","source":"{source}"}}')
+        )
+        return emb.where(F.col("vec_id").between(lo, hi)).select(
+            coll, key.alias("key"), meta.alias("metadata"), "embedding", ts
+        )
+
+    return batch(10, 29, "k", "upsert").unionByName(
+        batch(480, 489, "n", "insert")
+    )
+
+
+_NORM_SQL = (
+    "round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+    "CAST(embedding AS DOUBLE[]))), 6)"
+)
+
+
+@register(
+    "upsert_roundtrip",
+    f"""
+WITH {VECTORS_ORACLE_CTE},
+{_UPDATES_ORACLE_CTE},
+updated AS (
+  SELECT v.collection, v.key, u.metadata, u.embedding, u.ts, v.ingest_seq
+  FROM vectors v JOIN updates u USING (collection, key)
+),
+kept AS (
+  SELECT v.* FROM vectors v ANTI JOIN updates u USING (collection, key)
+),
+mx AS (SELECT max(ingest_seq) AS m FROM vectors),
+ins AS (
+  SELECT u.collection, u.key, u.metadata, u.embedding, u.ts,
+         mx.m + row_number() OVER (ORDER BY u.collection, u.key) AS ingest_seq
+  FROM (SELECT u0.* FROM updates u0 ANTI JOIN vectors v USING (collection, key)) u
+  CROSS JOIN mx
+),
+final AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM updated UNION ALL SELECT * FROM ins
+)
+SELECT collection, key,
+       json_extract_string(metadata, '$.source') AS meta_source,
+       ingest_seq,
+       {_TS_STR_SQL.format(c="ts")} AS ts_str,
+       {_NORM_SQL} AS emb_norm
+FROM final
+""".strip(),
+)
+def q_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 W1/W4 batched InsertOrUpdate as a pure state transition
+    (MerkonDatabase.cs:89-104): 20 in-place updates keep their ingest_seq,
+    10 inserts get fresh seqs after the max.  The full post-state is
+    hash-compared, so update/keep/insert routing can't silently drift."""
+    state = vectors_df(spark, sf_dir)
+    out = store_ops.upsert(state, _updates_df(spark, sf_dir))
+    return out.select(
+        "collection",
+        "key",
+        F.get_json_object("metadata", "$.source").alias("meta_source"),
+        "ingest_seq",
+        _ts_str(F.col("ts")).alias("ts_str"),
+        F.round(l2_norm(F.col("embedding")), 6).alias("emb_norm"),
+    )
+
+
+_DELETE_KEYS = [f"k{i:06d}" for i in range(20)]
+_DELETE_KEYS_SQL = ", ".join(f"'{k}'" for k in _DELETE_KEYS)
+
+
+@register(
+    "delete_semantics",
+    f"""
+WITH {VECTORS_ORACLE_CTE},
+dup AS (
+  SELECT collection, key, metadata, embedding, ts, ingest_seq + 1000000 AS ingest_seq
+  FROM vectors WHERE ingest_seq < 3
+),
+injected AS (
+  SELECT 'coll_0' AS collection, '' AS key, '{{}}' AS metadata,
+         CAST(NULL AS FLOAT[]) AS embedding, CAST(NULL AS TIMESTAMP) AS ts,
+         CAST(2000001 AS BIGINT) AS ingest_seq
+  UNION ALL
+  SELECT 'coll_0', CAST(NULL AS VARCHAR), '{{}}',
+         CAST(NULL AS FLOAT[]), CAST(NULL AS TIMESTAMP), 2000002
+),
+state AS (
+  SELECT * FROM vectors UNION ALL SELECT * FROM dup UNION ALL SELECT * FROM injected
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY collection, key ORDER BY ingest_seq) AS rn
+  FROM state
+),
+afterdel AS (
+  SELECT * FROM ranked
+  WHERE NOT (collection = 'coll_0'
+             AND COALESCE(key IN ({_DELETE_KEYS_SQL}), FALSE)
+             AND rn = 1)
+),
+afterempty AS (
+  SELECT * FROM afterdel
+  WHERE NOT (collection = 'coll_0' AND (key IS NULL OR key = ''))
+),
+final AS (SELECT * FROM afterempty WHERE collection <> 'coll_4')
+SELECT collection, key, ingest_seq, {_NORM_SQL} AS emb_norm FROM final
+""".strip(),
+)
+def q_delete_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 W5-W8 composed: first-match-only key deletes
+    (MerkonDatabase.cs:58-70 — a later duplicate survives), empty-key purge
+    (:72-88), then whole-collection drop (:49-56), on a state seeded with
+    duplicate keys and empty/NULL-key rows to exercise each quirk."""
+    v = vectors_df(spark, sf_dir)
+    dup = v.where(F.col("ingest_seq") < 3).withColumn(
+        "ingest_seq", F.col("ingest_seq") + 1000000
+    )
+    injected = spark.createDataFrame(
+        [
+            ("coll_0", "", "{}", None, None, 2000001),
+            ("coll_0", None, "{}", None, None, 2000002),
+        ],
+        "collection STRING, key STRING, metadata STRING, "
+        "embedding ARRAY<FLOAT>, ts TIMESTAMP, ingest_seq LONG",
+    )
+    state = v.unionByName(dup).unionByName(injected)
+    out = store_ops.delete_keys(state, "coll_0", _DELETE_KEYS)
+    out = store_ops.delete_empty_keys(out, "coll_0")
+    out = store_ops.delete_collection(out, "coll_4")
+    return out.select(
+        "collection",
+        "key",
+        "ingest_seq",
+        F.round(l2_norm(F.col("embedding")), 6).alias("emb_norm"),
+    )
+
+
+@register(
+    "collection_ddl",
+    f"""
+WITH {VECTORS_ORACLE_CTE},
+registry AS (SELECT 'coll_0' AS collection UNION ALL SELECT 'coll_empty'),
+data_colls AS (SELECT DISTINCT collection FROM vectors),
+cand AS (
+  SELECT * FROM (VALUES ('coll_0'), ('coll_1'), ('coll_2'), ('coll_3'),
+                        ('coll_4'), ('coll_empty'), ('coll_missing'),
+                        ('bad name')) AS t(collection)
+)
+SELECT c.collection,
+       (r.collection IS NOT NULL) AS in_registry,
+       (d.collection IS NOT NULL) AS has_data,
+       (r.collection IS NOT NULL OR d.collection IS NOT NULL) AS does_exist,
+       COALESCE(regexp_matches(c.collection, '^[0-9A-Za-z_]+$'), FALSE) AS valid_name
+FROM cand c
+LEFT JOIN registry r ON c.collection = r.collection
+LEFT JOIN data_colls d ON c.collection = d.collection
+""".strip(),
+)
+def q_collection_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 W9/W10/W11 + §2.6 F6: the registry design — a created
+    (possibly empty) collection exists (MerkonDatabase.cs:18-24,44-47)
+    alongside collections that exist only through data, plus SK name
+    validation (Diagnostics/Verify.cs:39-61)."""
+    registry = spark.createDataFrame(
+        [("coll_0",), ("coll_empty",)], "collection STRING"
+    )
+    data_colls = vectors_df(spark, sf_dir).select("collection").distinct()
+    cand = spark.createDataFrame(
+        [
+            ("coll_0",), ("coll_1",), ("coll_2",), ("coll_3",), ("coll_4",),
+            ("coll_empty",), ("coll_missing",), ("bad name",),
+        ],
+        "collection STRING",
+    )
+    r = registry.withColumn("in_registry", F.lit(True))
+    d = data_colls.withColumn("has_data", F.lit(True))
+    return (
+        cand.join(r, "collection", "left")
+        .join(d, "collection", "left")
+        .select(
+            "collection",
+            F.coalesce("in_registry", F.lit(False)).alias("in_registry"),
+            F.coalesce("has_data", F.lit(False)).alias("has_data"),
+            (
+                F.coalesce("in_registry", F.lit(False))
+                | F.coalesce("has_data", F.lit(False))
+            ).alias("does_exist"),
+            store_ops.is_valid_collection_name(F.col("collection")).alias(
+                "valid_name"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 R1 GetBatch — both modes
+# ---------------------------------------------------------------------------
+
+_GET_BATCH_REQ_CTE = """
+cand AS (
+  SELECT key, ingest_seq, metadata,
+         row_number() OVER (ORDER BY ingest_seq) - 1 AS rk
+  FROM vectors WHERE collection = 'coll_1'
+),
+req AS (
+  SELECT rk AS req_ord, key FROM cand WHERE rk < 3
+  UNION ALL SELECT 3, '__missing__'
+  UNION ALL SELECT rk + 1, key FROM cand WHERE rk IN (3, 4)
+)
+""".strip()
+
+
+def _get_batch_keys(spark: SparkSession, sf_dir: str) -> list[str]:
+    cand = (
+        vectors_df(spark, sf_dir)
+        .where(F.col("collection") == "coll_1")
+        .orderBy("ingest_seq")
+        .select("key")
+        .limit(5)
+        .collect()
+    )
+    ks = [r.key for r in cand]
+    return ks[:3] + ["__missing__"] + ks[3:5]
+
+
+@register(
+    "get_batch_prefix",
+    f"""
+WITH {VECTORS_ORACLE_CTE},
+{_GET_BATCH_REQ_CTE},
+joined AS (
+  SELECT r.req_ord, r.key, v.metadata, v.ingest_seq
+  FROM req r LEFT JOIN (SELECT * FROM vectors WHERE collection = 'coll_1') v
+    ON r.key = v.key
+),
+miss AS (SELECT COALESCE(min(req_ord), 2147483647) AS m FROM joined WHERE ingest_seq IS NULL)
+SELECT req_ord, key, metadata, ingest_seq
+FROM joined CROSS JOIN miss WHERE req_ord < miss.m
+""".strip(),
+)
+def q_get_batch_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.5 R1 faithful mode: yield requested keys in order, STOP at
+    the first missing key (the reference's yield break,
+    MerkonMemoryStore.cs:97-100) — prefix semantics, not a semi-join."""
+    keys = _get_batch_keys(spark, sf_dir)
+    out = store_ops.get_batch(
+        vectors_df(spark, sf_dir), "coll_1", keys, mode="faithful"
+    )
+    return out.select("req_ord", "key", "metadata", "ingest_seq")
+
+
+@register(
+    "get_batch_join",
+    f"""
+WITH {VECTORS_ORACLE_CTE},
+{_GET_BATCH_REQ_CTE}
+SELECT r.req_ord, r.key, v.metadata, v.ingest_seq
+FROM req r JOIN (SELECT * FROM vectors WHERE collection = 'coll_1') v
+  ON r.key = v.key
+""".strip(),
+)
+def q_get_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.5 R1 sane mode: the semi-join shape — every present key,
+    no early stop (the mode a distributed engine should default to)."""
+    keys = _get_batch_keys(spark, sf_dir)
+    out = store_ops.get_batch(
+        vectors_df(spark, sf_dir), "coll_1", keys, mode="join"
+    )
+    return out.select("req_ord", "key", "metadata", "ingest_seq")
+
+
+@register(
+    "vector_json_roundtrip",
+    f"""
+WITH {VECTORS_ORACLE_CTE}
+SELECT key, {_NORM_SQL} AS emb_norm_rt
+FROM vectors WHERE collection = 'coll_2'
+""".strip(),
+)
+def q_vector_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.6 F2: JSON encode → decode of the embedding is lossless
+    (ReadOnlyMemoryConverter.cs:15-31) — the roundtripped norm must equal
+    the oracle's norm of the ORIGINAL vector, so any codec loss breaks the
+    hash."""
+    v = vectors_df(spark, sf_dir).where(F.col("collection") == "coll_2")
+    rt = decode_embedding_json(encode_embedding_json(F.col("embedding")))
+    return v.select("key", F.round(l2_norm(rt), 6).alias("emb_norm_rt"))
 
 
 # ---------------------------------------------------------------------------

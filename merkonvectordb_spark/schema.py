@@ -25,9 +25,15 @@ VECTORS_SCHEMA = T.StructType(
         T.StructField("key", T.StringType(), True),
         T.StructField("metadata", T.StringType(), True),  # raw JSON, fidelity column
         T.StructField("embedding", T.ArrayType(T.FloatType(), False), True),
-        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("ts", T.TimestampType(), True),
         T.StructField("ingest_seq", T.LongType(), False),
     ]
+)
+
+# DDL form for createDataFrame([], ...) / read.schema(...)
+VECTORS_SCHEMA_DDL = (
+    "collection STRING, key STRING, metadata STRING, "
+    "embedding ARRAY<FLOAT>, ts TIMESTAMP, ingest_seq LONG"
 )
 
 # SK MemoryRecordMetadata fields (public Semantic Kernel 1.0.0-beta1 API;
