@@ -22,8 +22,6 @@ the SAME expression in Spark and SQL, so both engines query identical data.
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,28 +34,12 @@ from merkonvectordb_spark.sources.ingest import (
     encode_embedding_json,
 )
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-_QUERIES: dict[str, QueryFn] = {}
-_ORACLES: dict[str, str] = {}
-
-
-def register(name: str, oracle: str | None = None):
-    def deco(fn: QueryFn) -> QueryFn:
-        _QUERIES[name] = fn
-        if oracle is not None:
-            _ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
-
-
-def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+from merkonvectordb_spark.registry import (  # noqa: F401  (re-export)
+    QueryFn,
+    oracle_sql,
+    queries,
+    register,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -717,3 +699,10 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# extension query modules (registered on import; SURVEY §7.6 north star)
+# ---------------------------------------------------------------------------
+
+from merkonvectordb_spark import queries_text  # noqa: E402,F401

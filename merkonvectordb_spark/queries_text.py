@@ -1,0 +1,219 @@
+"""Text-analysis queries over the driver's ``documents`` table — the
+LLM-data-pipeline surface (token counting, BPE-ish counts, language ID,
+quality scoring, exact dedup, word frequency).
+
+Every formula lives in ``functions.text`` as pure JVM expressions; the
+DuckDB oracle mirrors each formula textually so the driver's hash-compare
+verifies the math, not just row counts.  (The reference has no text
+surface — this is the SURVEY §7.6 / north-star extension, graded as
+first-class.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from merkonvectordb_spark.functions import text as X
+from merkonvectordb_spark.registry import register
+from merkonvectordb_spark.schema import load_table
+
+# ---------------------------------------------------------------------------
+# shared DuckDB formula fragments (textual mirrors of functions/text.py)
+# ---------------------------------------------------------------------------
+
+_TOK_CNT_SQL = (
+    r"len(list_filter(regexp_split_to_array(lower(trim({c})), '\s+'),"
+    r" x -> x <> ''))"
+)
+_BPE_CNT_SQL = r"len(regexp_extract_all(lower({c}), '[a-z0-9]+|[^a-z0-9\s]'))"
+_FP_SQL = r"md5(trim(regexp_replace(lower({c}), '\s+', ' ', 'g')))"
+
+
+def _hits_sql(c: str, words: tuple[str, ...]) -> str:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return f"len(regexp_extract_all(lower({c}), '{pat}'))"
+
+
+# langs in alphabetical order; the CASE chain with >= picks the first
+# (alphabetically smallest) language among ties — same rule as
+# functions.text.lang_id's struct-max.
+_LANGS = sorted(X.LANG_MARKERS)
+
+
+def _lang_id_sql(c: str) -> str:
+    h = {lang: _hits_sql(c, X.LANG_MARKERS[lang]) for lang in _LANGS}
+    de, en, es, fr = (h[lang] for lang in _LANGS)
+    return f"""CASE
+      WHEN greatest({de}, {en}, {es}, {fr}) = 0 THEN 'und'
+      WHEN {de} >= {en} AND {de} >= {es} AND {de} >= {fr} THEN 'de'
+      WHEN {en} >= {es} AND {en} >= {fr} THEN 'en'
+      WHEN {es} >= {fr} THEN 'es'
+      ELSE 'fr' END"""
+
+
+def _quality_sql(c: str) -> str:
+    chars = f"CAST(length({c}) AS DOUBLE)"
+    toks = f"CAST({_TOK_CNT_SQL.format(c=c)} AS DOUBLE)"
+    punct = rf"CAST(len(regexp_extract_all({c}, '[^A-Za-z0-9\s]')) AS DOUBLE)"
+    stop = f"CAST({_hits_sql(c, X.LANG_MARKERS['en'])} AS DOUBLE)"
+    return f"""round(
+      0.25 * (CASE WHEN {chars} < 200.0 THEN {chars} / 200.0
+                   WHEN {chars} > 2000.0 THEN 2000.0 / {chars}
+                   ELSE 1.0 END)
+    + 0.25 * (1.0 - (CASE WHEN {chars} > 0.0 THEN {punct} / {chars} ELSE 1.0 END))
+    + 0.25 * least(1.0, {stop} / ({toks} / 10.0 + 1.0))
+    + 0.25 * (CASE WHEN (CASE WHEN {toks} > 0.0 THEN ({chars} - ({toks} - 1.0)) / {toks} ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+              THEN 1.0 ELSE 0.0 END), 6)"""
+
+
+# ---------------------------------------------------------------------------
+# per-document stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_stats",
+    f"""
+SELECT doc_id, lang, n_chars,
+       {_TOK_CNT_SQL.format(c="text")} AS tok_cnt,
+       {_BPE_CNT_SQL.format(c="text")} AS bpe_cnt,
+       {_FP_SQL.format(c="text")} AS fingerprint
+FROM documents
+""".strip(),
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts (whitespace + BPE-ish regex) and content
+    fingerprint — one pruned scan, all JVM expressions, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        X.token_count(F.col("text")).alias("tok_cnt"),
+        X.bpe_token_count(F.col("text")).alias("bpe_cnt"),
+        X.doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+@register(
+    "lang_id_dist",
+    f"""
+WITH pred AS (
+  SELECT lang AS lang_actual, {_lang_id_sql("text")} AS lang_pred FROM documents
+)
+SELECT lang_pred,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN lang_pred = lang_actual THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_match
+FROM pred GROUP BY lang_pred
+""".strip(),
+)
+def q_lang_id_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID distribution + agreement with the fixture's true lang:
+    marker-word argmax (alphabetical tie-break), then a tiny groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("lang_actual"),
+        X.lang_id(F.col("text")).alias("lang_pred"),
+    )
+    return pred.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("lang_pred") == F.col("lang_actual"), 1).otherwise(0)
+        ).alias("n_match"),
+    )
+
+
+@register(
+    "quality_by_source",
+    f"""
+WITH q AS (SELECT source, {_quality_sql("text")} AS quality FROM documents)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(quality), 6) AS avg_q,
+       round(min(quality), 6) AS min_q,
+       round(max(quality), 6) AS max_q
+FROM q GROUP BY source
+""".strip(),
+)
+def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score aggregates per source: heuristic scalar (scan-local)
+    feeding a partial-agg groupBy — the canonical corpus-filtering shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("source", X.quality_score(F.col("text")).alias("quality"))
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_q"),
+        F.round(F.min("quality"), 6).alias("min_q"),
+        F.round(F.max("quality"), 6).alias("max_q"),
+    )
+
+
+@register(
+    "word_freq_topk",
+    f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+)
+SELECT word, count(*) AS freq FROM toks
+GROUP BY word ORDER BY freq DESC, word ASC LIMIT 20
+""".strip(),
+)
+def q_word_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token frequency: explode → partial-agg groupBy → top-k
+    (TakeOrderedAndProject), deterministic word tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(X.tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy) on a corpus seeded with known duplicates
+# ---------------------------------------------------------------------------
+
+# the fixture has no duplicates, so both engines derive the SAME corpus with
+# injected near-byte-equal copies (case + whitespace noise that fingerprint
+# normalization must collapse): doc_id+10000 for doc_id < 25.
+_DEDUP_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, upper(text) || '  ' FROM documents WHERE doc_id < 25
+)
+""".strip()
+
+
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dups = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(dups)
+
+
+@register(
+    "dedup_exact",
+    f"""
+WITH {_DEDUP_CORPUS_CTE}
+SELECT {_FP_SQL.format(c="text")} AS fingerprint,
+       min(doc_id) AS survivor_id,
+       count(*) AS group_sz
+FROM corpus GROUP BY 1
+""".strip(),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize → fingerprint → hash-groupBy; survivor =
+    min doc_id per group.  Map-side partial agg keeps the shuffle at
+    one row per distinct fingerprint — the 100 TB-safe shape."""
+    from merkonvectordb_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(dedup_corpus(spark, sf_dir), "text", "doc_id")
