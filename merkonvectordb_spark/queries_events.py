@@ -1,0 +1,116 @@
+"""Event-stream analytics over the driver's ``events`` table — the batch
+faces of the Structured Streaming surface (``streaming/``): tumbling
+windows, sessionization, semi-structured props.
+
+Each query is the exact batch equivalent of a streaming aggregation
+(same window/gap semantics); ``streaming.ingest`` runs the same logic
+via ``readStream`` + watermark and the tests assert batch ≡ streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from merkonvectordb_spark.registry import register
+from merkonvectordb_spark.schema import load_table
+
+SESSION_GAP_SEC = 1800  # 30 min
+
+
+@register(
+    "events_window_agg",
+    """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""".strip(),
+)
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type: the canonical streaming
+    aggregation run as a batch plan (partial agg → shuffle on
+    (window, type)).  ``streaming.ingest.windowed_counts`` is the
+    readStream twin with a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_SEC} * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) AS end_us,
+       round(sum(value), 2) AS sum_value
+FROM sessions GROUP BY user_id, session_seq
+""".strip(),
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-min inactivity gap: lag → gap flag →
+    running sum (session id) → per-session rollup.  One shuffle on
+    user_id serves both windows AND the final groupBy (hash-partitioned
+    on a prefix of the window key) — the streaming twin is a
+    session_window/applyInPandasWithState plan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap_us > SESSION_GAP_SEC * 1_000_000, 1).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_seq", F.sum("new_sess").over(w))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "events_props_stats",
+    """
+SELECT event_type,
+       count(*) AS n_events,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+""".strip(),
+)
+def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props: JSON field extraction as a scan-local
+    expression feeding a tiny groupBy (F3's get_json_object path on the
+    events stream)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -76,8 +76,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver parquet table. Parquet scan → pushdown + pruning free."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one driver parquet table. Parquet scan → pushdown + pruning free.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
+    (set in ``session.get_spark``) it surfaces as LONG nanos — normalize to
+    a microsecond TIMESTAMP (floor division, matching DuckDB's
+    TIMESTAMP_NS → TIMESTAMP cast) so downstream plans see a real
+    timestamp column.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            # integral `div`, NOT `/1000` + floor: the double round-trip
+            # loses precision above 2^53 ns and lands ±1 µs off
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -41,6 +41,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.ts is parquet TIMESTAMP(NANOS): read as LONG nanos
+        # (normalized to a micros TIMESTAMP in schema.load_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 32 MB broadcast threshold: dimension tables (region/nation/part/
         # supplier at any realistic SF) and query-vector sets broadcast,
@@ -61,6 +64,7 @@ def get_spark(
     # rendering must be UTC for oracle hash parity), so assert them here.
     for k, v in {
         "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
     }.items():

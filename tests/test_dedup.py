@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from merkonvectordb_spark.operators.dedup import exact_dedup, keep_survivors
+from merkonvectordb_spark.plans import executed_plan
 
 
 def _corpus(spark):
@@ -34,6 +35,6 @@ def test_keep_survivors(spark):
 def test_exact_dedup_shuffle_is_aggregated(spark):
     # the plan must partial-aggregate before the exchange: one shuffled row
     # per distinct fingerprint, not per input row (100 TB gate)
-    plan = exact_dedup(_corpus(spark), "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    plan = executed_plan(exact_dedup(_corpus(spark), "text", "doc_id"))
     before_exchange = plan.split("Exchange")[-1]  # text BELOW the exchange
     assert "partial_min" in before_exchange or "partial" in before_exchange
