@@ -8,10 +8,27 @@ materializes, which is the property that keeps 100 TB feasible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import random
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from merkonvectordb_spark.functions.text import doc_fingerprint
+from merkonvectordb_spark.functions.text import doc_fingerprint, word_shingles
+
+# ---------------------------------------------------------------------------
+# MinHash constants — shared with the DuckDB oracle mirror (queries_dedup):
+# universal hashing h_i(x) = (a_i·x + b_i) mod P over a 31-bit prime field.
+# a_i·x < P² < 2^62 keeps every intermediate inside BIGINT in both engines.
+# ---------------------------------------------------------------------------
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime)
+NUM_HASHES = 16
+LSH_BANDS = 8  # × 2 rows/band: P(candidate) = 1-(1-j²)^8 — 0.995 at j=0.7
+SHINGLE_N = 3
+
+_rng = random.Random(2026)
+MINHASH_A = [_rng.randrange(1, MINHASH_P) for _ in range(NUM_HASHES)]
+MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(NUM_HASHES)]
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -50,3 +67,176 @@ def keep_survivors(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup: MinHash signatures → LSH banding → candidate pairs → exact
+# Jaccard verify → connected components.  No stage is all-pairs: banding
+# bounds comparisons to same-bucket docs, and the iterative CC runs on the
+# (tiny) verified-edge subgraph, never the corpus.
+# ---------------------------------------------------------------------------
+
+
+def shingle_set(text: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct n-word shingles of the normalized text."""
+    return F.array_distinct(word_shingles(text, n))
+
+
+def shingle_base_hashes(shingles: Column) -> Column:
+    """Per-shingle 60-bit base hash folded into the 31-bit prime field:
+    first 15 hex chars of md5 → BIGINT → mod P.  Pure JVM expressions;
+    the DuckDB oracle folds the same hex digits with list_reduce."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_P,
+    )
+
+
+def minhash_signature(base_hashes: Column) -> Column:
+    """NUM_HASHES-long MinHash signature: sig_i = min over shingles of
+    (a_i·x + b_i) mod P."""
+    def _hash_fn(a: int, b: int):
+        # closure, not lambda-with-defaults: PySpark reads the lambda's
+        # arity to build the higher-order function
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
+
+    sigs = [
+        F.array_min(F.transform(base_hashes, _hash_fn(a, b)))
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_band_keys(sig: Column) -> Column:
+    """BANDS string keys, each concatenating ROWS consecutive signature
+    values — two docs collide in a band iff that slice matches exactly."""
+    rows = NUM_HASHES // LSH_BANDS
+    return F.array(
+        *[
+            F.concat_ws(
+                ":", *[sig[b * rows + r].cast("string") for r in range(rows)]
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+
+
+def candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """LSH candidate pairs ``(a, b)`` with a < b: explode band keys, self-join
+    per bucket.  The join key (band_id, band_key) hash-partitions both
+    sides; bucket sizes are bounded by signature collisions, so the
+    comparison count is Σ|bucket|² — NOT |corpus|²."""
+    sigs = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            shingle_base_hashes(shingle_set(F.col(text_col))).alias("__bases"),
+        )
+        .where(F.size("__bases") > 0)
+        .select("__id", minhash_signature(F.col("__bases")).alias("__sig"))
+    )
+    bands = sigs.select(
+        "__id", F.posexplode(lsh_band_keys(F.col("__sig"))).alias("band_id", "band_key")
+    )
+    l = bands.alias("l")
+    r = bands.alias("r")
+    return (
+        l.join(r, ["band_id", "band_key"])
+        .where(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("a"), F.col("r.__id").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_edges(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact shingle-set Jaccard over candidate pairs only; keeps
+    ``(a, b)`` with similarity ≥ threshold.  Two hash-joins against the
+    shingle-set table — candidates are a vanishing fraction of the corpus,
+    so both joins broadcast-or-shuffle on the tiny side."""
+    sets_df = df.select(
+        F.col(id_col).alias("__id"),
+        shingle_set(F.col(text_col)).alias("__sh"),
+    ).where(F.size("__sh") > 0)
+    a_sets = sets_df.select(F.col("__id").alias("a"), F.col("__sh").alias("sh_a"))
+    b_sets = sets_df.select(F.col("__id").alias("b"), F.col("__sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.join(a_sets, "a")
+        .join(b_sets, "b")
+        .where(jac >= F.lit(threshold))
+        .select("a", "b")
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation over the (verified-edge) subgraph: every node
+    converges to the smallest id reachable from it.  Iterative joins with
+    localCheckpoint per round (lineage cut); rounds = graph diameter —
+    near-dup components are near-cliques, so 1-3 rounds in practice.
+    Returns ``(id, group_id)`` for nodes that appear in any edge.
+    """
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.b == labels.id)
+            .select(F.col("a").alias("id"), "label")
+        )
+        new_labels = (
+            labels.select("id", "label")
+            .union(neigh)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("group_id"))
+
+
+def near_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash → LSH buckets → exact-Jaccard
+    verify → connected components.  Returns one row per input doc:
+    ``(id_col, group_id, group_sz)`` — group_id is the min doc id of the
+    near-dup component (self for singletons)."""
+    pairs = candidate_pairs(df, id_col, text_col)
+    edges = jaccard_edges(df, pairs, id_col, text_col, threshold)
+    labels = connected_components(edges)
+    out = (
+        df.select(F.col(id_col))
+        .join(labels.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("group_id", F.col(id_col)).alias("group_id"),
+        )
+    )
+    w = Window.partitionBy("group_id")
+    return out.withColumn("group_sz", F.count(F.lit(1)).over(w))

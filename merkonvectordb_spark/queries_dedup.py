@@ -1,0 +1,138 @@
+"""Near-dup dedup query with a fully-mirrored DuckDB oracle.
+
+The oracle replays the ENTIRE pipeline — same shingles, same md5-derived
+base hashes, same (a_i, b_i) MinHash constants, same banding, same exact
+Jaccard threshold, and connected components via a recursive CTE — so the
+driver's hash-compare verifies every stage, not just the final shape.
+Constants are interpolated from ``operators.dedup`` at import time; the
+two engines cannot drift apart silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from merkonvectordb_spark.operators import dedup as D
+from merkonvectordb_spark.registry import register
+from merkonvectordb_spark.schema import load_table
+
+# ---------------------------------------------------------------------------
+# corpus: fixture documents + appended-token mutants (high-Jaccard near-dups
+# of doc_id < 30) — derived identically in both engines.
+# ---------------------------------------------------------------------------
+
+_NEAR_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000, text || ' zig zag zoom' FROM documents WHERE doc_id < 30
+)
+""".strip()
+
+
+def near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mut = docs.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zig zag zoom")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mut)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB mirrors of operators.dedup, generated from the same constants
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = (
+    r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')"
+)
+_SHINGLES_SQL = f"""
+  (CASE WHEN len({_TOKS_SQL}) >= {D.SHINGLE_N}
+        THEN list_distinct(list_transform(
+               generate_series(1, len({_TOKS_SQL}) - {D.SHINGLE_N - 1}),
+               i -> array_to_string(({_TOKS_SQL})[i:i+{D.SHINGLE_N - 1}], ' ')))
+        ELSE [] END)
+""".strip()
+
+# 15 hex chars of md5 folded to BIGINT, then into the 31-bit prime field —
+# byte-for-byte the same as conv(substr(md5(s),1,15),16,10) % P in Spark.
+_BASE_HASH_SQL = (
+    "list_reduce(list_transform(regexp_split_to_array(substr(md5(s), 1, 15), ''),"
+    " ch -> CAST(strpos('0123456789abcdef', ch) AS BIGINT) - 1),"
+    f" (acc, d) -> acc * 16 + d) % {D.MINHASH_P}"
+)
+
+_SIG_SQL = "[" + ", ".join(
+    f"list_min(list_transform(bases, x -> ({a} * x + {b}) % {D.MINHASH_P}))"
+    for a, b in zip(D.MINHASH_A, D.MINHASH_B)
+) + "]"
+
+_ROWS_PER_BAND = D.NUM_HASHES // D.LSH_BANDS
+_BAND_STRUCTS_SQL = "[" + ", ".join(
+    "struct_pack(band_id := {b}, band_key := {key})".format(
+        b=b,
+        key=" || ':' || ".join(
+            f"CAST(sig[{b * _ROWS_PER_BAND + r + 1}] AS VARCHAR)"
+            for r in range(_ROWS_PER_BAND)
+        ),
+    )
+    for b in range(D.LSH_BANDS)
+) + "]"
+
+_NEAR_DEDUP_ORACLE = f"""
+WITH RECURSIVE {_NEAR_CORPUS_CTE},
+shingled AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM corpus
+),
+based AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> {_BASE_HASH_SQL}) AS bases
+  FROM shingled WHERE len(sh) > 0
+),
+sigs AS (
+  SELECT doc_id, {_SIG_SQL} AS sig FROM based
+),
+bands AS (
+  SELECT doc_id, u.band_id AS band_id, u.band_key AS band_key
+  FROM (SELECT doc_id, unnest({_BAND_STRUCTS_SQL}) AS u FROM sigs)
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+edges AS (
+  SELECT p.a, p.b
+  FROM pairs p
+  JOIN based sa ON sa.doc_id = p.a
+  JOIN based sb ON sb.doc_id = p.b
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.6
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+labels AS (
+  SELECT a AS doc_id, min(least(a, b)) AS group_id FROM reach GROUP BY a
+),
+final AS (
+  SELECT c.doc_id, COALESCE(l.group_id, c.doc_id) AS group_id
+  FROM corpus c LEFT JOIN labels l USING (doc_id)
+)
+SELECT doc_id, group_id,
+       count(*) OVER (PARTITION BY group_id) AS group_sz
+FROM final
+""".strip()
+
+
+@register("dedup_near", _NEAR_DEDUP_ORACLE)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup: MinHash(16) → LSH(8 bands × 2 rows) → exact
+    shingle-Jaccard ≥ 0.6 → connected components.  Bucketed end to end —
+    the comparison count is Σ|bucket|², never |corpus|² (the 100 TB
+    property), and the iterative CC touches only verified-edge nodes."""
+    return D.near_dedup(near_corpus(spark, sf_dir), "doc_id", "text", 0.6)

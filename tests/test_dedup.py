@@ -38,3 +38,59 @@ def test_exact_dedup_shuffle_is_aggregated(spark):
     plan = executed_plan(exact_dedup(_corpus(spark), "text", "doc_id"))
     before_exchange = plan.split("Exchange")[-1]  # text BELOW the exchange
     assert "partial_min" in before_exchange or "partial" in before_exchange
+
+
+# ---------------------------------------------------------------------------
+# near-dup (MinHash → LSH → Jaccard → connected components)
+# ---------------------------------------------------------------------------
+
+
+def _near_corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+    rows = [
+        (1, base),
+        (2, base + " extra trailing words"),         # near-dup of 1
+        (3, base.replace("lazy", "sleepy")),          # near-dup of 1
+        (10, "completely different text about spark catalyst optimizer "
+             "plans and shuffle exchanges in distributed execution engines"),
+        (11, "short doc"),                             # < 3 tokens after split? no: 2 tokens
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_near_dedup_groups(spark):
+    from merkonvectordb_spark.operators.dedup import near_dedup
+
+    out = {r.doc_id: (r.group_id, r.group_sz) for r in
+           near_dedup(_near_corpus(spark), "doc_id", "text", 0.5).collect()}
+    assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
+    assert out[10] == (10, 1)
+    assert out[11] == (11, 1)  # too short to shingle -> singleton
+
+
+def test_candidate_pairs_not_all_pairs(spark):
+    from merkonvectordb_spark.operators.dedup import candidate_pairs
+
+    df = candidate_pairs(_near_corpus(spark), "doc_id", "text")
+    plan = executed_plan(df)
+    # the bucket self-join must be an equi-join on (band_id, band_key),
+    # never a cartesian/nested-loop product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pairs = {(r.a, r.b) for r in df.collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+
+
+def test_connected_components_chain(spark):
+    from merkonvectordb_spark.operators.dedup import connected_components
+
+    # a path graph 1-2-3-4 plus an isolated edge 7-8: min label must
+    # propagate across the full path (multiple iterations)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (7, 8)], "a LONG, b LONG"
+    )
+    got = {r.id: r.group_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
