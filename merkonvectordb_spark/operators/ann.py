@@ -1,0 +1,197 @@
+"""Approximate nearest-neighbor search via deterministic random-hyperplane
+LSH (sign-random-projection), plus embedding-cosine near-dup pairing.
+
+The index is a materialized DataFrame ``(id, table_id, bucket)`` — no
+custom Catalyst strategy (SURVEY §4.2): a query probes its own buckets
+with an equi-join, then exact cosine re-ranks the candidates.  Every
+stage is a hash-join on (table_id, bucket) or id — never an all-pairs
+scan — which is what carries a 100 TB corpus: per-table bucket counts
+scale with 2^n_bits, so candidate sets stay |corpus| / 2^n_bits per
+table regardless of total size.
+
+Hyperplanes are fixed constants (seeded Gaussian, rounded to 6dp) so the
+whole pipeline is deterministic and the DuckDB oracle (queries_ann) can
+replay it bit-for-bit: bucket ids depend only on the sign of
+left-to-right double dot products, which both engines compute
+identically.
+
+Recall economics (honest numbers): on ISOTROPIC random vectors (the
+synthetic fixture — the theoretical worst case for LSH, nearest
+neighbors sit at ~68°) recall@3 with 8 tables × 6 bits is ~0.4 while
+scanning ~10% of the corpus.  On clustered embeddings (every real
+text/image corpus; near-neighbors within a few degrees) the same
+parameters give recall ≈ 1.0 — ``tests/test_ann.py`` demonstrates both
+regimes.  Exact ``operators.search.knn_batch`` remains the fallback when
+recall must be 1.0.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from merkonvectordb_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    vector_literal,
+)
+
+DIM = 64  # fixture embedding dimensionality
+N_TABLES = 8
+N_BITS = 6
+_SEED = 7
+
+
+def random_hyperplanes(
+    dim: int = DIM,
+    n_tables: int = N_TABLES,
+    n_bits: int = N_BITS,
+    seed: int = _SEED,
+) -> list[list[list[float]]]:
+    """``planes[table][bit]`` = dim-long Gaussian direction, rounded to 6dp
+    (short SQL literals; rounding a direction vector doesn't bias signs)."""
+    rng = random.Random(seed)
+    return [
+        [[round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(n_bits)]
+        for _ in range(n_tables)
+    ]
+
+
+HYPERPLANES = random_hyperplanes()
+
+
+def bucket_array(emb: Column, planes: list[list[list[float]]]) -> Column:
+    """Per-table LSH bucket ids: bit h of table t is ``sign(emb · plane)``;
+    bucket = Σ bit·2^h.  Pure JVM fold expressions — one pass over the
+    embedding per (table, bit)."""
+    buckets = []
+    for table in planes:
+        bits = [
+            F.when(dot_product(emb, vector_literal(p)) >= 0.0, F.lit(1 << h)).otherwise(
+                F.lit(0)
+            )
+            for h, p in enumerate(table)
+        ]
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc + b
+        buckets.append(acc)
+    return F.array(*buckets)
+
+
+def ann_index(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str = "embedding",
+    planes: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Materializable LSH index: ``(id, table_id, bucket)`` — n_tables rows
+    per input row.  At scale, write this out partitioned/bucketed by
+    (table_id, bucket) so probes are partition-pruned scans."""
+    planes = planes or HYPERPLANES
+    dim = len(planes[0][0])
+    return (
+        df.where(F.size(F.col(emb_col)) == dim)
+        .select(
+            F.col(id_col),
+            F.posexplode(bucket_array(F.col(emb_col), planes)).alias(
+                "table_id", "bucket"
+            ),
+        )
+    )
+
+
+def knn_batch_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    min_score: float = 0.0,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    planes: list[list[list[float]]] | None = None,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Batch ANN top-k: probe the LSH index with the query set's own
+    buckets, union candidates over tables, exact-cosine re-rank.
+
+    Plan: index join on (table_id, bucket) → distinct (query, candidate)
+    → candidate join back to corpus embeddings (hash join on id) →
+    broadcast query vectors → WindowGroupLimit top-k.  The corpus is
+    touched only at its candidate rows — the full-scan cross product of
+    ``knn_batch`` never materializes.
+    """
+    planes = planes or HYPERPLANES
+    cidx = ann_index(corpus, id_col, emb_col, planes)
+    qidx = ann_index(
+        queries.select(F.col(query_id_col), F.col(emb_col)), query_id_col, emb_col, planes
+    ).withColumnRenamed(query_id_col, "__qid")
+    cand = (
+        qidx.join(cidx, ["table_id", "bucket"])
+        .select("__qid", id_col)
+        .distinct()
+    )
+    qvecs = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"), F.col(emb_col).alias("__qvec")
+        )
+    )
+    scored = (
+        cand.join(corpus.select(id_col, emb_col, *extra_cols), id_col)
+        .join(qvecs, "__qid")
+        .withColumn("__raw", cosine_similarity(F.col(emb_col), F.col("__qvec")))
+        .where(
+            F.col("__raw").isNotNull()
+            & (~F.isnan("__raw"))
+            & (F.col("__raw") >= F.lit(float(min_score)))
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("__raw"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .withColumn("score", F.round(F.col("__raw"), 6))
+        .drop("__rn", "__raw", "__qvec", emb_col)
+        .withColumnRenamed("__qid", query_id_col)
+    )
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    emb_col: str = "emb",
+    planes: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ``(a, b, score)`` with a < b:
+    same-bucket LSH candidates → exact cosine ≥ threshold.  The bucket
+    self-join bounds comparisons exactly like the MinHash banding in
+    ``operators.dedup`` — Σ|bucket|², never |corpus|²."""
+    planes = planes or HYPERPLANES
+    idx = ann_index(df, id_col, emb_col, planes)
+    l, r = idx.alias("l"), idx.alias("r")
+    pairs = (
+        l.join(r, ["table_id", "bucket"])
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+    a_e = df.select(F.col(id_col).alias("a"), F.col(emb_col).alias("__ea"))
+    b_e = df.select(F.col(id_col).alias("b"), F.col(emb_col).alias("__eb"))
+    raw = cosine_similarity(F.col("__ea"), F.col("__eb"))
+    return (
+        pairs.join(a_e, "a")
+        .join(b_e, "b")
+        .withColumn("__raw", raw)
+        .where(
+            F.col("__raw").isNotNull()
+            & (~F.isnan("__raw"))
+            & (F.col("__raw") >= F.lit(float(threshold)))
+        )
+        .select("a", "b", F.round(F.col("__raw"), 6).alias("score"))
+    )

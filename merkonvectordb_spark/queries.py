@@ -708,3 +708,4 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 from merkonvectordb_spark import queries_text  # noqa: E402,F401
 from merkonvectordb_spark import queries_events  # noqa: E402,F401
 from merkonvectordb_spark import queries_dedup  # noqa: E402,F401
+from merkonvectordb_spark import queries_ann  # noqa: E402,F401

@@ -1,0 +1,164 @@
+"""ANN similarity-search queries with fully-mirrored DuckDB oracles.
+
+As with ``queries_dedup``, the oracle replays the exact algorithm —
+identical hyperplane constants, bucket assignment, candidate join, and
+exact-cosine re-rank — so the hash-compare verifies the pipeline
+deterministically (ANN recall is a *quality* property, measured in
+``tests/test_ann.py``; correctness here means "both engines compute the
+same buckets, candidates, and scores").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from merkonvectordb_spark.operators import ann as A
+from merkonvectordb_spark.registry import register
+from merkonvectordb_spark.schema import load_table
+
+# ---------------------------------------------------------------------------
+# DuckDB mirrors, generated from operators.ann.HYPERPLANES
+# ---------------------------------------------------------------------------
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _bucket_expr_sql(emb_sql: str, table: list[list[float]]) -> str:
+    bits = [
+        f"(CASE WHEN list_dot_product({emb_sql}, {_plane_sql(p)}) >= 0.0"
+        f" THEN {1 << h} ELSE 0 END)"
+        for h, p in enumerate(table)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _bucket_cte_sql(src: str, id_sql: str, emb_sql: str) -> str:
+    """UNION ALL arm per LSH table over ``src`` (dim pre-filtered)."""
+    arms = [
+        f"SELECT {id_sql} AS id, {t} AS table_id,"
+        f" {_bucket_expr_sql(emb_sql, table)} AS bucket FROM {src}"
+        for t, table in enumerate(A.HYPERPLANES)
+    ]
+    return "\n  UNION ALL\n  ".join(arms)
+
+
+_COS_RAW = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_KNN_ANN_ORACLE = f"""
+WITH edim AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE len(embedding) = {A.DIM}
+),
+cbuck AS (
+  {_bucket_cte_sql("edim", "vec_id", "emb")}
+),
+qb AS (SELECT id AS query_id, table_id, bucket FROM cbuck WHERE id < 5),
+cand AS (
+  SELECT DISTINCT qb.query_id, cb.id AS vec_id
+  FROM qb JOIN cbuck cb ON qb.table_id = cb.table_id AND qb.bucket = cb.bucket
+),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM edim WHERE vec_id < 5),
+scored AS (
+  SELECT c.query_id, c.vec_id, e.label,
+         {_COS_RAW.format(a="e.emb", b="q.qv")} AS raw
+  FROM cand c
+  JOIN edim e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+  WHERE sqrt(list_dot_product(e.emb, e.emb)) > 0
+    AND sqrt(list_dot_product(q.qv, q.qv)) > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, vec_id ASC) AS rn
+  FROM scored WHERE raw >= 0.0
+)
+SELECT query_id, vec_id, label, round(raw, 6) AS score FROM ranked WHERE rn <= 3
+""".strip()
+
+
+@register("knn_batch_ann", _KNN_ANN_ORACLE)
+def q_knn_batch_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN top-3 via hyperplane LSH (8 tables × 6 bits): index probe
+    → candidate equi-join → exact cosine re-rank.  The bucketed scale
+    path next to the exact ``knn_batch`` — candidates, not corpus, flow
+    through scoring."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qset = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = A.knn_batch_ann(
+        emb, qset, k=3, min_score=0.0, extra_cols=("label",)
+    )
+    return out.select("query_id", "vec_id", "label", "score")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup: fixture corpus + seeded perturbed copies
+# ---------------------------------------------------------------------------
+
+_EMBED_CORPUS_CTE = f"""
+ce AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE len(embedding) = {A.DIM}
+  UNION ALL
+  SELECT vec_id + 10000,
+         list_concat([CAST(embedding[1] AS DOUBLE) + 0.02],
+                     CAST(embedding[2:len(embedding)] AS DOUBLE[]))
+  FROM embeddings WHERE vec_id < 20 AND len(embedding) = {A.DIM}
+)
+""".strip()
+
+
+def embed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.size("embedding") == A.DIM
+    )
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    mut = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("id"),
+        F.concat(
+            F.array(F.col("embedding")[0].cast("double") + 0.02),
+            F.transform(
+                F.slice("embedding", 2, A.DIM - 1), lambda x: x.cast("double")
+            ),
+        ).alias("emb"),
+    )
+    return base.unionByName(mut)
+
+
+_DEDUP_EMBED_ORACLE = f"""
+WITH {_EMBED_CORPUS_CTE},
+buck AS (
+  {_bucket_cte_sql("ce", "id", "emb")}
+),
+pairs AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM buck l JOIN buck r
+    ON l.table_id = r.table_id AND l.bucket = r.bucket AND l.id < r.id
+),
+scored AS (
+  SELECT p.a, p.b, {_COS_RAW.format(a="ea.emb", b="eb.emb")} AS raw
+  FROM pairs p JOIN ce ea ON ea.id = p.a JOIN ce eb ON eb.id = p.b
+  WHERE sqrt(list_dot_product(ea.emb, ea.emb)) > 0
+    AND sqrt(list_dot_product(eb.emb, eb.emb)) > 0
+)
+SELECT a, b, round(raw, 6) AS score FROM scored WHERE raw >= 0.999
+""".strip()
+
+
+@register("dedup_embed", _DEDUP_EMBED_ORACLE)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥ 0.999) on a corpus seeded with
+    perturbed copies: LSH same-bucket candidates → exact cosine — the
+    vector twin of the MinHash text pipeline, equally bucket-bounded."""
+    return A.embedding_near_pairs(
+        embed_corpus(spark, sf_dir), threshold=0.999, id_col="id", emb_col="emb"
+    )

@@ -1,0 +1,82 @@
+"""ANN quality + plan-shape tests.
+
+The oracle (queries_ann) pins determinism; these tests pin the two
+things an oracle can't: recall on clustered data (the regime LSH is
+for) and the bucketed plan shape (no all-pairs operator anywhere).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from merkonvectordb_spark.operators.ann import (
+    ann_index,
+    embedding_near_pairs,
+    knn_batch_ann,
+)
+from merkonvectordb_spark.operators.search import knn_batch
+from merkonvectordb_spark.plans import executed_plan
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """20 clusters × 6 unit vectors, ~4° intra-cluster spread — the shape
+    of real text/image embedding corpora."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(20, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(6):
+            v = c + rng.normal(scale=0.05, size=64)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_ann_recall_on_clustered_data(clustered):
+    queries = clustered.where(F.col("vec_id") % 6 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_batch(clustered, queries, k=3, min_score=-1.0, tie_break="vec_id")
+    approx = knn_batch_ann(clustered, queries, k=3, min_score=-1.0)
+    want = {(r.query_id, r.vec_id) for r in exact.collect()}
+    got = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, f"clustered-data recall {recall:.2f} < 0.9"
+
+
+def test_ann_probes_fraction_of_corpus(clustered):
+    # candidate sets must be bucket-bounded: each query probing its own
+    # buckets must touch well under the full corpus
+    idx = ann_index(clustered, "vec_id")
+    sizes = (
+        idx.groupBy("table_id", "bucket").count().agg(F.max("count")).first()[0]
+    )
+    assert sizes < 40  # 120 rows / 64 buckets, clustered: max bucket ≈ cluster
+    plan = executed_plan(
+        knn_batch_ann(clustered, clustered.limit(3).select(
+            F.col("vec_id").alias("query_id"), "embedding"), k=3)
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_near_pairs_finds_planted(spark):
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(30, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant near-identical copies of ids 0..4
+    for i in range(5):
+        v = base[i] + rng.normal(scale=0.005, size=64)
+        v /= np.linalg.norm(v)
+        rows.append((100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "id LONG, emb ARRAY<FLOAT>")
+    pairs = {(r.a, r.b) for r in
+             embedding_near_pairs(df, threshold=0.99, id_col="id", emb_col="emb").collect()}
+    assert {(i, 100 + i) for i in range(5)} <= pairs
+    assert all(b >= 100 for _, b in pairs)  # no false positives among randoms
