@@ -240,3 +240,105 @@ def near_dedup(
     )
     w = Window.partitionBy("group_id")
     return out.withColumn("group_sz", F.count(F.lit(1)).over(w))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup: 60-bit fingerprints + chunk banding.  Complementary to
+# MinHash: SimHash weights by term frequency and compares in Hamming space,
+# so it's cheaper per doc (one fingerprint vs a signature) and its banding
+# is a pigeonhole GUARANTEE: with C chunks, every pair within Hamming
+# distance C-1 shares at least one exact chunk.  Chunk width tunes the
+# candidate rate at scale: 6x10 bits here (fixture-sized); a web-scale
+# corpus wants 4x15 (random-pair chunk-collision ~2^-15).
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 md5 hex chars -> exact BIGINT in both engines
+SIMHASH_CHUNKS = 6
+_CHUNK_WIDTH = SIMHASH_BITS // SIMHASH_CHUNKS
+
+
+def token_hashes60(text: Column) -> Column:
+    """Per-token 60-bit hashes (md5 hex fold — same codec as the MinHash
+    base hash, without the prime-field reduction)."""
+    from merkonvectordb_spark.functions.text import tokenize
+
+    return F.transform(
+        tokenize(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+    )
+
+
+def simhash_fingerprint(text: Column) -> Column:
+    """60-bit SimHash: bit i of the fingerprint is 1 iff the sum over
+    tokens of ±1 (per the token-hash's bit i) is positive.  Term
+    frequency weights naturally (multiset, not distinct).  Pure JVM
+    folds — 60 passes over the token-hash array; for very long docs a
+    pandas_udf over numpy packbits is the drop-in fast path."""
+    hs = token_hashes60(text)
+    bit_sums = [
+        F.aggregate(
+            hs,
+            F.lit(0),
+            (lambda i: lambda acc, x: acc
+             + F.when(F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))(i),
+        )
+        for i in range(SIMHASH_BITS)
+    ]
+    fp = F.lit(0).cast("long")
+    for i, s in enumerate(bit_sums):
+        fp = fp + F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return fp
+
+
+def simhash_chunk_keys(fp: Column) -> Column:
+    """C chunk keys (pigeonhole banding): any pair with Hamming distance
+    < C shares at least one chunk."""
+    return F.array(
+        *[
+            F.shiftright(fp, c * _CHUNK_WIDTH).bitwiseAND(
+                F.lit((1 << _CHUNK_WIDTH) - 1)
+            )
+            for c in range(SIMHASH_CHUNKS)
+        ]
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Near-dup pairs ``(a, b, hamming)`` by SimHash chunk banding + exact
+    Hamming verify.  Same bucket-bounded shape as the MinHash pipeline:
+    the chunk self-join is an equi-join on (chunk_id, chunk_key)."""
+    # docs with no tokens would all hash to fingerprint 0; exclude them
+    from merkonvectordb_spark.functions.text import token_count
+
+    fps = df.select(
+        F.col(id_col).alias("__id"),
+        simhash_fingerprint(F.col(text_col)).alias("__fp"),
+    ).where(token_count(F.col(text_col)) > 0)
+    chunks = fps.select(
+        "__id",
+        F.posexplode(simhash_chunk_keys(F.col("__fp"))).alias(
+            "chunk_id", "chunk_key"
+        ),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    pairs = (
+        l.join(r, ["chunk_id", "chunk_key"])
+        .where(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("a"), F.col("r.__id").alias("b"))
+        .distinct()
+    )
+    fa = fps.select(F.col("__id").alias("a"), F.col("__fp").alias("fp_a"))
+    fb = fps.select(F.col("__id").alias("b"), F.col("__fp").alias("fp_b"))
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.join(fa, "a")
+        .join(fb, "b")
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -136,3 +136,67 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     the comparison count is Σ|bucket|², never |corpus|² (the 100 TB
     property), and the iterative CC touches only verified-edge nodes."""
     return D.near_dedup(near_corpus(spark, sf_dir), "doc_id", "text", 0.6)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs — mirrored oracle
+# ---------------------------------------------------------------------------
+
+_FOLD60_SQL = (
+    "list_reduce(list_transform(regexp_split_to_array(substr(md5(t), 1, 15), ''),"
+    " ch -> CAST(strpos('0123456789abcdef', ch) AS BIGINT) - 1),"
+    " (acc, d) -> acc * 16 + d)"
+)
+
+_FP_EXPR_SQL = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // {1 << i}) % 2 = 1"
+    f" THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    for i in range(D.SIMHASH_BITS)
+)
+
+_CHUNK_W = D.SIMHASH_BITS // D.SIMHASH_CHUNKS
+_CHUNK_STRUCTS_SQL = "[" + ", ".join(
+    f"struct_pack(chunk_id := {c},"
+    f" chunk_key := (fp // {1 << (c * _CHUNK_W)}) % {1 << _CHUNK_W})"
+    for c in range(D.SIMHASH_CHUNKS)
+) + "]"
+
+_SIMHASH_ORACLE = f"""
+WITH {_NEAR_CORPUS_CTE},
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+  FROM corpus
+),
+hashed AS (
+  SELECT doc_id, list_transform(tk, t -> {_FOLD60_SQL}) AS hs
+  FROM toks WHERE len(tk) > 0
+),
+fps AS (SELECT doc_id, ({_FP_EXPR_SQL}) AS fp FROM hashed),
+chunks AS (
+  SELECT doc_id, u.chunk_id AS chunk_id, u.chunk_key AS chunk_key
+  FROM (SELECT doc_id, unnest({_CHUNK_STRUCTS_SQL}) AS u FROM fps)
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM chunks l JOIN chunks r
+    ON l.chunk_id = r.chunk_id AND l.chunk_key = r.chunk_key AND l.doc_id < r.doc_id
+),
+verified AS (
+  SELECT p.a, p.b, CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+  FROM pairs p JOIN fps fa ON fa.doc_id = p.a JOIN fps fb ON fb.doc_id = p.b
+)
+SELECT a, b, hamming FROM verified WHERE hamming <= 7
+""".strip()
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit TF-weighted fingerprints → 6×10-bit
+    chunk banding (pigeonhole: Hamming < 6 is guaranteed a shared chunk)
+    → exact Hamming ≤ 7 verify.  The cheap near-dup detector next to
+    MinHash — one BIGINT per doc instead of a 16-long signature."""
+    out = D.simhash_near_pairs(
+        near_corpus(spark, sf_dir), "doc_id", "text", max_hamming=7
+    )
+    return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))

@@ -94,3 +94,25 @@ def test_connected_components_chain(spark):
     )
     got = {r.id: r.group_id for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_simhash_near_pairs(spark):
+    from merkonvectordb_spark.operators.dedup import (
+        simhash_fingerprint,
+        simhash_near_pairs,
+    )
+
+    pairs = {(r.a, r.b): r.hamming for r in
+             simhash_near_pairs(_near_corpus(spark), "doc_id", "text",
+                                max_hamming=10).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs  # near-dups found
+    assert all(h <= 10 for h in pairs.values())
+    assert not any(a == 10 or b == 10 for a, b in pairs)  # unrelated doc excluded
+    # fingerprint is deterministic
+    fp = (_near_corpus(spark)
+          .select(simhash_fingerprint(F.col("text")).alias("fp"))
+          .collect())
+    fp2 = (_near_corpus(spark)
+           .select(simhash_fingerprint(F.col("text")).alias("fp"))
+           .collect())
+    assert [r.fp for r in fp] == [r.fp for r in fp2]
