@@ -30,6 +30,8 @@ from __future__ import annotations
 import random
 from collections.abc import Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -62,24 +64,73 @@ def random_hyperplanes(
 
 HYPERPLANES = random_hyperplanes()
 
+# near-dup pairing wants FINER buckets than top-k search: candidates must
+# be near-identical (θ a few degrees), so 12 bits/table still catches them
+# (P(pair misses all 8 tables) ~ 1e-6 at cos ≥ 0.999) while bucket
+# population — and with it the Σ|bucket|² pair count — drops 64×.
+DEDUP_N_BITS = 12
+DEDUP_PLANES = random_hyperplanes(n_bits=DEDUP_N_BITS, seed=13)
+
 
 def bucket_array(emb: Column, planes: list[list[list[float]]]) -> Column:
     """Per-table LSH bucket ids: bit h of table t is ``sign(emb · plane)``;
-    bucket = Σ bit·2^h.  Pure JVM fold expressions — one pass over the
-    embedding per (table, bit)."""
-    buckets = []
-    for table in planes:
-        bits = [
-            F.when(dot_product(emb, vector_literal(p)) >= 0.0, F.lit(1 << h)).otherwise(
-                F.lit(0)
-            )
-            for h, p in enumerate(table)
-        ]
-        acc = bits[0]
-        for b in bits[1:]:
-            acc = acc + b
-        buckets.append(acc)
-    return F.array(*buckets)
+    bucket = Σ bit·2^h.
+
+    The planes ship as ONE nested array literal with the per-bit dot
+    products computed by nested higher-order functions — not as
+    tables×bits separate expression subtrees, whose thousands of literal
+    nodes blow codegen method sizes (measured several-× slower at
+    sf0.1)."""
+    n_bits = len(planes[0])
+    pows = F.lit([1 << h for h in range(n_bits)])
+    tables = F.lit(planes)  # array<array<array<double>>> — one literal node
+    return F.transform(
+        tables,
+        lambda table: F.aggregate(
+            F.zip_with(
+                table,
+                pows,
+                lambda plane, pw: F.when(
+                    dot_product(emb, plane) >= 0.0, pw
+                ).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def bucket_array_pandas(planes: list[list[list[float]]]):
+    """Arrow-vectorized bucket computation: one ``(batch × dim) @
+    (dim × tables·bits)`` numpy matmul per Arrow batch, then sign →
+    bit-pack.  This is the designed fast path: higher-order-function
+    expressions are CodegenFallback (interpreted per element), so the
+    expression form pays boxed per-element evaluation PLUS a
+    3000-literal plan — measured ~10 s for 2k rows vs milliseconds here.
+
+    Parity note: numpy's dot uses SIMD/pairwise summation while the
+    expression path (and the DuckDB oracle) folds left-to-right; a sign
+    can only differ when a dot product sits within float error of zero
+    (probability ~1e-7 per corpus; the oracle run pins it for the
+    fixtures).  ``bucket_array`` remains the fold-exact reference.
+    """
+    import numpy as np
+
+    P = np.asarray(planes, dtype=np.float64)  # (tables, bits, dim)
+    n_tables, n_bits, _ = P.shape
+    M = P.reshape(n_tables * n_bits, -1)
+    pows = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @F.pandas_udf("array<int>")
+    def _buckets(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        signs = (x @ M.T) >= 0.0  # (n, tables·bits)
+        buckets = (signs.reshape(len(x), n_tables, n_bits) * pows).sum(axis=2)
+        return pd.Series(list(buckets.astype(np.int32)))
+
+    return _buckets
 
 
 def ann_index(
@@ -87,19 +138,23 @@ def ann_index(
     id_col: str,
     emb_col: str = "embedding",
     planes: list[list[list[float]]] | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Materializable LSH index: ``(id, table_id, bucket)`` — n_tables rows
     per input row.  At scale, write this out partitioned/bucketed by
     (table_id, bucket) so probes are partition-pruned scans."""
     planes = planes or HYPERPLANES
     dim = len(planes[0][0])
+    bucket_fn = (
+        bucket_array_pandas(planes)(F.col(emb_col))
+        if vectorized
+        else bucket_array(F.col(emb_col), planes)
+    )
     return (
         df.where(F.size(F.col(emb_col)) == dim)
         .select(
             F.col(id_col),
-            F.posexplode(bucket_array(F.col(emb_col), planes)).alias(
-                "table_id", "bucket"
-            ),
+            F.posexplode(bucket_fn).alias("table_id", "bucket"),
         )
     )
 
@@ -125,7 +180,11 @@ def knn_batch_ann(
     ``knn_batch`` never materializes.
     """
     planes = planes or HYPERPLANES
-    cidx = ann_index(corpus, id_col, emb_col, planes)
+    # bucket computation is CPU-bound: spread it across all cores even when
+    # the corpus arrives as 1-2 scan splits (small-file fixture artifact; a
+    # many-file 100 TB table parallelizes naturally and skips this shuffle)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    cidx = ann_index(corpus.repartition(par), id_col, emb_col, planes)
     qidx = ann_index(
         queries.select(F.col(query_id_col), F.col(emb_col)), query_id_col, emb_col, planes
     ).withColumnRenamed(query_id_col, "__qid")
@@ -170,8 +229,9 @@ def embedding_near_pairs(
     same-bucket LSH candidates → exact cosine ≥ threshold.  The bucket
     self-join bounds comparisons exactly like the MinHash banding in
     ``operators.dedup`` — Σ|bucket|², never |corpus|²."""
-    planes = planes or HYPERPLANES
-    idx = ann_index(df, id_col, emb_col, planes)
+    planes = planes or DEDUP_PLANES
+    par = df.sparkSession.sparkContext.defaultParallelism
+    idx = ann_index(df.repartition(par), id_col, emb_col, planes)
     l, r = idx.alias("l"), idx.alias("r")
     pairs = (
         l.join(r, ["table_id", "bucket"])

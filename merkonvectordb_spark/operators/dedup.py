@@ -122,18 +122,29 @@ def lsh_band_keys(sig: Column) -> Column:
     )
 
 
-def candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """LSH candidate pairs ``(a, b)`` with a < b: explode band keys, self-join
-    per bucket.  The join key (band_id, band_key) hash-partitions both
-    sides; bucket sizes are bounded by signature collisions, so the
-    comparison count is Σ|bucket|² — NOT |corpus|²."""
-    sigs = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            shingle_base_hashes(shingle_set(F.col(text_col))).alias("__bases"),
-        )
-        .where(F.size("__bases") > 0)
-        .select("__id", minhash_signature(F.col("__bases")).alias("__sig"))
+def shingle_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(__id, __sh)`` distinct-shingle table, repartitioned to the full
+    core count first: the hash work is CPU-bound and scan-local, and a
+    compute-heavy-but-byte-light input (one small parquet file) would
+    otherwise run the whole pipeline on its 1-2 scan partitions."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .repartition(par)
+        .select("__id", shingle_set(F.col("__text")).alias("__sh"))
+        .where(F.size("__sh") > 0)
+    )
+
+
+def candidate_pairs_from_sets(sets_df: DataFrame) -> DataFrame:
+    """LSH candidate pairs ``(a, b)`` with a < b from a shingle-set table:
+    explode band keys, self-join per bucket.  The join key
+    (band_id, band_key) hash-partitions both sides; bucket sizes are
+    bounded by signature collisions, so the comparison count is
+    Σ|bucket|² — NOT |corpus|²."""
+    sigs = sets_df.select(
+        "__id",
+        minhash_signature(shingle_base_hashes(F.col("__sh"))).alias("__sig"),
     )
     bands = sigs.select(
         "__id", F.posexplode(lsh_band_keys(F.col("__sig"))).alias("band_id", "band_key")
@@ -148,21 +159,17 @@ def candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def jaccard_edges(
-    df: DataFrame,
-    pairs: DataFrame,
-    id_col: str,
-    text_col: str,
-    threshold: float,
+def candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return candidate_pairs_from_sets(shingle_sets(df, id_col, text_col))
+
+
+def jaccard_edges_from_sets(
+    sets_df: DataFrame, pairs: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact shingle-set Jaccard over candidate pairs only; keeps
     ``(a, b)`` with similarity ≥ threshold.  Two hash-joins against the
     shingle-set table — candidates are a vanishing fraction of the corpus,
     so both joins broadcast-or-shuffle on the tiny side."""
-    sets_df = df.select(
-        F.col(id_col).alias("__id"),
-        shingle_set(F.col(text_col)).alias("__sh"),
-    ).where(F.size("__sh") > 0)
     a_sets = sets_df.select(F.col("__id").alias("a"), F.col("__sh").alias("sh_a"))
     b_sets = sets_df.select(F.col("__id").alias("b"), F.col("__sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
@@ -176,15 +183,55 @@ def jaccard_edges(
     )
 
 
-def connected_components(
-    edges: DataFrame, max_iter: int = 20
+def jaccard_edges(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
 ) -> DataFrame:
-    """Min-label propagation over the (verified-edge) subgraph: every node
-    converges to the smallest id reachable from it.  Iterative joins with
-    localCheckpoint per round (lineage cut); rounds = graph diameter —
-    near-dup components are near-cliques, so 1-3 rounds in practice.
-    Returns ``(id, group_id)`` for nodes that appear in any edge.
+    return jaccard_edges_from_sets(
+        shingle_sets(df, id_col, text_col), pairs, threshold
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, driver_threshold: int = 200_000
+) -> DataFrame:
+    """Connected components of the (verified-edge) subgraph; every node
+    labels to the smallest id reachable from it.  Returns
+    ``(id, group_id)`` for nodes that appear in any edge.
+
+    Adaptive execution: the dup-pair graph is orders of magnitude smaller
+    than the corpus (only docs with a verified near-duplicate), so below
+    ``driver_threshold`` edges a driver-side union-find answers in one
+    collect — the same bounded-size-side reasoning as a broadcast join.
+    Above it, distributed min-label propagation (iterative joins with
+    localCheckpoint lineage cuts; rounds = graph diameter — near-dup
+    components are near-cliques, so 1-3 rounds in practice).
     """
+    edges = edges.persist()
+    id_type = edges.schema["a"].dataType.simpleString()
+    if edges.count() <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in edges.collect():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        labels = [(x, find(x)) for x in parent]
+        return edges.sparkSession.createDataFrame(
+            labels, f"id {id_type}, group_id {id_type}"
+        )
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint()
     labels = (
@@ -226,9 +273,14 @@ def near_dedup(
     """Full near-dup pipeline: MinHash → LSH buckets → exact-Jaccard
     verify → connected components.  Returns one row per input doc:
     ``(id_col, group_id, group_sz)`` — group_id is the min doc id of the
-    near-dup component (self for singletons)."""
-    pairs = candidate_pairs(df, id_col, text_col)
-    edges = jaccard_edges(df, pairs, id_col, text_col, threshold)
+    near-dup component (self for singletons).
+
+    The shingle-set table is computed ONCE and persisted: banding, the
+    Jaccard verify, and the CC lineage all reuse it instead of
+    re-hashing the corpus per stage."""
+    sets_df = shingle_sets(df, id_col, text_col).persist()
+    pairs = candidate_pairs_from_sets(sets_df)
+    edges = jaccard_edges_from_sets(sets_df, pairs, threshold)
     labels = connected_components(edges)
     out = (
         df.select(F.col(id_col))
@@ -271,23 +323,32 @@ def token_hashes60(text: Column) -> Column:
 def simhash_fingerprint(text: Column) -> Column:
     """60-bit SimHash: bit i of the fingerprint is 1 iff the sum over
     tokens of ±1 (per the token-hash's bit i) is positive.  Term
-    frequency weights naturally (multiset, not distinct).  Pure JVM
-    folds — 60 passes over the token-hash array; for very long docs a
-    pandas_udf over numpy packbits is the drop-in fast path."""
+    frequency weights naturally (multiset, not distinct).
+
+    Single pass over the token hashes: one fold whose accumulator is the
+    60-long bit-sum array (``zip_with`` against a powers-of-two literal
+    tests each bit via ``x & 2^i``).  The naive form — 60 separate
+    ``aggregate`` folds — re-walks the array per bit and blows the
+    codegen method size into interpreted fallback (~30× slower measured
+    at sf0.1)."""
     hs = token_hashes60(text)
-    bit_sums = [
-        F.aggregate(
-            hs,
-            F.lit(0),
-            (lambda i: lambda acc, x: acc
-             + F.when(F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))(i),
-        )
-        for i in range(SIMHASH_BITS)
-    ]
-    fp = F.lit(0).cast("long")
-    for i, s in enumerate(bit_sums):
-        fp = fp + F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return fp
+    pows = F.lit([1 << i for i in range(SIMHASH_BITS)])  # one literal node
+    sums = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, x: F.zip_with(
+            acc,
+            pows,
+            lambda a, p: a + F.when(x.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            sums, pows, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def simhash_chunk_keys(fp: Column) -> Column:
@@ -315,10 +376,17 @@ def simhash_near_pairs(
     # docs with no tokens would all hash to fingerprint 0; exclude them
     from merkonvectordb_spark.functions.text import token_count
 
-    fps = df.select(
-        F.col(id_col).alias("__id"),
-        simhash_fingerprint(F.col(text_col)).alias("__fp"),
-    ).where(token_count(F.col(text_col)) > 0)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    fps = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .repartition(par)  # CPU-bound hashing must not inherit 1-2 scan splits
+        .where(token_count(F.col("__text")) > 0)
+        .select(
+            "__id",
+            simhash_fingerprint(F.col("__text")).alias("__fp"),
+        )
+        .persist()  # chunks + both verify joins reuse the fingerprints
+    )
     chunks = fps.select(
         "__id",
         F.posexplode(simhash_chunk_keys(F.col("__fp"))).alias(

@@ -35,12 +35,17 @@ def _bucket_expr_sql(emb_sql: str, table: list[list[float]]) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
-def _bucket_cte_sql(src: str, id_sql: str, emb_sql: str) -> str:
+def _bucket_cte_sql(
+    src: str,
+    id_sql: str,
+    emb_sql: str,
+    planes: list[list[list[float]]] | None = None,
+) -> str:
     """UNION ALL arm per LSH table over ``src`` (dim pre-filtered)."""
     arms = [
         f"SELECT {id_sql} AS id, {t} AS table_id,"
         f" {_bucket_expr_sql(emb_sql, table)} AS bucket FROM {src}"
-        for t, table in enumerate(A.HYPERPLANES)
+        for t, table in enumerate(planes or A.HYPERPLANES)
     ]
     return "\n  UNION ALL\n  ".join(arms)
 
@@ -137,7 +142,7 @@ def embed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_EMBED_ORACLE = f"""
 WITH {_EMBED_CORPUS_CTE},
 buck AS (
-  {_bucket_cte_sql("ce", "id", "emb")}
+  {_bucket_cte_sql("ce", "id", "emb", A.DEDUP_PLANES)}
 ),
 pairs AS (
   SELECT DISTINCT l.id AS a, r.id AS b

@@ -92,8 +92,16 @@ def test_connected_components_chain(spark):
     edges = spark.createDataFrame(
         [(2, 1), (2, 3), (3, 4), (7, 8)], "a LONG, b LONG"
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+    # driver union-find path (small graph)
     got = {r.id: r.group_id for r in connected_components(edges).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+    assert got == want
+    # distributed min-label propagation path (forced)
+    got_dist = {
+        r.id: r.group_id
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert got_dist == want
 
 
 def test_simhash_near_pairs(spark):
