@@ -90,3 +90,99 @@ def q_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_null_or_empty(F.col("text_norm")).alias("is_empty"),
         F.coalesce(F.md5("text_norm"), F.lit("")).alias("norm_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P2/P4 oracle coverage: collection-scoped knn with embedding projection
+# over a state seeded with empty-key / NULL-key / zero-norm rows
+# ---------------------------------------------------------------------------
+
+_KNN_COLL_ORACLE = f"""
+WITH {VECTORS_ORACLE_CTE},
+seeded AS (
+  SELECT * FROM vectors
+  UNION ALL
+  SELECT 'coll_2', '', '{{}}',
+         (SELECT embedding FROM vectors WHERE collection = 'coll_2' LIMIT 1),
+         CAST(NULL AS TIMESTAMP), 3000001
+  UNION ALL
+  SELECT 'coll_2', CAST(NULL AS VARCHAR), '{{}}',
+         (SELECT embedding FROM vectors WHERE collection = 'coll_2' LIMIT 1),
+         CAST(NULL AS TIMESTAMP), 3000002
+  UNION ALL
+  SELECT 'coll_2', 'zz_zero', '{{}}',
+         list_transform((SELECT embedding FROM vectors WHERE collection='coll_2' LIMIT 1), x -> CAST(0.0 AS FLOAT)),
+         CAST(NULL AS TIMESTAMP), 3000003
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
+scored AS (
+  SELECT s.key, s.ingest_seq,
+         round(sqrt(list_dot_product(CAST(s.embedding AS DOUBLE[]),
+                                     CAST(s.embedding AS DOUBLE[]))), 6) AS emb_norm,
+         list_dot_product(CAST(s.embedding AS DOUBLE[]), q.qv) /
+           (sqrt(list_dot_product(CAST(s.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS raw
+  FROM seeded s CROSS JOIN q
+  WHERE s.collection = 'coll_2'
+    AND s.key IS NOT NULL AND s.key <> ''
+    AND len(s.embedding) = len(q.qv)
+    AND sqrt(list_dot_product(CAST(s.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[]))) > 0
+    AND sqrt(list_dot_product(q.qv, q.qv)) > 0
+)
+SELECT key, ingest_seq, emb_norm, round(raw, 6) AS score
+FROM scored WHERE raw >= 0.05
+ORDER BY raw DESC, ingest_seq ASC LIMIT 5
+""".strip()
+
+
+@register("knn_collection", _KNN_COLL_ORACLE)
+def q_knn_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.2 P2/P3/P4 + §2.4 under one oracle: collection-pruned
+    knn with ``with_embeddings=True`` (P2: the embedding column survives,
+    rendered as its norm), empty/NULL keys excluded (P4 — the
+    reference's read-side purge, filtered not mutated), zero-norm rows
+    unscorable-excluded, inclusive raw-score threshold, ingest_seq
+    tie-break."""
+    from merkonvectordb_spark.operators.search import knn
+
+    v = vectors_df(spark, sf_dir)
+    donor = (
+        v.where(F.col("collection") == "coll_2")
+        .select("embedding")
+        .limit(1)
+    )
+    donor_emb = donor.first()[0]
+    seeded_rows = [
+        ("coll_2", "", "{}", donor_emb, None, 3000001),
+        ("coll_2", None, "{}", donor_emb, None, 3000002),
+        ("coll_2", "zz_zero", "{}", [0.0] * len(donor_emb), None, 3000003),
+    ]
+    injected = spark.createDataFrame(
+        seeded_rows,
+        "collection STRING, key STRING, metadata STRING, "
+        "embedding ARRAY<FLOAT>, ts TIMESTAMP, ingest_seq LONG",
+    )
+    state = v.unionByName(injected)
+    qvec = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 7)
+        .select("embedding")
+        .first()[0]
+    )
+    from merkonvectordb_spark.functions.vector import l2_norm
+
+    out = knn(
+        state,
+        list(qvec),
+        k=5,
+        min_score=0.05,
+        collection="coll_2",
+        with_embeddings=True,
+        tie_break="ingest_seq",
+    )
+    return out.select(
+        "key",
+        "ingest_seq",
+        F.round(l2_norm(F.col("embedding")), 6).alias("emb_norm"),
+        "score",
+    )
