@@ -15,9 +15,12 @@ Layout:
     schema     — table schemas + fixture loaders
     functions/ — scalar/vector/text functions (JVM-side first, pandas_udf
                  only where built-ins can't express the semantics)
-    operators/ — search, store (CRUD), dedup, similarity, relational
-    sources/   — readers/writers (parquet-first)
-    streaming/ — Structured Streaming ingest & windowed aggregation
+    operators/ — search, store (CRUD), dedup (exact/MinHash/SimHash),
+                 ann (LSH similarity), multimodal, linq (R2 reads)
+    sources/   — parquet-backed VectorStore + ingest codecs
+    streaming/ — Structured Streaming ingest, watermarked windows,
+                 foreachBatch upsert, stateful sessionization
+    plans/     — physical-plan inspection (the 100 TB design gate)
 """
 
 from merkonvectordb_spark.session import get_spark
