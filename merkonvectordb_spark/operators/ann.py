@@ -255,3 +255,109 @@ def embedding_near_pairs(
         )
         .select("a", "b", F.round(F.col("__raw"), 6).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the list-probing alternative to hyperplane LSH.
+# Coarse quantizer: a FIXED-size deterministic centroid set (k-means would
+# refine it; the assignment/probe machinery is identical).  Assignment is
+# corpus × K (K fixed, linear in corpus, broadcast + map-side combine —
+# no window shuffle); queries probe their n_probe nearest lists.
+# ---------------------------------------------------------------------------
+
+IVF_K = 16
+IVF_N_PROBE = 4
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    emb_col: str = "embedding",
+    n_best: int = 1,
+) -> DataFrame:
+    """Assign every row to its ``n_best`` highest-cosine centroids
+    (ties → lowest centroid id).  ``centroids`` carries (cid, cv).
+
+    n_best=1 (corpus assignment) uses a partial-aggregable max-of-struct
+    — the corpus×K scored rows combine map-side, nothing shuffles but
+    one struct per row.  n_best>1 (query probing) ranks via a window
+    over the (tiny) query set."""
+    scored = (
+        df.select(F.col(id_col), F.col(emb_col))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("__cos", cosine_similarity(F.col(emb_col), F.col("cv")))
+        .where(F.col("__cos").isNotNull() & (~F.isnan("__cos")))
+    )
+    if n_best == 1:
+        best = (
+            scored.groupBy(id_col)
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__cos").alias("c"),
+                        (-F.col("cid")).alias("nc"),
+                        F.col("cid").alias("cid"),
+                    )
+                ).alias("__b")
+            )
+            .select(F.col(id_col), F.col("__b.cid").alias("cid"))
+        )
+        return best
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_best)
+        .select(F.col(id_col), "cid")
+    )
+
+
+def knn_batch_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: DataFrame,
+    n_probe: int = IVF_N_PROBE,
+    min_score: float = 0.0,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Batch ANN top-k via IVF: corpus rows live in their best-centroid
+    list; each query probes its n_probe nearest lists; candidates
+    exact-cosine re-rank.  Scan cost per query ≈ n_probe/K of the
+    corpus — the scale dial is (K, n_probe), both fixed constants."""
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    assign = ivf_assign(corpus.repartition(par), centroids, id_col, emb_col, 1)
+    probes = ivf_assign(
+        queries.select(F.col(query_id_col), F.col(emb_col)),
+        centroids,
+        query_id_col,
+        emb_col,
+        n_probe,
+    ).withColumnRenamed(query_id_col, "__qid")
+    cand = probes.join(assign, "cid").select("__qid", id_col).distinct()
+    qvecs = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"), F.col(emb_col).alias("__qvec")
+        )
+    )
+    scored = (
+        cand.join(corpus.select(id_col, emb_col, *extra_cols), id_col)
+        .join(qvecs, "__qid")
+        .withColumn("__raw", cosine_similarity(F.col(emb_col), F.col("__qvec")))
+        .where(
+            F.col("__raw").isNotNull()
+            & (~F.isnan("__raw"))
+            & (F.col("__raw") >= F.lit(float(min_score)))
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("__raw"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .withColumn("score", F.round(F.col("__raw"), 6))
+        .drop("__rn", "__raw", "__qvec", emb_col)
+        .withColumnRenamed("__qid", query_id_col)
+    )

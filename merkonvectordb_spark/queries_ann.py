@@ -167,3 +167,73 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.embedding_near_pairs(
         embed_corpus(spark, sf_dir), threshold=0.999, id_col="id", emb_col="emb"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — centroids derived from the data (vec_id < K), so the oracle
+# needs no literals: it replays assignment/probing with window functions.
+# ---------------------------------------------------------------------------
+
+_IVF_ORACLE = f"""
+WITH edim AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE len(embedding) = {A.DIM}
+    AND sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0
+),
+cents AS (SELECT vec_id AS cid, emb AS cv FROM edim WHERE vec_id < {A.IVF_K}),
+cscore AS (
+  SELECT e.vec_id, c.cid,
+         {_COS_RAW.format(a="e.emb", b="c.cv")} AS cos
+  FROM edim e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM cscore) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM cscore WHERE vec_id < 5) WHERE rn <= {A.IVF_N_PROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id FROM probes p JOIN assign a ON a.cid = p.cid
+),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM edim WHERE vec_id < 5),
+scored AS (
+  SELECT c.query_id, c.vec_id, e.label,
+         {_COS_RAW.format(a="e.emb", b="q.qv")} AS raw
+  FROM cand c JOIN edim e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, vec_id ASC) AS rn
+  FROM scored WHERE raw >= 0.0
+)
+SELECT query_id, vec_id, label, round(raw, 6) AS score FROM ranked WHERE rn <= 3
+""".strip()
+
+
+@register("knn_batch_ivf", _IVF_ORACLE)
+def q_knn_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN top-3 via IVF: coarse-quantizer lists (K=16 deterministic
+    centroids; k-means would refine them, the machinery is identical),
+    n_probe=4 list probes per query, exact re-rank.  Assignment is
+    corpus × K with map-side combine — the list-probing alternative
+    to the hyperplane-LSH scale path."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        (F.size("embedding") == A.DIM)
+    )
+    from merkonvectordb_spark.functions.vector import l2_norm
+
+    emb = emb.where(l2_norm(F.col("embedding")) > 0)
+    cents = emb.where(F.col("vec_id") < A.IVF_K).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    qset = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = A.knn_batch_ivf(
+        emb, qset, k=3, centroids=cents, min_score=0.0, extra_cols=("label",)
+    )
+    return out.select("query_id", "vec_id", "label", "score")

@@ -80,3 +80,39 @@ def test_embedding_near_pairs_finds_planted(spark):
              embedding_near_pairs(df, threshold=0.99, id_col="id", emb_col="emb").collect()}
     assert {(i, 100 + i) for i in range(5)} <= pairs
     assert all(b >= 100 for _, b in pairs)  # no false positives among randoms
+
+
+def test_ivf_recall_on_clustered_data(clustered, spark):
+    from merkonvectordb_spark.operators.ann import knn_batch_ivf
+
+    # centroids: one seed vector per cluster (vec_id % 6 == 3)
+    cents = clustered.where(F.col("vec_id") % 6 == 3).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    queries = clustered.where(F.col("vec_id") % 6 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_batch(clustered, queries, k=3, min_score=-1.0, tie_break="vec_id")
+    approx = knn_batch_ivf(
+        clustered, queries, k=3, centroids=cents, n_probe=2, min_score=-1.0
+    )
+    want = {(r.query_id, r.vec_id) for r in exact.collect()}
+    got = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, f"IVF clustered-data recall {recall:.2f} < 0.9"
+
+
+def test_ivf_assignment_is_partial_aggregable(clustered):
+    from merkonvectordb_spark.operators.ann import ivf_assign
+
+    cents = clustered.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    df = ivf_assign(clustered, cents, "vec_id", n_best=1)
+    plan = executed_plan(df)
+    # corpus assignment must partial-aggregate (map-side combine), never
+    # shuffle the corpus×K scored rows through a window
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
