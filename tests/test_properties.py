@@ -1,0 +1,143 @@
+"""Property tests (SURVEY §5.2.4) — hypothesis-generated inputs over the
+scoring/search/dedup invariants.  Example counts are kept small: every
+example is a real (local) Spark job.
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from merkonvectordb_spark.functions.vector import cosine_similarity, vector_literal
+from merkonvectordb_spark.operators.search import knn
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_component = st.floats(
+    min_value=-10.0, max_value=10.0, allow_nan=False, allow_subnormal=False, width=32
+)
+
+
+def _vec_pair(dim_min=3, dim_max=6):
+    return st.integers(dim_min, dim_max).flatmap(
+        lambda n: st.tuples(
+            st.lists(_component, min_size=n, max_size=n),
+            st.lists(_component, min_size=n, max_size=n),
+        )
+    )
+
+
+@settings(**_SETTINGS)
+@given(pair=_vec_pair())
+def test_cosine_bounded_or_null(spark, pair):
+    a, b = pair
+    row = (
+        spark.range(1)
+        .select(
+            cosine_similarity(vector_literal(a), vector_literal(b)).alias("c")
+        )
+        .first()
+    )
+    if row.c is not None:
+        assert -1.000001 <= row.c <= 1.000001
+
+
+@settings(**_SETTINGS)
+@given(pair=_vec_pair())
+def test_cosine_self_is_one_and_symmetric(spark, pair):
+    a, _ = pair
+    rows = (
+        spark.range(1)
+        .select(
+            cosine_similarity(vector_literal(a), vector_literal(a)).alias("aa"),
+            cosine_similarity(vector_literal(a), vector_literal(pair[1])).alias("ab"),
+            cosine_similarity(vector_literal(pair[1]), vector_literal(a)).alias("ba"),
+        )
+        .first()
+    )
+    if any(x != 0.0 for x in a):
+        assert abs(rows.aa - 1.0) < 1e-9
+    else:
+        assert rows.aa is None  # zero norm is unscorable
+    assert (rows.ab is None) == (rows.ba is None)
+    if rows.ab is not None:
+        assert abs(rows.ab - rows.ba) < 1e-12
+
+
+@settings(**_SETTINGS)
+@given(
+    corpus=st.lists(
+        st.lists(_component, min_size=4, max_size=4), min_size=1, max_size=8
+    ),
+    k=st.integers(-1, 10),
+    threshold=st.floats(-1.0, 1.0, allow_nan=False),
+    qvec=st.lists(_component, min_size=4, max_size=4),
+)
+def test_topk_subset_of_filtered(spark, corpus, k, threshold, qvec):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(corpus)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    top = knn(df, qvec, k=k, min_score=threshold, tie_break="vec_id",
+              with_embeddings=True).collect()
+    scored = df.select(
+        "vec_id",
+        cosine_similarity(F.col("embedding"), vector_literal(qvec)).alias("c"),
+    ).collect()
+    eligible = {
+        r.vec_id for r in scored if r.c is not None and r.c >= threshold
+    }
+    got = {r.vec_id for r in top}
+    assert got <= eligible
+    assert len(top) == min(max(k, 0), len(eligible))
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=1, max_size=12
+    ),
+    seed=st.integers(0, 2**16),
+)
+def test_simhash_is_order_invariant(spark, words, seed):
+    # the fingerprint sums ±1 over the token MULTISET — permuting the
+    # document must not change it
+    from merkonvectordb_spark.operators.dedup import simhash_fingerprint
+
+    shuffled = list(words)
+    random.Random(seed).shuffle(shuffled)
+    row = (
+        spark.range(1)
+        .select(
+            simhash_fingerprint(F.lit(" ".join(words))).alias("a"),
+            simhash_fingerprint(F.lit(" ".join(shuffled))).alias("b"),
+        )
+        .first()
+    )
+    assert row.a == row.b
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc d", min_size=0, max_size=20), min_size=1, max_size=6
+    )
+)
+def test_exact_dedup_partitions_corpus(spark, texts):
+    # groups partition the corpus: sizes sum to N; survivors are min ids
+    from merkonvectordb_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    groups = exact_dedup(df, "text", "doc_id").collect()
+    assert sum(g.group_sz for g in groups) == len(texts)
+    ids = [g.survivor_id for g in groups]
+    assert len(ids) == len(set(ids))
