@@ -361,3 +361,45 @@ def knn_batch_ivf(
         .drop("__rn", "__raw", "__qvec", emb_col)
         .withColumnRenamed("__qid", query_id_col)
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    iterations: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means as dataflow, refining the IVF coarse quantizer:
+    per iteration, assign every vector to its max-cosine centroid
+    (partial-agg max-of-struct — no window over the corpus), then the
+    new centroid is the element-wise mean of its members.
+
+    Components round to ``round_dp`` after each iteration — this pins
+    cross-engine float parity (mean summation order differs between
+    engines) and is also the right production choice: quantizer
+    centroids don't need 52 mantissa bits.  Empty clusters die (standard
+    Lloyd behavior), deterministically.  Each iteration is one
+    assign-join + one (cid, pos) aggregation: shuffle volume is
+    corpus-linear per iteration, K·dim rows afterwards."""
+    cents = centroids
+    for _ in range(iterations):
+        assign = ivf_assign(corpus, cents, id_col, emb_col, 1)
+        members = assign.join(corpus.select(id_col, emb_col), id_col)
+        means = (
+            members.select(
+                "cid", F.posexplode(F.col(emb_col)).alias("pos", "val")
+            )
+            .groupBy("cid", "pos")
+            .agg(
+                F.round(F.avg(F.col("val").cast("double")), round_dp).alias("v")
+            )
+        )
+        cents = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda x: x["v"],
+            ).alias("cv")
+        )
+    return cents

@@ -237,3 +237,98 @@ def q_knn_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, qset, k=3, centroids=cents, min_score=0.0, extra_cols=("label",)
     )
     return out.select("query_id", "vec_id", "label", "score")
+
+
+# ---------------------------------------------------------------------------
+# IVF with k-means-refined centroids — the oracle replays 2 Lloyd
+# iterations (assign via window, element-wise means via position
+# explode), then probes/re-ranks as before.
+# ---------------------------------------------------------------------------
+
+
+def _assign_cte(src: str, cents: str, out_id: str = "vec_id") -> str:
+    """argmax-cosine assignment of ``src`` rows to ``cents`` (cid, cv)."""
+    return f"""(
+  SELECT {out_id}, cid FROM (
+    SELECT e.vec_id AS {out_id}, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_RAW.format(a="e.emb", b="c.cv")} DESC, c.cid ASC) AS rn
+    FROM {src} e CROSS JOIN {cents} c) WHERE rn = 1
+)"""
+
+
+def _lloyd_cte(prev_assign: str, n: int) -> str:
+    """Element-wise member means -> cents{n} (rounded to 6dp)."""
+    return f"""m{n} AS (
+  SELECT a.cid, i.i AS pos, round(avg(e.emb[i.i]), 6) AS v
+  FROM {prev_assign} a
+  JOIN edim e USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, {A.DIM})) AS i) i
+  GROUP BY a.cid, i.i
+),
+cents{n} AS (SELECT cid, list(v ORDER BY pos) AS cv FROM m{n} GROUP BY cid)"""
+
+
+_IVF_KM_ORACLE = f"""
+WITH edim AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE len(embedding) = {A.DIM}
+    AND sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0
+),
+cents0 AS (SELECT vec_id AS cid, emb AS cv FROM edim WHERE vec_id < {A.IVF_K}),
+a1 AS {_assign_cte("edim", "cents0")},
+{_lloyd_cte("a1", 1)},
+a2 AS {_assign_cte("edim", "cents1")},
+{_lloyd_cte("a2", 2)},
+assign AS {_assign_cte("edim", "cents2")},
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_RAW.format(a="e.emb", b="c.cv")} DESC, c.cid ASC) AS rn
+    FROM edim e CROSS JOIN cents2 c WHERE e.vec_id < 5) WHERE rn <= {A.IVF_N_PROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id FROM probes p JOIN assign a ON a.cid = p.cid
+),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM edim WHERE vec_id < 5),
+scored AS (
+  SELECT c.query_id, c.vec_id, e.label,
+         {_COS_RAW.format(a="e.emb", b="q.qv")} AS raw
+  FROM cand c JOIN edim e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, vec_id ASC) AS rn
+  FROM scored WHERE raw >= 0.0
+)
+SELECT query_id, vec_id, label, round(raw, 6) AS score FROM ranked WHERE rn <= 3
+""".strip()
+
+
+@register("knn_batch_ivf_kmeans", _IVF_KM_ORACLE)
+def q_knn_batch_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a k-means-refined coarse quantizer: 2 Lloyd iterations
+    (assignment via partial-agg argmax, element-wise member means,
+    6dp-rounded for cross-engine determinism), then the same probe +
+    exact re-rank.  The iterative-refinement counterpart of the static
+    seed-centroid `knn_batch_ivf`."""
+    from merkonvectordb_spark.functions.vector import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        (F.size("embedding") == A.DIM)
+    )
+    emb = emb.where(l2_norm(F.col("embedding")) > 0)
+    cents0 = emb.where(F.col("vec_id") < A.IVF_K).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    refined = A.kmeans_refine(emb, cents0, "vec_id", "embedding", iterations=2)
+    qset = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = A.knn_batch_ivf(
+        emb, qset, k=3, centroids=refined, min_score=0.0, extra_cols=("label",)
+    )
+    return out.select("query_id", "vec_id", "label", "score")

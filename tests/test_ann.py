@@ -116,3 +116,31 @@ def test_ivf_assignment_is_partial_aggregable(clustered):
     # shuffle the corpus×K scored rows through a window
     assert "Window" not in plan
     assert "partial" in plan.lower()
+
+
+def test_kmeans_refine_improves_quantization(clustered, spark):
+    from merkonvectordb_spark.operators.ann import ivf_assign, kmeans_refine
+    from merkonvectordb_spark.functions.vector import cosine_similarity
+
+    # deliberately BAD seeds: 6 vectors from the same cluster
+    seeds = clustered.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+
+    def mean_best_cos(cents):
+        scored = (
+            clustered.crossJoin(F.broadcast(cents))
+            .withColumn("c", cosine_similarity(F.col("embedding"), F.col("cv")))
+            .groupBy("vec_id")
+            .agg(F.max("c").alias("best"))
+        )
+        return scored.agg(F.avg("best")).first()[0]
+
+    before = mean_best_cos(seeds)
+    refined = kmeans_refine(clustered, seeds, "vec_id", "embedding", iterations=3)
+    after = mean_best_cos(refined)
+    assert after > before + 0.05, f"refinement did not improve: {before:.3f} -> {after:.3f}"
+    # refined centroids keep original cid labels (a subset of seeds)
+    cids = {r.cid for r in refined.select("cid").collect()}
+    assert cids <= set(range(6)) and len(cids) >= 1
