@@ -217,3 +217,68 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from merkonvectordb_spark.operators.dedup import exact_dedup
 
     return exact_dedup(dedup_corpus(spark, sf_dir), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# the composed curation pipeline — what an LLM-data user actually runs:
+# quality gate -> language filter -> exact-dedup survivors -> stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_curation",
+    f"""
+WITH {_DEDUP_CORPUS_CTE},
+scored AS (
+  SELECT doc_id, text,
+         {_quality_sql("text")} AS quality,
+         {_lang_id_sql("text")} AS lang_pred,
+         {_FP_SQL.format(c="text")} AS fingerprint,
+         {_TOK_CNT_SQL.format(c="text")} AS tok_cnt
+  FROM corpus
+),
+gated AS (
+  SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'
+),
+survivors AS (
+  SELECT fingerprint, min(doc_id) AS doc_id FROM gated GROUP BY fingerprint
+)
+SELECT g.lang_pred,
+       count(*) AS n_docs,
+       round(avg(g.quality), 6) AS avg_quality,
+       CAST(sum(g.tok_cnt) AS BIGINT) AS total_tokens
+FROM survivors s JOIN gated g USING (fingerprint, doc_id)
+GROUP BY g.lang_pred
+""".strip(),
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-data curation pipeline in ONE plan: quality gate
+    → language filter → exact-dedup survivors → corpus stats.  Each
+    stage is scan-local except the dedup groupBy; the composition stays
+    a single job with one shuffle on the fingerprint — this is the
+    day-job query of a 100 TB training-data run."""
+    from merkonvectordb_spark.functions.text import doc_fingerprint
+
+    corpus = dedup_corpus(spark, sf_dir)
+    scored = corpus.select(
+        "doc_id",
+        X.quality_score(F.col("text")).alias("quality"),
+        X.lang_id(F.col("text")).alias("lang_pred"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        X.token_count(F.col("text")).alias("tok_cnt"),
+    )
+    gated = scored.where(
+        (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
+    )
+    survivors = gated.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        survivors.join(gated, ["fingerprint", "doc_id"])
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.sum("tok_cnt").cast("long").alias("total_tokens"),
+        )
+    )
