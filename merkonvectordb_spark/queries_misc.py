@@ -186,3 +186,72 @@ def q_knn_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l2_norm(F.col("embedding")), 6).alias("emb_norm"),
         "score",
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 relational breadth the reference lacks: set ops, ROLLUP
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_ops",
+    """
+WITH hi_q AS (SELECT doc_id FROM documents WHERE n_chars >= 200),
+en AS (SELECT doc_id FROM documents WHERE lang = 'en')
+SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM hi_q INTERSECT SELECT * FROM en)
+UNION ALL
+SELECT 'except', count(*) FROM (SELECT * FROM hi_q EXCEPT SELECT * FROM en)
+UNION ALL
+SELECT 'union', count(*) FROM (SELECT * FROM hi_q UNION SELECT * FROM en)
+""".strip(),
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.7 — absent in the reference, free in
+    Spark): intersect/except/union-distinct of two document id sets,
+    each planned as an aggregate or hash anti/semi join."""
+    docs = load_table(spark, sf_dir, "documents")
+    hi_q = docs.where(F.col("n_chars") >= 200).select("doc_id")
+    en = docs.where(F.col("lang") == "en").select("doc_id")
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), "n"
+        )
+
+    return (
+        one("intersect", hi_q.intersect(en))
+        .unionByName(one("except", hi_q.exceptAll(en).distinct()))
+        .unionByName(one("union", hi_q.union(en).distinct()))
+    )
+
+
+@register(
+    "events_rollup",
+    """
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(CAST(extract(hour FROM ts) AS BIGINT), -1) AS hr,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, extract(hour FROM ts))
+""".strip(),
+)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (SURVEY §2.7): per (type, hour), per type, and
+    grand total in one pass — Spark plans a single Expand + partial-agg,
+    not three scans."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.hour("ts").cast("long")
+    return (
+        ev.rollup(F.col("event_type"), hr.alias("hr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("hr", F.lit(-1)).alias("hr"),
+            "n_events",
+            "sum_value",
+        )
+    )
