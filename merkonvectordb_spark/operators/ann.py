@@ -383,6 +383,10 @@ def kmeans_refine(
     Lloyd behavior), deterministically.  Each iteration is one
     assign-join + one (cid, pos) aggregation: shuffle volume is
     corpus-linear per iteration, K·dim rows afterwards."""
+    # the corpus×K scoring is CPU-bound fold arithmetic: spread it over
+    # all cores once up front (small-file scans arrive as 1-2 splits)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    corpus = corpus.select(F.col(id_col), F.col(emb_col)).repartition(par)
     cents = centroids
     for _ in range(iterations):
         assign = ivf_assign(corpus, cents, id_col, emb_col, 1)

@@ -325,6 +325,9 @@ def q_knn_batch_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
     )
     refined = A.kmeans_refine(emb, cents0, "vec_id", "embedding", iterations=2)
+    # materialize once: assignment AND probing both consume the centroids,
+    # and each reference would otherwise re-run the 2-iteration lineage
+    refined = refined.localCheckpoint()
     qset = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
