@@ -31,13 +31,22 @@ SESSION_OUT_DDL = (
 _STATE_DDL = "start_us LONG, last_us LONG, n_events LONG, sum_value DOUBLE"
 
 
-def make_session_fn(gap_sec: int = 1800):
+def make_session_fn(gap_sec: int = 1800, event_time_timeout: bool = False):
     gap_us = gap_sec * 1_000_000
 
     def session_fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        cols = ["user_id", "start_us", "end_us", "n_events", "sum_value"]
+        if event_time_timeout and state.hasTimedOut:
+            # watermark passed the open session's gap deadline: flush it
+            start, last, cnt, vsum = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, start, last, cnt, round(vsum, 2))], columns=cols
+            )
+            return
         if state.exists:
             start, last, cnt, vsum = state.get
         else:
@@ -59,23 +68,36 @@ def make_session_fn(gap_sec: int = 1800):
                     vsum += float(val)
         if last is not None:
             state.update((start, last, cnt, vsum))
-        yield pd.DataFrame(
-            closed,
-            columns=["user_id", "start_us", "end_us", "n_events", "sum_value"],
-        )
+            if event_time_timeout:
+                # flush when the watermark passes last-event + gap (ms)
+                state.setTimeoutTimestamp((last + gap_us) // 1_000)
+        yield pd.DataFrame(closed, columns=cols)
 
     return session_fn
 
 
 def sessionize_stream(
-    events: DataFrame, gap_sec: int = 1800, output_mode: str = "append"
+    events: DataFrame,
+    gap_sec: int = 1800,
+    output_mode: str = "append",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Emit CLOSED sessions as they complete; the open session per user
-    lives in state and spans micro-batches."""
+    lives in state and spans micro-batches.
+
+    With ``watermark`` set (e.g. ``"0 seconds"``), idle users' open
+    sessions flush via EventTimeTimeout once the watermark passes their
+    gap deadline — the production configuration: state is bounded by
+    ACTIVE users, not all users ever seen.  Without it, open sessions
+    stay in state forever (fine for tests/back-fills)."""
+    timeout = GroupStateTimeout.NoTimeout
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return events.groupBy("user_id").applyInPandasWithState(
-        make_session_fn(gap_sec),
+        make_session_fn(gap_sec, event_time_timeout=watermark is not None),
         outputStructType=SESSION_OUT_DDL,
         stateStructType=_STATE_DDL,
         outputMode=output_mode,
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -79,3 +79,61 @@ def test_stateful_sessions_match_batch_closed_set(spark, events_dir, tmp_path):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_event_time_timeout_flushes_idle_sessions(spark, tmp_path):
+    """Two micro-batches; the watermark from batch 1 must flush users
+    whose open sessions passed their gap deadline, at batch 2."""
+    import time
+
+    us = 1_000_000
+    base = 1_700_000_000 * us  # epoch µs
+
+    def write(path, rows):
+        df = spark.createDataFrame(
+            [(eid, t * 1000, uid, "t", val, "{}")
+             for eid, t, uid, val in rows],  # ts in NANOS (raw file shape)
+            "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+            "value DOUBLE, props STRING",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: user1 two events 10s apart; user2 one event; user99 far in
+    # the future (drives the watermark past everyone's gap deadline)
+    write(str(src / "f1"), [
+        (1, base, 1, 1.0),
+        (2, base + 10 * us, 1, 2.0),
+        (3, base, 2, 5.0),
+        (4, base + 10_000 * us, 99, 0.5),
+    ])
+    time.sleep(1.1)  # file source orders batches by modification time
+    # batch 2: user2 starts a NEW session far later (its own gap break)
+    write(str(src / "f2"), [(5, base + 20_000 * us, 2, 7.0)])
+
+    stream = sessionize_stream(
+        stream_events(spark, str(src) + "/*", max_files_per_trigger=1),
+        gap_sec=GAP,
+        watermark="0 seconds",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions_to")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.user_id, r.start_us, r.end_us, r.n_events, r.sum_value)
+           for r in spark.table("sessions_to").collect()}
+    # every session whose gap deadline the FINAL watermark (base+20000s)
+    # passed flushes via timeout — incl. user99, handled by the no-data
+    # batch Spark runs after the last data batch.  user2's second
+    # session (deadline base+21800s) is the only one still open.
+    assert got == {
+        (1, base, base + 10 * us, 2, 3.0),
+        (2, base, base, 1, 5.0),
+        (99, base + 10_000 * us, base + 10_000 * us, 1, 0.5),
+    }
