@@ -120,3 +120,26 @@ def test_knn_batch_plans_bounded_window_limit(spark, corpus):
         .toString()
     )
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_knn_wide_embeddings_d1536(spark):
+    # ada-002 dimensionality: the query vector must ship as ONE array
+    # literal (vector_literal), not 1536 expression nodes; both scoring
+    # paths must agree at this width
+    import numpy as np
+
+    from merkonvectordb_spark.operators.search import knn
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(40, 1536)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    q = [float(x) for x in vecs[0]]
+    expr_top = knn(df, q, k=5, min_score=-1.0, tie_break="vec_id").collect()
+    pandas_top = knn(
+        df, q, k=5, min_score=-1.0, tie_break="vec_id", use_pandas=True
+    ).collect()
+    assert [r.vec_id for r in expr_top] == [r.vec_id for r in pandas_top]
+    assert expr_top[0].vec_id == 0 and abs(expr_top[0].score - 1.0) < 1e-6
