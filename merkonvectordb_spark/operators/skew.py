@@ -38,9 +38,20 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-safe fact⋈dim equi-join: fact rows salt deterministically,
-    the dim replicates n_salt×, the join key becomes (on…, salt).  Row
-    multiplicity is identical to the plain join — only the partitioning
-    changes."""
+    the dim replicates n_salt×, the join key becomes (on…, salt).
+
+    Row multiplicity is identical to the plain join only for fact-preserving
+    join types (each fact row carries exactly one salt; each dim key exists
+    for every salt).  right/full outer would emit each unmatched dim row once
+    PER SALT — n_salt phantom rows — so those types are rejected.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving join types only, got {how!r}: "
+            "right/full outer joins would replicate unmatched dim rows n_salt×"
+        )
     f = fact.withColumn("__salt", _row_salt(fact, n_salt))
     d = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))

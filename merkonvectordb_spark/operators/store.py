@@ -54,7 +54,9 @@ def with_key_from_metadata(records: DataFrame) -> DataFrame:
     )
 
 
-def upsert(state: DataFrame, updates: DataFrame) -> DataFrame:
+def upsert(
+    state: DataFrame, updates: DataFrame, order_col: str | None = None
+) -> DataFrame:
     """W1/W2/W4 batched InsertOrUpdate (MerkonDatabase.cs:89-104).
 
     Per (collection, key): update the first matching row in place (payload
@@ -64,11 +66,22 @@ def upsert(state: DataFrame, updates: DataFrame) -> DataFrame:
     ``updates`` collapse to the last occurrence (the reference applies
     batch items sequentially, so the last write wins,
     MerkonMemoryStore.cs:71-78).
+
+    Determinism: "last occurrence" needs a batch order.  Pass ``order_col``
+    (a column in ``updates``, ascending = application order) whenever the
+    batch came through a shuffle/join — without it we fall back to
+    ``monotonically_increasing_id``, which reflects partition layout and is
+    only a faithful batch order for locally-constructed / ordered inputs.
     """
+    if order_col is not None:
+        upd_ord = updates.withColumn("__uord", F.col(order_col))
+    else:
+        upd_ord = updates.withColumn(
+            "__uord", F.monotonically_increasing_id()
+        )
     u_w = Window.partitionBy("collection", "key").orderBy(F.desc("__uord"))
     upd = (
-        updates.withColumn("__uord", F.monotonically_increasing_id())
-        .withColumn("__urn", F.row_number().over(u_w))
+        upd_ord.withColumn("__urn", F.row_number().over(u_w))
         .where(F.col("__urn") == 1)
         .drop("__uord", "__urn")
     )

@@ -80,11 +80,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
-    (set in ``session.get_spark``) it surfaces as LONG nanos — normalize to
-    a microsecond TIMESTAMP (floor division, matching DuckDB's
-    TIMESTAMP_NS → TIMESTAMP cast) so downstream plans see a real
-    timestamp column.
+    it surfaces as LONG nanos — normalize to a microsecond TIMESTAMP
+    (floor division, matching DuckDB's TIMESTAMP_NS → TIMESTAMP cast) so
+    downstream plans see a real timestamp column.
+
+    The conf is set HERE, not only in ``session.get_spark``: external
+    harnesses (the driver's correctness runner) hand us their own
+    SparkSession, and the conf is runtime-settable — relying on session
+    bootstrap made every events-table query fail under such sessions.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F
     from pyspark.sql import types as T

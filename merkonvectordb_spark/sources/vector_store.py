@@ -115,12 +115,13 @@ class VectorStore:
         (MerkonDatabase.cs:28,40) — a side effect we deliberately do not
         replicate (SURVEY §7.4); creation is explicit or via upsert."""
         reg = self.registry()
+        if reg.where(F.col("collection") == name).limit(1).count():
+            return  # idempotent: never rewrite an existing created_seq
         nxt = reg.agg(
             F.coalesce(F.max("created_seq"), F.lit(0)).alias("m")
         ).first()["m"] + 1
         new = self.spark.createDataFrame([(name, nxt)], _REGISTRY_DDL)
-        merged = new.unionByName(reg).dropDuplicates(["collection"])
-        self._write_registry(merged)
+        self._write_registry(new.unionByName(reg))
 
     def collection_exists(self, name: str) -> bool:
         """W11 (MerkonDatabase.cs:44-47): registry membership (covers empty

@@ -63,7 +63,12 @@ def make_session_fn(gap_sec: int = 1800, event_time_timeout: bool = False):
                     closed.append((user_id, start, last, cnt, round(vsum, 2)))
                     start, last, cnt, vsum = t, t, 1, float(val)
                 else:
-                    last = t
+                    # late-but-within-gap events (t < last across micro-batch
+                    # boundaries) must never move the session end BACKWARDS —
+                    # that would shorten the session and set the event-time
+                    # timeout earlier than true-last + gap (premature flush)
+                    last = max(last, t)
+                    start = min(start, t)
                     cnt += 1
                     vsum += float(val)
         if last is not None:
