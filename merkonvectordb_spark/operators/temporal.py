@@ -1,0 +1,116 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and interval
+(range) join — both composed from DataFrame ops with scale-safe shapes.
+
+The reference has no joins at all (SURVEY §2.7); these are north-star
+additions every time-series / training-data pipeline needs.
+
+**As-of join** (``asof_join``): for each left row, the single right row
+with the greatest ``right_ts <= left_ts`` per key.  The naive plan — an
+inequality join then a per-left-row max — is a range cross product that
+explodes on dense keys.  We use the *union-merge* shape instead: tag and
+union both sides, one window per key ordered by (ts, side, seq) carrying
+the last-seen right payload forward (``F.last(ignorenulls=True)``).
+Cost: ONE shuffle of |L|+|R| rows on the key — identical asymptotics to
+a sort-merge join, no multiplicity blowup, AQE-splittable per key.
+
+**Interval join** (``interval_join``): match left rows to every interval
+``[start, end)`` of the same key that contains ``left_ts``.  Scale shape:
+quantize time into fixed bins, explode each interval into the bins it
+covers (bounded when interval length is bounded), equi-join on
+(key, bin), then the exact containment filter.  The comparison count is
+Σ|bin-bucket|² — never |L|·|R| — the same bucketing argument as the LSH
+dedup pipeline (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    suffix: str = "_right",
+) -> DataFrame:
+    """Merge-shaped as-of join (inclusive: right_ts <= left_ts).
+
+    Returns every ``left`` row plus ``<col><suffix>`` for each requested
+    right payload column and ``<right_ts><suffix>`` (NULL when no right
+    row precedes).  Ties on the timestamp resolve right-row-visible
+    (a right row AT left_ts matches), and among equal right timestamps
+    the LAST in ``__seq`` order wins — pass a deduplicated right side
+    (unique key+ts) for engine-independent determinism.
+    """
+    rt = right_ts + suffix
+    payload = [rt, *[c + suffix for c in right_cols]]
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),  # right sorts BEFORE left at equal ts
+        F.col(right_ts).alias(rt),
+        *[F.col(c).alias(c + suffix) for c in right_cols],
+    )
+    l = left.select(
+        *left.columns,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in payload],
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.asc("__t"), F.asc("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        *[c for c in merged.columns if c not in payload],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    return carried.where(F.col("__side") == 1).drop("__t", "__side")
+
+
+def interval_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    bin_seconds: int = 600,
+) -> DataFrame:
+    """Bucketed interval containment join: left rows × intervals of the
+    same key with ``start <= left_ts < end`` (half-open).
+
+    Each interval explodes into its covered time bins — for intervals no
+    longer than ``bin_seconds`` that is at most 2 rows; generally
+    ``ceil(len/bin)+1`` — so the equi-join on (key…, bin) bounds the
+    candidate set without ever forming the range cross product.
+    """
+    # integral µs arithmetic throughout: unix_timestamp truncates
+    # sub-second parts and double division can land one bin off at
+    # boundaries — `div` on unix_micros is exact
+    bin_us = bin_seconds * 1_000_000
+    lb = left.withColumn(
+        "__bin", F.expr(f"unix_micros({left_ts}) div {bin_us}")
+    )
+    s_bin = F.expr(f"unix_micros({start}) div {bin_us}")
+    # half-open [start, end): the end-instant bin only matters if the
+    # interval extends INTO it, hence the (end - 1µs) bound
+    e_bin = F.expr(f"(unix_micros({end}) - 1) div {bin_us}")
+    ib = intervals.withColumn(
+        "__bin", F.explode(F.sequence(s_bin, F.greatest(e_bin, s_bin)))
+    )
+    return (
+        lb.join(ib, [*on, "__bin"])
+        .where(
+            (F.col(left_ts) >= F.col(start)) & (F.col(left_ts) < F.col(end))
+        )
+        .drop("__bin")
+    )

@@ -712,3 +712,4 @@ from merkonvectordb_spark import queries_ann  # noqa: E402,F401
 from merkonvectordb_spark import queries_multimodal  # noqa: E402,F401
 from merkonvectordb_spark import queries_misc  # noqa: E402,F401
 from merkonvectordb_spark import queries_tpch  # noqa: E402,F401
+from merkonvectordb_spark import queries_temporal  # noqa: E402,F401

@@ -1,0 +1,164 @@
+"""Temporal-join queries (as-of + interval) over the events fixture.
+
+The as-of oracle uses DuckDB's NATIVE ``ASOF JOIN`` — an independent
+implementation of the same semantics, not a mirror of our plan — so a
+hash match here is evidence the union-merge shape (operators/temporal.py)
+is semantically correct, not merely self-consistent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from merkonvectordb_spark.operators.temporal import asof_join, interval_join
+from merkonvectordb_spark.registry import register
+from merkonvectordb_spark.schema import load_table
+
+# ---------------------------------------------------------------------------
+# as-of: each purchase matched to the user's latest click at-or-before it.
+# The click side is deduplicated to one row per (user_id, ts) — max
+# event_id — so the greatest-ts match is unique and both engines agree
+# without relying on tie-break internals.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id,
+       c.click_id,
+       CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS wait_us
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""".strip()
+
+
+@register("events_asof_join", _ASOF_ORACLE)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: purchases ← latest click per user (inclusive).
+
+    Union-merge plan: ONE shuffle of |purchases|+|clicks| rows hash-
+    partitioned by user, a running ``last(ignorenulls)`` window per user,
+    no inequality cross product — the shape that survives dense keys at
+    100 TB (vs. range-join + per-row argmax, which explodes)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id"],
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("click_id_right").alias("click_id"),
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right"))
+        ).alias("wait_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval join: 10-minute incident windows opened by each error event;
+# count same-user activity inside each window.
+# ---------------------------------------------------------------------------
+
+_RANGE_ORACLE = """
+WITH inc AS (
+  SELECT event_id AS incident_id, user_id,
+         ts AS w_start, ts + INTERVAL 600 SECOND AS w_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT i.incident_id,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM inc i
+JOIN events e
+  ON e.user_id = i.user_id AND e.ts >= i.w_start AND e.ts < i.w_end
+GROUP BY i.incident_id
+""".strip()
+
+
+@register("events_range_join", _RANGE_ORACLE)
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join: events × same-user 10-min error windows.
+
+    Bucketed plan (operators.temporal.interval_join): intervals explode
+    into ≤2 time bins, events equi-join on (user_id, bin), exact
+    containment filters — candidate count is bin-bucket-bounded, never
+    the |events|×|errors| cross product the oracle's inequality join
+    forms."""
+    ev = load_table(spark, sf_dir, "events")
+    inc = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 600 SECONDS")).alias("w_end"),
+    )
+    left = ev.select("user_id", "ts", "value")
+    matched = interval_join(
+        left,
+        inc,
+        on=["user_id"],
+        left_ts="ts",
+        start="w_start",
+        end="w_end",
+        bin_seconds=600,
+    )
+    return matched.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding window analytics: per-user 5-row moving average over event
+# values — window-function surface coverage with a direct SQL twin.
+# ---------------------------------------------------------------------------
+
+_MOVING_ORACLE = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mov_avg,
+       count(*) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n_in_window
+FROM events
+""".strip()
+
+
+@register("events_moving_avg", _MOVING_ORACLE)
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 5-row trailing moving average: one hash-partition window
+    (user_id), deterministic (ts, event_id) order, no second shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("mov_avg"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )

@@ -1,0 +1,148 @@
+"""Edge semantics of the temporal joins (operators/temporal.py).
+
+The fixture-scale oracle queries (queries_temporal) already hash-match
+DuckDB's native ASOF JOIN / inequality join; these tests pin the edge
+cases hash-matching could survive by accident: equal-timestamp
+inclusivity, no-prior-row NULLs, bin-boundary containment, and
+intervals longer than one bin.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from merkonvectordb_spark.operators.temporal import asof_join, interval_join
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 100.0),
+            (1, _ts("2024-01-01 10:05:00"), 101.0),
+            (2, _ts("2024-01-01 10:03:00"), 200.0),
+        ],
+        "k LONG, ts TIMESTAMP, px DOUBLE",
+    )
+
+
+def test_asof_basic_and_equal_ts_inclusive(spark, quotes):
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:02:00")),  # after first quote
+            (1, _ts("2024-01-01 10:05:00")),  # EXACTLY at second quote
+            (2, _ts("2024-01-01 10:10:00")),
+        ],
+        "k LONG, ts TIMESTAMP",
+    )
+    out = {
+        (r["k"], r["ts"]): r["px_right"]
+        for r in asof_join(
+            trades, quotes, on=["k"], right_cols=["px"]
+        ).collect()
+    }
+    assert out[(1, _ts("2024-01-01 10:02:00"))] == 100.0
+    # inclusive: a right row AT the left timestamp matches
+    assert out[(1, _ts("2024-01-01 10:05:00"))] == 101.0
+    assert out[(2, _ts("2024-01-01 10:10:00"))] == 200.0
+
+
+def test_asof_no_prior_row_is_null(spark, quotes):
+    trades = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"))], "k LONG, ts TIMESTAMP"
+    )
+    rows = asof_join(trades, quotes, on=["k"], right_cols=["px"]).collect()
+    assert len(rows) == 1  # left rows always survive
+    assert rows[0]["px_right"] is None and rows[0]["ts_right"] is None
+
+
+def test_asof_key_isolation(spark, quotes):
+    # key 3 has no quotes at all: must not borrow key 1's
+    trades = spark.createDataFrame(
+        [(3, _ts("2024-01-01 12:00:00"))], "k LONG, ts TIMESTAMP"
+    )
+    rows = asof_join(trades, quotes, on=["k"], right_cols=["px"]).collect()
+    assert rows[0]["px_right"] is None
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    # 600s bins; second interval spans a bin boundary, third is 3 bins long
+    return spark.createDataFrame(
+        [
+            (10, 1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:05:00")),
+            (11, 1, _ts("2024-01-01 10:08:00"), _ts("2024-01-01 10:12:00")),
+            (12, 1, _ts("2024-01-01 11:00:00"), _ts("2024-01-01 11:25:00")),
+        ],
+        "iid LONG, k LONG, s TIMESTAMP, e TIMESTAMP",
+    )
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "k LONG, ts TIMESTAMP")
+
+
+def _match_ids(events_df, intervals):
+    out = interval_join(
+        events_df, intervals, on=["k"], left_ts="ts", start="s", end="e"
+    )
+    return sorted(r["iid"] for r in out.collect())
+
+
+def test_interval_half_open(spark, intervals):
+    # at start → in; at end → out
+    assert _match_ids(
+        _events(spark, [(1, _ts("2024-01-01 10:00:00"))]), intervals
+    ) == [10]
+    assert _match_ids(
+        _events(spark, [(1, _ts("2024-01-01 10:05:00"))]), intervals
+    ) == []
+
+
+def test_interval_bin_boundary_crossing(spark, intervals):
+    # interval 11 spans the 10:10 bin boundary; events on both sides match
+    assert _match_ids(
+        _events(spark, [(1, _ts("2024-01-01 10:09:00"))]), intervals
+    ) == [11]
+    assert _match_ids(
+        _events(spark, [(1, _ts("2024-01-01 10:11:59"))]), intervals
+    ) == [11]
+
+
+def test_interval_longer_than_bin(spark, intervals):
+    # interval 12 covers three 600s bins; a mid-bin event still matches once
+    assert _match_ids(
+        _events(spark, [(1, _ts("2024-01-01 11:15:00"))]), intervals
+    ) == [12]
+
+
+def test_interval_overlapping_multiplicity(spark):
+    # overlapping intervals: event matches BOTH (true join multiplicity)
+    iv = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:20:00")),
+            (2, 1, _ts("2024-01-01 10:10:00"), _ts("2024-01-01 10:30:00")),
+        ],
+        "iid LONG, k LONG, s TIMESTAMP, e TIMESTAMP",
+    )
+    assert _match_ids(
+        _events(spark, [(1, _ts("2024-01-01 10:15:00"))]), iv
+    ) == [1, 2]
+
+
+def test_asof_single_shuffle_plan(spark, quotes):
+    trades = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:02:00"))], "k LONG, ts TIMESTAMP"
+    )
+    out = asof_join(trades, quotes, on=["k"], right_cols=["px"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # union-merge shape: ONE hash exchange on the key, no join node
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
