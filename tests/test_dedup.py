@@ -124,3 +124,72 @@ def test_simhash_near_pairs(spark):
            .select(simhash_fingerprint(F.col("text")).alias("fp"))
            .collect())
     assert [r.fp for r in fp] == [r.fp for r in fp2]
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard prefix filtering
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(spark):
+    """Prefix filtering is LOSSLESS: output must equal the brute-force
+    all-pairs Jaccard join on a corpus small enough to enumerate."""
+    from merkonvectordb_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " x"),                      # near-dup of 1
+        (3, base.replace("jumps", "hops!!")),  # same-length edit of 1
+        (4, "completely different text about spark physical plan shapes ok"),
+        (5, "completely different text about spark physical plan shapes yes"),
+        (6, "short"),                          # < n chars: no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        (r.a, r.b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", 15, 4, 5).collect()
+    }
+
+    # brute force in python (char 15-gram sets; same normalization)
+    import re
+
+    def gset(t):
+        t = re.sub(r"\s+", " ", t.lower().strip())
+        return {t[i:i + 15] for i in range(len(t) - 14)} if len(t) >= 15 else set()
+
+    sets = {i: gset(t) for i, t in rows if gset(t)}
+    expected = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            un = len(sets[a] | sets[b])
+            if un and inter * 5 >= 4 * un:
+                expected[(a, b)] = round(inter / un, 6)
+    assert out == expected
+    assert expected, "fixture must produce at least one qualifying pair"
+
+
+def test_ngram_prefix_filter_prunes(spark):
+    """Prefix rows must be a small fraction of all gram rows — the bound
+    that keeps the candidate join off the all-pairs cliff."""
+    from pyspark.sql import functions as F
+
+    from merkonvectordb_spark.operators.dedup import (
+        NGRAM_N,
+        NGRAM_T_DEN,
+        NGRAM_T_NUM,
+        char_ngram_key_rows,
+    )
+
+    rows = [(i, " ".join(f"tok{(i * 31 + j * 7) % 97}" for j in range(40)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    g = char_ngram_key_rows(df, "doc_id", "text", NGRAM_N)
+    s = g.groupBy("__id").count().withColumnRenamed("count", "s")
+    pref_rows = s.select(
+        (F.col("s") - F.expr(f"({NGRAM_T_NUM}*s + {NGRAM_T_DEN-1}) div {NGRAM_T_DEN}") + 1).alias("p")
+    ).agg(F.sum("p")).first()[0]
+    total_rows = g.count()
+    assert pref_rows < total_rows / 3  # prefixes are a small fraction of grams
