@@ -388,12 +388,40 @@ def kmeans_refine(
     par = corpus.sparkSession.sparkContext.defaultParallelism
     corpus = corpus.select(F.col(id_col), F.col(emb_col)).repartition(par)
     cents = centroids
+
+    # each Lloyd iteration is THREE shuffles: the argmax-assignment
+    # carries the member embedding inside the aggregate (max-of-struct +
+    # first(emb) — every row in the group holds the same vector, so
+    # first() is deterministic), killing the assignment⋈corpus re-join
+    # the naive formulation needs; then the element-wise means go
+    # posexplode → (cid, pos) partial-agg → collect_list.  (A fused
+    # applyInPandas mean was tried and measured SLOWER at bench scale —
+    # the Python exchange costs more than the saved JVM shuffle.)
     for _ in range(iterations):
-        assign = ivf_assign(corpus, cents, id_col, emb_col, 1)
-        members = assign.join(corpus.select(id_col, emb_col), id_col)
+        scored = (
+            corpus.crossJoin(F.broadcast(cents))
+            .withColumn(
+                "__cos", cosine_similarity(F.col(emb_col), F.col("cv"))
+            )
+            .where(F.col("__cos").isNotNull() & (~F.isnan("__cos")))
+        )
+        assigned = (
+            scored.groupBy(id_col)
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__cos").alias("c"),
+                        (-F.col("cid")).alias("nc"),
+                        F.col("cid").alias("cid"),
+                    )
+                ).alias("__b"),
+                F.first(F.col(emb_col)).alias("__e"),
+            )
+            .select(F.col("__b.cid").alias("cid"), "__e")
+        )
         means = (
-            members.select(
-                "cid", F.posexplode(F.col(emb_col)).alias("pos", "val")
+            assigned.select(
+                "cid", F.posexplode(F.col("__e")).alias("pos", "val")
             )
             .groupBy("cid", "pos")
             .agg(
