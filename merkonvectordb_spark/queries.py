@@ -713,3 +713,4 @@ from merkonvectordb_spark import queries_multimodal  # noqa: E402,F401
 from merkonvectordb_spark import queries_misc  # noqa: E402,F401
 from merkonvectordb_spark import queries_tpch  # noqa: E402,F401
 from merkonvectordb_spark import queries_temporal  # noqa: E402,F401
+from merkonvectordb_spark import queries_streaming  # noqa: E402,F401
