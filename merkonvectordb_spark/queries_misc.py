@@ -255,3 +255,80 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact order statistics: median/quantiles without sketches.  Spark's
+# percentile() (exact, SQL PERCENTILE_CONT semantics with linear
+# interpolation) against DuckDB quantile_cont — deterministic on both
+# sides, unlike approx_percentile/t-digest which never hash-match.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_quantiles",
+    """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""".strip(),
+)
+def q_lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (PERCENTILE_CONT): one shuffle on the
+    group key; each group's values sort within its reducer.  At 100 TB
+    exact per-group percentiles stay feasible while the GROUP count is
+    large (per-group data fits a task); for global percentiles over the
+    full fact table you'd switch to approx_percentile (t-digest,
+    mergeable map-side) and give up hash-parity — which is why the
+    oracle pins the exact variant."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational PIVOT: event-type counts as columns, one row per user bucket.
+# Explicit value list keeps the output schema static (a dynamic pivot
+# needs a driver-side distinct — a plan-time collect we avoid).
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@register(
+    "events_pivot",
+    f"""
+SELECT user_id % 10 AS user_bucket,
+       {", ".join(
+           f"count(*) FILTER (event_type = '{t}') AS n_{t}"
+           for t in _EVENT_TYPES
+       )}
+FROM events
+GROUP BY 1
+""".strip(),
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with a pinned value list: plans as ONE aggregation with a
+    conditional-count per pivot value (no per-value scans, no driver
+    distinct).  Map-side partial aggregation keeps the shuffle at
+    |buckets| × |values| cells."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = out.select(
+        "user_bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+    return renamed
