@@ -270,15 +270,18 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = scored.where(
         (F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")
     )
-    survivors = gated.groupBy("fingerprint").agg(
-        F.min("doc_id").alias("doc_id")
+    # survivor = min-doc_id row per fingerprint, picked with ONE window
+    # over the fingerprint shuffle — the groupBy(min)+self-join form
+    # evaluates the (expensive, HOF-tokenizing) `gated` lineage twice
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy(F.asc("doc_id"))
+    kept = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
     )
-    return (
-        survivors.join(gated, ["fingerprint", "doc_id"])
-        .groupBy("lang_pred")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("quality"), 6).alias("avg_quality"),
-            F.sum("tok_cnt").cast("long").alias("total_tokens"),
-        )
+    return kept.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.sum("tok_cnt").cast("long").alias("total_tokens"),
     )
