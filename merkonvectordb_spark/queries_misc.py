@@ -336,3 +336,65 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
     )
     return renamed
+
+
+# ---------------------------------------------------------------------------
+# skew-mitigation operators under oracle: the salted plans must produce
+# IDENTICAL results to the plain join/aggregation the oracle runs.
+# event_type (5 values over ~100k rows) is a maximally skewed key: a
+# plain shuffle join/agg funnels each type through one reducer.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_salted_join",
+    """
+WITH dim AS (
+  SELECT * FROM (VALUES
+    ('click', 1.0), ('view', 0.5), ('purchase', 5.0),
+    ('signup', 2.0), ('error', 0.0)
+  ) AS t(event_type, weight)
+)
+SELECT e.event_type,
+       count(*) AS n_events,
+       sum(CAST(round(e.value * d.weight * 100) AS BIGINT)) AS weighted_cents
+FROM events e
+JOIN dim d USING (event_type)
+GROUP BY e.event_type
+""".strip(),
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """salted_join + salted_agg end to end on a 5-value hot key: the fact
+    salts deterministically (xxhash64 of the row), the dim replicates
+    n_salt×, and the aggregation partial-combines on (key, salt) before
+    finishing on the key — so no single reducer owns a whole event_type.
+    The oracle is the PLAIN join+group-by: row-identical results are the
+    operator's contract.  Integer-scaled sum (see tpch_q10) keeps the
+    reduction order out of the hash."""
+    from merkonvectordb_spark.operators.skew import salted_agg, salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [
+            ("click", 1.0),
+            ("view", 0.5),
+            ("purchase", 5.0),
+            ("signup", 2.0),
+            ("error", 0.0),
+        ],
+        "event_type STRING, weight DOUBLE",
+    )
+    joined = salted_join(ev, dim, on=["event_type"], n_salt=8).withColumn(
+        "cents", F.round(F.col("value") * F.col("weight") * 100).cast("bigint")
+    )
+    out = salted_agg(
+        joined,
+        keys=["event_type"],
+        aggs={"event_id": "count", "cents": "sum"},
+        n_salt=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("count_event_id").alias("n_events"),
+        F.col("sum_cents").alias("weighted_cents"),
+    )
