@@ -398,3 +398,34 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("count_event_id").alias("n_events"),
         F.col("sum_cents").alias("weighted_cents"),
     )
+
+
+@register(
+    "global_quantiles",
+    """
+SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+       count(l_extendedprice) AS n
+FROM lineitem
+""".strip(),
+)
+def q_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL exact quantiles via distributed order statistics
+    (operators.stats.exact_global_quantiles): range-partition + local
+    sort, P-row count prefix-sum, then fetch exactly the interpolation
+    rows — no task ever buffers more than its own partition, unlike
+    percentile() whose single aggregation buffer holds the full column.
+    This is the 100 TB path the grouped variant (lineitem_quantiles)
+    can't take when there's only one group."""
+    from merkonvectordb_spark.operators.stats import exact_global_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p50, p90, p99 = exact_global_quantiles(
+        li, "l_extendedprice", [0.5, 0.9, 0.99]
+    )
+    n = li.where(F.col("l_extendedprice").isNotNull()).count()
+    return spark.createDataFrame(
+        [(round(p50, 4), round(p90, 4), round(p99, 4), n)],
+        "p50 DOUBLE, p90 DOUBLE, p99 DOUBLE, n LONG",
+    )

@@ -82,3 +82,17 @@ def test_quantiles_scan_prunes_columns(spark, sf_dir):
     for ln in scan_lines:
         assert "l_extendedprice" in ln
         assert "l_partkey" not in ln and "l_quantity" not in ln
+
+
+def test_global_quantiles_match_builtin(spark):
+    """exact_global_quantiles must equal percentile() — including with
+    duplicate values straddling range-partition boundaries."""
+    from merkonvectordb_spark.operators.stats import exact_global_quantiles
+
+    vals = [float(i % 17) for i in range(999)] + [None, 3.0, 3.0, 3.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v DOUBLE")
+    got = exact_global_quantiles(df, "v", [0.0, 0.25, 0.5, 0.9, 1.0], 8)
+    want = df.select(
+        F.expr("percentile(v, array(0.0, 0.25, 0.5, 0.9, 1.0))")
+    ).first()[0]
+    assert all(abs(g - w) < 1e-9 for g, w in zip(got, want))
