@@ -111,6 +111,55 @@ def fake_decoder(modality: str, content: bytes) -> dict[str, Any]:
     }
 
 
+FEATURE_DIM = 8
+
+
+def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature extraction stub with REAL plumbing: content bytes →
+    ``ARRAY<DOUBLE>`` feature vector via ``mapInPandas`` (the slot where
+    a CLIP/wav2vec encoder would run; here a deterministic md5-fold so
+    the DuckDB oracle can mirror it bit-for-bit).  Component i =
+    ((fold60(md5(content || ':' || i)) mod 2001) - 1000) / 1000 ∈ [-1, 1].
+    """
+    import hashlib
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            feats = []
+            for c in pdf["content"]:
+                b = bytes(c) if c is not None else b""
+                feats.append(
+                    [
+                        (
+                            (
+                                int(
+                                    md5(
+                                        b + b":" + str(i).encode()
+                                    ).hexdigest()[:15],
+                                    16,
+                                )
+                                % 2001
+                            )
+                            - 1000
+                        )
+                        / 1000.0
+                        for i in range(dim)
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(
+        _feat, "doc_id LONG, modality STRING, feature ARRAY<DOUBLE>"
+    )
+
+
 def decode_content(
     df: DataFrame,
     decoder: Callable[[str, bytes], dict[str, Any]] = default_decoder,
