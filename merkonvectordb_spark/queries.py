@@ -712,5 +712,6 @@ from merkonvectordb_spark import queries_ann  # noqa: E402,F401
 from merkonvectordb_spark import queries_multimodal  # noqa: E402,F401
 from merkonvectordb_spark import queries_misc  # noqa: E402,F401
 from merkonvectordb_spark import queries_tpch  # noqa: E402,F401
+from merkonvectordb_spark import queries_tpch2  # noqa: E402,F401
 from merkonvectordb_spark import queries_temporal  # noqa: E402,F401
 from merkonvectordb_spark import queries_streaming  # noqa: E402,F401
