@@ -96,3 +96,36 @@ def test_global_quantiles_match_builtin(spark):
         F.expr("percentile(v, array(0.0, 0.25, 0.5, 0.9, 1.0))")
     ).first()[0]
     assert all(abs(g - w) < 1e-9 for g, w in zip(got, want))
+
+
+def test_tpch_q21_scans_lineitem_once(spark, sf_dir):
+    """Q21's double-EXISTS (another supplier AND no other late supplier)
+    must fuse into ONE per-order aggregation — the textbook plan re-joins
+    the lineitem fact twice more; ours scans it exactly once."""
+    from merkonvectordb_spark.queries import queries
+
+    plan = _plan(queries()["tpch_q21"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_tpch_not_in_plans_as_anti_join(spark, sf_dir):
+    """Q16's NOT IN and Q22's NOT EXISTS must plan as anti-joins, never
+    a null-aware nested loop over the fact."""
+    from merkonvectordb_spark.queries import queries
+
+    for name in ("tpch_q16", "tpch_q22"):
+        plan = _plan(queries()[name](spark, sf_dir))
+        assert "LeftAnti" in plan, name
+        assert "Cartesian" not in plan, name
+
+
+def test_tpch_q2_correlated_min_is_broadcast_back(spark, sf_dir):
+    """Q2's correlated-MIN must come back as a broadcast of the tiny
+    per-part aggregate — no sort-merge of the fact against itself and
+    no nested loop."""
+    from merkonvectordb_spark.queries import queries
+
+    plan = _plan(queries()["tpch_q2"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
