@@ -132,3 +132,81 @@ def q_streaming_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select(
         "user_id", "start_us", "end_us", "n_events", "sum_value"
     )
+
+
+@register(
+    "streaming_stream_join",
+    """
+SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id AS user_id
+FROM events c
+JOIN events v
+  ON c.user_id = v.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND v.ts BETWEEN c.ts - INTERVAL 2 HOUR AND c.ts
+""".strip(),
+)
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream self-join executed BY THE STREAMING ENGINE: clicks
+    joined to the same user's views in the preceding 2 hours, both sides
+    watermarked so state for either stream is purged once event time
+    passes watermark + range (that bound is what makes the operator
+    viable on an unbounded 100 TB/day stream — without it both join
+    buffers grow forever).  The staged source is a single file, so
+    availableNow runs ONE micro-batch and the inner-join output equals
+    the batch join exactly — hash-checked against the DuckDB twin."""
+    work = tempfile.mkdtemp(prefix="strq_join_")
+    src = _staged_events_dir(sf_dir, work)
+    ev = stream_events(spark, src)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    joined = clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("v_ts") <= F.col("c_ts")),
+    ).select("click_id", "view_id", F.col("c_user").alias("user_id"))
+    return _run_to_memory(joined, "append", work)
+
+
+@register(
+    "streaming_dedup",
+    """
+SELECT DISTINCT user_id, event_type,
+       time_bucket(INTERVAL '1 hour', ts) AS bucket_ts
+FROM events
+""".strip(),
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: first event per (user, type, hour) via
+    dropDuplicates on exactly the key columns — projecting the keys
+    BEFORE the dedup means the surviving-row choice (processing-order
+    nondeterminism) is invisible, so the streamed output set equals
+    DISTINCT.  This is the exact mode (state = one entry per live key,
+    never purged); the watermark-bounded production variant
+    (dropDuplicatesWithinWatermark, state purged after 1 hour of event
+    time) is exercised in tests — on a single-batch fixture both agree."""
+    work = tempfile.mkdtemp(prefix="strq_dedup_")
+    src = _staged_events_dir(sf_dir, work)
+    ev = stream_events(spark, src)
+    keys = ev.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket_ts"),
+    ).dropDuplicates(["user_id", "event_type", "bucket_ts"])
+    return _run_to_memory(keys, "append", work)

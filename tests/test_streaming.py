@@ -96,3 +96,82 @@ def test_foreach_batch_upsert_idempotent(spark, events_dir, tmp_path):
     # spot-check one record kept its payload
     row = store.vectors().where(F.col("key") == "0").first()
     assert row is not None and row.metadata.startswith("{")
+
+
+def test_dedup_within_watermark_matches_exact(spark, events_dir, tmp_path):
+    """dropDuplicatesWithinWatermark (bounded state — the production
+    mode for unbounded streams) must agree with exact DISTINCT when all
+    data lands in one micro-batch."""
+    keys = ["user_id", "event_type", "bucket_ts"]
+    proj = (
+        stream_events(spark, events_dir)
+        .withWatermark("ts", "1 hour")
+        .select(
+            "user_id", "event_type", F.date_trunc("hour", "ts").alias("bucket_ts"), "ts"
+        )
+    )
+    q = (
+        proj.dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+        .writeStream.format("memory")
+        .queryName("dedup_wm_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.table("dedup_wm_test").collect()}
+    want = {
+        tuple(r)
+        for r in load_table(spark, SF, "events")
+        .select("user_id", "event_type", F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .distinct()
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir, tmp_path):
+    """Watermarked stream-stream self-join (clicks ⋈ same-user views in
+    the trailing 2 h) equals the batch join on a one-batch source."""
+    ev = stream_events(spark, events_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("event_id").alias("cid"), F.col("user_id").alias("cu"),
+                F.col("ts").alias("cts"))
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("event_id").alias("vid"), F.col("user_id").alias("vu"),
+                F.col("ts").alias("vts"))
+    )
+    cond = (
+        (F.col("cu") == F.col("vu"))
+        & (F.col("vts") >= F.col("cts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("vts") <= F.col("cts"))
+    )
+    q = (
+        clicks.join(views, cond)
+        .select("cid", "vid")
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.table("ssj_test").collect()}
+
+    bev = load_table(spark, SF, "events")
+    bc = bev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    bv = bev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    want = {tuple(r) for r in bc.join(bv, cond).select("cid", "vid").collect()}
+    assert got == want
