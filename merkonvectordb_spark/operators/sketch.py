@@ -1,0 +1,85 @@
+"""Mergeable distinct-count sketch (KMV — k minimum values) as a pure
+DataFrame composition.
+
+The reference has no sketching surface; this is a north-star extension
+for 100 TB profiling: estimate the distinct count of a key column with
+a bounded-size, mergeable summary instead of a full distinct shuffle.
+
+KMV: hash every value to a uniform 60-bit integer, keep the k smallest
+DISTINCT hashes.  If fewer than k survive the estimate is exact; else
+``est = (k-1) / (h_k / 2^60)`` where ``h_k`` is the k-th smallest hash
+(the classic KMV/bottom-k estimator — Bar-Yossef et al. 2002; relative
+error ≈ 1/√(k−2)).  Determinism: the hash is md5 of the value's string
+form, identical in Spark (``conv(substring(md5(x),1,15),16,10)``) and
+DuckDB (``CAST('0x'||substring(md5(x),1,15) AS BIGINT)``), so the
+estimate is bit-for-bit reproducible — and oracle-checkable — in both
+engines.
+
+Scale shape: the inner ``distinct()`` partial-aggregates map-side (each
+partition dedupes before the exchange), so the shuffle carries only
+per-partition-distinct 8-byte longs; the ``orderBy().limit(k)`` plans
+as TakeOrderedAndProject (per-partition heap of k, driver merges P·k
+rows).  Nothing unbounded reaches one task.  Sketches are mergeable by
+construction: union the hash sets, re-take the bottom k (tested in
+``tests/test_sketch.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TWO_POW_60 = float(1 << 60)
+
+
+def kmv_hash(col: Column) -> Column:
+    """Deterministic uniform 60-bit hash of a value's string form."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def kmv_bottom_k(df: DataFrame, column: str, k: int) -> DataFrame:
+    """The sketch itself: the k smallest distinct hashes of ``column``
+    (single column ``h``, ≤ k rows).  This is the mergeable summary."""
+    if k < 3:
+        raise ValueError("kmv requires k >= 3")
+    return (
+        df.where(F.col(column).isNotNull())
+        .select(kmv_hash(F.col(column)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """One-row estimate from a bottom-k sketch: exact when the sketch is
+    not full, else the KMV estimator.  All arithmetic is double with
+    exactly-representable constants, so Spark and DuckDB agree."""
+    return sketch.agg(
+        F.count("h").alias("__n"), F.max("h").alias("__mx")
+    ).select(
+        F.when(F.col("__n") < k, F.col("__n").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(TWO_POW_60) / F.col("__mx").cast("double")
+        )
+        .alias("est_distinct")
+    )
+
+
+def kmv_distinct(df: DataFrame, column: str, k: int = 256) -> DataFrame:
+    """Estimate ``count(distinct column)`` via a k-minimum-values
+    sketch; returns a one-row DataFrame with ``est_distinct``."""
+    return kmv_estimate(kmv_bottom_k(df, column, k), k)
+
+
+def kmv_merge(*sketches: DataFrame, k: int) -> DataFrame:
+    """Merge bottom-k sketches (e.g. built on disjoint shards): union
+    the hash sets, dedupe, re-take the bottom k.  The result is the
+    sketch of the union of the inputs — KMV's defining property."""
+    it = iter(sketches)
+    merged = next(it)
+    for s in it:
+        merged = merged.unionByName(s)
+    return merged.distinct().orderBy("h").limit(k)

@@ -1,0 +1,66 @@
+"""Driver-facing query for the KMV distinct-count sketch
+(``operators.sketch``): per-column estimated AND exact distinct counts
+over the relational fixtures, oracle-checked bit-for-bit because the
+sketch hash (md5-derived 60-bit integer) is identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from merkonvectordb_spark.operators.sketch import kmv_distinct
+from merkonvectordb_spark.registry import register
+from merkonvectordb_spark.schema import load_table
+
+_K = 256
+
+
+def _kmv_oracle(table: str, column: str, k: int = _K) -> str:
+    return f"""
+  SELECT '{column}' AS col_name,
+         (SELECT CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                      ELSE {float(k - 1)} * 1152921504606846976.0
+                           / CAST(max(h) AS DOUBLE) END
+          FROM (SELECT DISTINCT CAST(('0x' || substring(md5(CAST({column} AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM {table} WHERE {column} IS NOT NULL
+                ORDER BY h LIMIT {k})) AS est_distinct,
+         (SELECT CAST(count(DISTINCT {column}) AS BIGINT) FROM {table}) AS exact_distinct
+""".strip()
+
+
+@register(
+    "sketch_distinct",
+    "\nUNION ALL\n".join(
+        [
+            _kmv_oracle("lineitem", "l_partkey"),
+            _kmv_oracle("orders", "o_custkey"),
+            _kmv_oracle("events", "user_id"),
+        ]
+    ),
+)
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV estimate next to the exact distinct for three key columns.
+    The sketch path shuffles only per-partition-distinct 8-byte hashes
+    and heap-merges k rows; the exact path is the full distinct — at
+    100 TB you run the first and drop the second (it is here so the
+    oracle records the sketch's accuracy, not just its value)."""
+    out = None
+    for table, column in (
+        ("lineitem", "l_partkey"),
+        ("orders", "o_custkey"),
+        ("events", "user_id"),
+    ):
+        df = load_table(spark, sf_dir, table)
+        est = kmv_distinct(df, column, _K)
+        exact = df.agg(
+            F.countDistinct(column).cast("bigint").alias("exact_distinct")
+        )
+        row = (
+            est.crossJoin(F.broadcast(exact))
+            .select(
+                F.lit(column).alias("col_name"), "est_distinct", "exact_distinct"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

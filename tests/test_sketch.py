@@ -1,0 +1,77 @@
+"""KMV distinct-count sketch: accuracy, exactness under k, mergeability
+across shards, and the bounded plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from merkonvectordb_spark.operators.sketch import (
+    kmv_bottom_k,
+    kmv_distinct,
+    kmv_estimate,
+    kmv_merge,
+)
+
+
+def _est(df) -> float:
+    return df.first()["est_distinct"]
+
+
+def test_exact_when_fewer_than_k(spark):
+    df = spark.range(100).select(F.col("id").alias("v"))
+    assert _est(kmv_distinct(df, "v", k=256)) == 100.0
+
+
+def test_nulls_ignored(spark):
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (2,)], "v INT"
+    )
+    assert _est(kmv_distinct(df, "v", k=16)) == 2.0
+
+
+def test_error_bound_at_k256(spark):
+    """Relative error for n >> k should be within a few /√k — use 5/√k
+    as a generous deterministic bound (the hash is fixed, so this is a
+    regression pin, not a flaky statistical test)."""
+    n = 50_000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    est = _est(kmv_distinct(df, "v", k=256))
+    assert abs(est - n) / n < 5 / (256 ** 0.5)
+
+
+def test_duplicates_do_not_move_estimate(spark):
+    """KMV sees distinct hashes only — a 10× duplication of every value
+    must give the identical estimate."""
+    base = spark.range(10_000).select(F.col("id").alias("v"))
+    dup = base.crossJoin(spark.range(10)).select("v")
+    assert _est(kmv_distinct(base, "v", k=64)) == _est(
+        kmv_distinct(dup, "v", k=64)
+    )
+
+
+def test_merge_equals_sketch_of_union(spark):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) — the property that
+    lets shards sketch independently and combine at the coordinator."""
+    k = 64
+    a = spark.range(0, 8_000).select(F.col("id").alias("v"))
+    b = spark.range(5_000, 15_000).select(F.col("id").alias("v"))
+    merged = kmv_merge(kmv_bottom_k(a, "v", k), kmv_bottom_k(b, "v", k), k=k)
+    direct = kmv_bottom_k(a.unionByName(b), "v", k)
+    assert [r.h for r in merged.collect()] == [r.h for r in direct.collect()]
+    assert _est(kmv_estimate(merged, k)) == _est(
+        kmv_distinct(a.unionByName(b), "v", k)
+    )
+
+
+def test_bottom_k_plans_as_heap_not_global_sort(spark):
+    """The bottom-k must be TakeOrderedAndProject over the distinct —
+    a global Sort of all distinct hashes would put the full key set
+    through one task's sort at 100 TB."""
+    df = spark.range(10_000).select(F.col("id").alias("v"))
+    plan = (
+        kmv_bottom_k(df, "v", 256)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
