@@ -144,3 +144,68 @@ def test_kmeans_refine_improves_quantization(clustered, spark):
     # refined centroids keep original cid labels (a subset of seeds)
     cids = {r.cid for r in refined.select("cid").collect()}
     assert cids <= set(range(6)) and len(cids) >= 1
+
+
+def test_ivf_recall_cost_curve(clustered, spark):
+    """The scale dial: recall must be non-decreasing in n_probe and hit
+    1.0 at n_probe = K (probing every list IS the exact search), while
+    candidate count — the actual cost — grows with n_probe.  This is
+    the curve an operator of the 100 TB engine tunes against."""
+    from merkonvectordb_spark.operators.ann import ivf_assign, knn_batch_ivf
+
+    cents = clustered.where(F.col("vec_id") % 6 == 3).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    queries = clustered.where(F.col("vec_id") % 6 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_batch(clustered, queries, k=3, min_score=-1.0, tie_break="vec_id")
+    want = {(r.query_id, r.vec_id) for r in exact.collect()}
+
+    recalls, costs = [], []
+    for n_probe in (1, 2, 20):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in knn_batch_ivf(
+                clustered, queries, k=3, centroids=cents,
+                n_probe=n_probe, min_score=-1.0,
+            ).collect()
+        }
+        recalls.append(len(want & got) / len(want))
+        probes = ivf_assign(
+            queries, cents, "query_id", n_best=n_probe
+        ).withColumnRenamed("query_id", "__qid")
+        assign = ivf_assign(clustered, cents, "vec_id", n_best=1)
+        costs.append(
+            probes.join(assign, "cid").select("__qid", "vec_id").distinct().count()
+        )
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert costs == sorted(costs), f"cost not monotone: {costs}"
+    assert recalls[-1] == 1.0, "n_probe=K must be exact"
+    assert costs[0] < costs[-1], "probing fewer lists must cost less"
+
+
+def test_lsh_recall_grows_with_tables(clustered):
+    """More hash tables → more candidate unions → recall non-decreasing
+    (each table is an independent chance to co-bucket true neighbors)."""
+    from merkonvectordb_spark.operators.ann import HYPERPLANES
+
+    queries = clustered.where(F.col("vec_id") % 6 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_batch(clustered, queries, k=3, min_score=-1.0, tie_break="vec_id")
+    want = {(r.query_id, r.vec_id) for r in exact.collect()}
+
+    recalls = []
+    for n_tables in (1, 4, len(HYPERPLANES)):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in knn_batch_ann(
+                clustered, queries, k=3, min_score=-1.0,
+                planes=HYPERPLANES[:n_tables],
+            ).collect()
+        }
+        recalls.append(len(want & got) / len(want))
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[0] < 1.0 or recalls == [1.0] * 3
