@@ -716,3 +716,4 @@ from merkonvectordb_spark import queries_tpch2  # noqa: E402,F401
 from merkonvectordb_spark import queries_temporal  # noqa: E402,F401
 from merkonvectordb_spark import queries_streaming  # noqa: E402,F401
 from merkonvectordb_spark import queries_sketch  # noqa: E402,F401
+from merkonvectordb_spark import queries_pipeline  # noqa: E402,F401

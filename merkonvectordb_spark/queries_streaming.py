@@ -42,21 +42,39 @@ def _staged_events_dir(sf_dir: str, work: str) -> str:
     return d
 
 
-def _run_to_memory(stream_df: DataFrame, mode: str, work: str) -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame, mode: str, work: str, state_partitions: int = 8
+) -> DataFrame:
     """availableNow → memory sink; returns the sink as a DataFrame.
     Unique sink names keep repeated invocations in one session (bench)
-    independent."""
+    independent.
+
+    ``state_partitions`` pins the stateful-operator partition count at
+    query start (it is then fixed for the checkpoint's lifetime).  It is
+    a throughput-sizing dial, not a semantics dial: per micro-batch each
+    state partition opens+commits a state store, so the fixture-scale
+    floor is partitions × store-overhead — while at production scale you
+    size it to hundreds for parallelism.  The session default (32) is
+    restored immediately after start so batch plans are unaffected."""
     name = f"strq_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        # the micro-batch thread reads the conf when it plans each batch,
+        # so restore only after the stream has fully terminated
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 @register(
