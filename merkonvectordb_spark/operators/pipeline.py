@@ -13,8 +13,11 @@ partition and does exactly that).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 # md5-derived 60-bit uniform hash — same construct as operators.sketch,
 # expressible identically in DuckDB for oracle parity.
@@ -100,3 +103,161 @@ def chunk_tokens(
             ).alias("chunk_text"),
         )
     )
+
+
+def global_exclusive_prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "run_start",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive running total of ``value_col`` in the total order given
+    by ``order_cols`` — WITHOUT the single-reducer global window that
+    ``sum() OVER (ORDER BY ...)`` plans (one task holding 100 TB).
+
+    Distributed two-pass shape (same as ``operators.stats``):
+
+    1. range-partition + sort on ``order_cols`` — global order becomes
+       (partition, local position); the within-partition running sum is
+       a linear streamed pass (``mapInPandas`` over already-sorted rows,
+       no window, no second shuffle);
+    2. per-partition value totals go to the driver (P numbers, not
+       data), prefix-summed into partition offsets, and re-applied as a
+       literal projection.
+
+    Result is independent of where the sampled range boundaries land —
+    any split of a total order yields the same exclusive prefix sum —
+    so the output is deterministic and re-run-stable.
+
+    Preconditions: ``order_cols`` must be a total order (unique key) and
+    ``value_col`` non-null; both hold for (doc, chunk) token streams.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    par = num_partitions or spark.sparkContext.defaultParallelism
+    cols = list(order_cols)
+    part = (
+        df.repartitionByRange(par, *[F.asc(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    schema = StructType(
+        list(part.schema.fields) + [StructField("__lcum", LongType())]
+    )
+
+    def _cum(batches):
+        run = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            c = pdf[value_col].astype("int64").cumsum() + run
+            pdf["__lcum"] = c
+            if len(pdf):
+                run = int(c.iloc[-1])
+            yield pdf
+
+    # one partition-local scan produces the running sums; persist because
+    # both the offset collect and the caller consume it (perf law: 2+
+    # consumers without persist re-runs the lineage per consumer)
+    ranked = part.mapInPandas(_cum, schema).persist()
+    totals = {
+        r["__pid"]: r["s"] or 0
+        for r in ranked.groupBy("__pid")
+        .agg(F.sum(F.col(value_col).cast("bigint")).alias("s"))
+        .collect()
+    }
+    offset_of: dict[int, int] = {}
+    running = 0
+    for pid in sorted(totals):
+        offset_of[pid] = running
+        running += int(totals[pid])
+    expr: Column | None = None
+    for pid, off in offset_of.items():
+        cond = F.col("__pid") == pid
+        expr = (
+            F.when(cond, off) if expr is None else expr.when(cond, off)
+        )
+    base = F.coalesce(expr, F.lit(0)) if expr is not None else F.lit(0)
+    return ranked.withColumn(
+        out_col,
+        (base + F.col("__lcum") - F.col(value_col).cast("bigint")).cast(
+            "bigint"
+        ),
+    ).drop("__pid", "__lcum")
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Concat-and-split sequence packing (GPT-style pretraining): lay the
+    chunks out as one global token stream in ``order_cols`` order and cut
+    a training sequence every ``budget`` tokens.  Documents may straddle
+    a cut — that is the semantics that wastes zero pad tokens.
+
+    Adds ``seq_id`` (which training sequence this chunk starts in),
+    ``seq_offset`` (token position within it), and ``straddles``
+    (whether the chunk crosses the next cut).  Content-addressed via the
+    deterministic prefix sum: reruns, resizes, and repartitioning cannot
+    move a chunk between sequences.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    out = global_exclusive_prefix_sum(
+        df, order_cols, tokens_col, out_col="__gstart"
+    )
+    start = F.col("__gstart")
+    toks = F.col(tokens_col).cast("bigint")
+    return (
+        out.withColumn("seq_id", F.floor(start / budget))
+        .withColumn("seq_offset", start % budget)
+        .withColumn(
+            "straddles",
+            F.floor((start + toks - F.lit(1)) / budget) > F.col("seq_id"),
+        )
+        .drop("__gstart")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its key's
+    hash bucket (out of 1e6) falls under the stratum's rate.
+
+    The properties ``sample()`` cannot give a 100 TB curation pipeline:
+    partition-invariant (the keep/drop decision is a pure function of
+    the key, so adding executors or re-running cannot change the
+    sample), consistent (the same key is kept in every derived table
+    keyed the same way), and auditable (the rate is exact arithmetic,
+    not a per-partition Bernoulli draw).  ``salt`` draws an independent
+    sample.  Pure projection+filter — no shuffle, fully pushed past the
+    scan's column pruning.
+    """
+    denom = 1_000_000
+    for name, r in list(rates.items()) + [("<default>", default_rate)]:
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {name!r} must be in [0, 1]")
+    expr: Column | None = None
+    for name, r in rates.items():
+        cond = F.col(strata_col) == name
+        thr = int(round(r * denom))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    thr_col = (
+        expr.otherwise(int(round(default_rate * denom)))
+        if expr is not None
+        else F.lit(int(round(default_rate * denom)))
+    )
+    bucket = F.pmod(
+        _hash60(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        F.lit(denom),
+    )
+    return df.where(bucket < thr_col)

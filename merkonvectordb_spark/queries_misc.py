@@ -257,6 +257,48 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lineitem_cube",
+    """
+SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+       coalesce(l_linestatus, '<all>') AS l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""".strip(),
+)
+def q_lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation with grouping_id disambiguation (SURVEY §2.7):
+    all four grouping sets of (returnflag, linestatus) in one Expand +
+    partial-agg pass — the gid column distinguishes an aggregated-away
+    dimension from a genuine NULL value, which the coalesce sentinel
+    alone cannot.  Spark's grouping_id() bit order (first listed column
+    is the high bit) matches DuckDB's GROUPING(a, b)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            F.col("gid").cast("bigint").alias("gid"),
+            "n",
+            "sum_qty",
+            "revenue",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact order statistics: median/quantiles without sketches.  Spark's
 # percentile() (exact, SQL PERCENTILE_CONT semantics with linear

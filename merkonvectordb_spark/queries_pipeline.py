@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from merkonvectordb_spark.operators.pipeline import chunk_tokens, hash_split
+from merkonvectordb_spark.operators.pipeline import (
+    chunk_tokens,
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+)
 from merkonvectordb_spark.registry import register
 from merkonvectordb_spark.schema import load_table
 
@@ -75,3 +80,94 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_tokens").cast("bigint").alias("chunk_tokens"),
         "chunk_text",
     )
+
+
+@register(
+    "seq_packing",
+    """
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+  WHERE length(trim(text)) > 0
+),
+st AS (
+  SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 48)) AS s
+  FROM base
+),
+chunks AS (
+  SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx,
+         CAST(least(64, len(t) - s) AS BIGINT) AS chunk_tokens
+  FROM st
+),
+cum AS (
+  SELECT *,
+         sum(chunk_tokens) OVER (
+           ORDER BY doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - chunk_tokens AS gstart
+  FROM chunks
+)
+SELECT doc_id, chunk_idx, chunk_tokens,
+       CAST(gstart // 256 AS BIGINT) AS seq_id,
+       CAST(gstart % 256 AS BIGINT) AS seq_offset,
+       ((gstart + chunk_tokens - 1) // 256) > (gstart // 256) AS straddles
+FROM cum
+""".strip(),
+)
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split packing of the chunk stream into 256-token
+    training sequences.  The oracle is the textbook single-window
+    formulation (``sum() OVER (ORDER BY ...)``); the engine computes the
+    identical exclusive prefix sum with the range-partitioned two-pass
+    (`operators.pipeline.global_exclusive_prefix_sum`) that has no
+    single-reducer stage — the row-level hash match proves the
+    distributed algorithm IS the sequential semantics."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_tokens(docs, "text", window=64, stride=48).select(
+        "doc_id", "chunk_idx", "chunk_tokens"
+    )
+    packed = pack_sequences(
+        chunks, ("doc_id", "chunk_idx"), "chunk_tokens", budget=256
+    )
+    return packed.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("chunk_tokens").cast("bigint").alias("chunk_tokens"),
+        "seq_id",
+        "seq_offset",
+        "straddles",
+    )
+
+
+@register(
+    "doc_stratified_sample",
+    """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'r3'), 1, 15))
+              AS BIGINT) % 1000000 AS b
+  FROM documents
+)
+WHERE b < CASE source
+    WHEN 'src0' THEN 1000000
+    WHEN 'src1' THEN 750000
+    WHEN 'src2' THEN 500000
+    WHEN 'src3' THEN 250000
+    ELSE 100000 END
+""".strip(),
+)
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic downsampling (corpus mixing weights):
+    keep each document iff its key's hash bucket clears the stratum
+    rate.  Row-level oracle — the exact surviving id set must match,
+    which a seeded Bernoulli ``sample()`` could never guarantee."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs,
+        "doc_id",
+        "source",
+        {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25},
+        default_rate=0.1,
+        salt="r3",
+    )
+    return kept.select("doc_id", "lang", "source")

@@ -5,7 +5,13 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from merkonvectordb_spark.operators.pipeline import chunk_tokens, hash_split
+from merkonvectordb_spark.operators.pipeline import (
+    chunk_tokens,
+    global_exclusive_prefix_sum,
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+)
 
 SPLITS = {"train": 90, "val": 5, "test": 5}
 
@@ -74,6 +80,76 @@ def test_chunks_cover_every_token_in_order(spark):
         rebuilt.extend(toks[: 48 if len(toks) == 64 else len(toks)])
     # trailing overlap of the final full window duplicates nothing
     assert rebuilt[:150] == [f"tok{i}" for i in range(150)]
+
+
+def test_prefix_sum_matches_sequential_and_is_partition_invariant(spark):
+    """The two-pass distributed prefix sum must equal the sequential
+    running total regardless of input partitioning or partition count."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 30)) for i in range(500)]
+    rng.shuffle(rows)
+    expect = {}
+    run = 0
+    for k, v in sorted(rows):
+        expect[k] = run
+        run += v
+    for shape in (1, 5, 13):
+        df = spark.createDataFrame(rows, "k LONG, v LONG").repartition(shape)
+        got = {
+            r.k: r.run_start
+            for r in global_exclusive_prefix_sum(
+                df, ("k",), "v", num_partitions=shape
+            ).collect()
+        }
+        assert got == expect, f"mismatch at {shape} partitions"
+
+
+def test_pack_sequences_budget_and_straddle(spark):
+    rows = [(i, 0, 40) for i in range(20)]  # 800 tokens, budget 128
+    df = spark.createDataFrame(rows, "doc_id LONG, chunk_idx LONG, t LONG")
+    out = pack_sequences(df, ("doc_id", "chunk_idx"), "t", budget=128).collect()
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)):
+        assert 0 <= r.seq_offset < 128
+        # straddle flag is exact: crosses a cut iff offset+len > budget
+        assert r.straddles == (r.seq_offset + r.t > 128)
+    # last chunk starts at token 760 → its sequence is 760 // 128
+    assert max(r.seq_id for r in out) == (800 - 40) // 128
+    with pytest.raises(ValueError):
+        pack_sequences(df, ("doc_id", "chunk_idx"), "t", budget=0)
+
+
+def test_stratified_sample_is_deterministic_subset(spark):
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("src"),
+    )
+    rates = {"0": 1.0, "1": 0.5, "2": 0.0}
+    a = sorted(
+        r.doc_id
+        for r in stratified_sample(df, "doc_id", "src", rates, 0.25).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in stratified_sample(
+            df.repartition(11), "doc_id", "src", rates, 0.25
+        ).collect()
+    )
+    assert a == b  # partition-invariant
+    by_src = {
+        r.src: r.n
+        for r in stratified_sample(df, "doc_id", "src", rates, 0.25)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_src.get("0") == 1250  # rate 1.0 keeps everything
+    assert "2" not in by_src  # rate 0.0 keeps nothing
+    assert abs(by_src["1"] / 1250 - 0.5) < 0.1
+    assert abs(by_src["3"] / 1250 - 0.25) < 0.1
+    with pytest.raises(ValueError):
+        stratified_sample(df, "doc_id", "src", {"0": 1.5})
 
 
 def test_chunking_short_and_empty_docs(spark):
