@@ -1,0 +1,138 @@
+"""BM25 keyword search and keyword+vector hybrid retrieval (RRF).
+
+The reference engine is vector-only (`MerkonMemoryStore.cs:117-150` —
+cosine scan is the single retrieval path).  A production retrieval stack
+pairs that with lexical search and fuses the two rankings; both halves
+are classic dataflow, so they come to Spark as pure DataFrame plans:
+
+- **postings** — tokenize → explode → (doc, term) count.  The shuffle
+  carries one row per (doc, matched term), not the corpus: a filter on
+  the term column is a filter on a grouping key, so Catalyst pushes it
+  below the aggregation and only query-term postings ever move.
+- **BM25** (Robertson/Sparck-Jones idf with the +1 floor) — document
+  frequencies for the handful of query terms broadcast back, corpus
+  stats (N, avgdl) are a one-row broadcast, the per-doc score is a
+  map-side sum.  Top-k plans as `TakeOrderedAndProject` — no sort.
+- **RRF fusion** — `1/(c + rank)` summed across rankers on a full-outer
+  join of two k-row frames; all work after the two retrievals is
+  driver-scale.
+
+Cross-engine determinism: the BM25 sum adds per-term contributions in
+engine-dependent order, so scores can differ in the last ulp — ranking
+therefore uses the 6-dp-rounded score (ties broken by doc id), which is
+exactly reproducible everywhere.  RRF sums are exact doubles (two terms,
+each 1/(c+r)); no rounding ambiguity exists.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from merkonvectordb_spark.functions.text import tokenize
+
+RRF_C = 60  # the constant from the original RRF paper (Cormack et al.)
+
+
+def doc_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, dl, term, tf) posting rows — the inverted-index building
+    block.  ``dl`` (document token length) rides along so BM25 needs no
+    second join back to the corpus."""
+    base = docs.select(
+        F.col(id_col).alias("doc"), tokenize(F.col(text_col)).alias("__t")
+    )
+    return (
+        base.select(
+            "doc", F.size("__t").alias("dl"), F.explode("__t").alias("term")
+        )
+        .groupBy("doc", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents for a bag of query terms under BM25.
+
+    Returns (doc, score) with score rounded to 6 dp; ordering is
+    (score DESC, doc ASC).  Corpus stats come from a separate map-side
+    aggregation over the raw table (a second scan of the text column —
+    cheaper at scale than persisting the tokenized corpus for two
+    consumers, and it never shuffles).
+    """
+    terms = sorted({t.lower() for t in query_terms if t})
+    if not terms or k <= 0:
+        return docs.sparkSession.createDataFrame(
+            [], "doc LONG, score DOUBLE"
+        )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokenize(F.col(text_col)))).alias("avgdl"),
+    )
+    post = doc_postings(docs, id_col, text_col).where(
+        F.col("term").isin(list(terms))
+    )
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        post.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc").asc()).limit(k)
+
+
+def rank_by(df: DataFrame, score_col: str, id_col: str) -> DataFrame:
+    """Attach a 1-based ``rank`` by (score DESC, id ASC).  Meant for an
+    already-limited top-k frame — the empty-partition window is fine on
+    k rows and never sees corpus-scale data."""
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return df.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc",
+    k: int = 10,
+    c: int = RRF_C,
+) -> DataFrame:
+    """Reciprocal-rank fusion: score(d) = Σ_r 1/(c + rank_r(d)) over the
+    given rankings (each a (id, rank) frame; a document absent from a
+    ranking contributes 0).  Returns (id, rrf) top-``k``."""
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col).alias("id"),
+            (F.lit(1.0) / (c + F.col("rank"))).alias("__c"),
+        )
+        for r in rankings
+    ]
+    fused = parts[0]
+    for p in parts[1:]:
+        fused = fused.unionByName(p)
+    out = fused.groupBy("id").agg(F.sum("__c").alias("rrf"))
+    return out.orderBy(F.col("rrf").desc(), F.col("id").asc()).limit(k)

@@ -717,3 +717,4 @@ from merkonvectordb_spark import queries_temporal  # noqa: E402,F401
 from merkonvectordb_spark import queries_streaming  # noqa: E402,F401
 from merkonvectordb_spark import queries_sketch  # noqa: E402,F401
 from merkonvectordb_spark import queries_pipeline  # noqa: E402,F401
+from merkonvectordb_spark import queries_hybrid  # noqa: E402,F401

@@ -1,0 +1,135 @@
+"""Lexical (BM25) and hybrid (BM25 + vector, RRF-fused) retrieval over
+the driver fixtures, with fully-mirrored DuckDB oracles.
+
+The reference retrieves by cosine only; these queries add the other half
+of a production retrieval stack.  As with ``queries_ann``, the oracle
+replays the exact algorithm — same tokenizer, same BM25 constants, same
+rounded-score ranking, same RRF constant — so the hash-compare proves
+both engines compute identical postings, scores, ranks, and fusion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from merkonvectordb_spark.operators.search import knn
+from merkonvectordb_spark.operators.textsearch import (
+    bm25_topk,
+    rank_by,
+    rrf_fuse,
+)
+from merkonvectordb_spark.registry import register
+from merkonvectordb_spark.schema import load_table
+
+_QUERY_TERMS = ("fast", "scan", "vector")
+
+# shared DuckDB CTE: tokenizer parity with functions.text.tokenize
+# (lower → trim → split on \s+ → drop empties), postings, BM25 scores
+# (k1=1.2, b=0.75, idf = ln(1 + (N - df + 0.5)/(df + 0.5))), ranking on
+# the 6-dp-rounded score with doc_id tie-break.
+_BM25_CTE = """
+base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS tl
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(len(tl)) AS avgdl FROM base),
+post AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(tl) AS dl, unnest(tl) AS term FROM base
+  ) WHERE term IN ('fast', 'scan', 'vector') GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+kw AS (
+  SELECT doc_id,
+         round(sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * tf * 2.2
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / s.avgdl))),
+               6) AS score
+  FROM post p JOIN dfreq d USING (term) CROSS JOIN stats s
+  GROUP BY 1
+)
+""".strip()
+
+
+@register(
+    "text_search_bm25",
+    f"""
+WITH {_BM25_CTE}
+SELECT doc_id, score FROM kw ORDER BY score DESC, doc_id LIMIT 10
+""".strip(),
+)
+def q_text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a 3-term query.  Plan shape: the term filter
+    pushes below the postings aggregation (only matched-term rows
+    shuffle), dfreq and corpus stats broadcast, top-k is a heap
+    (TakeOrderedAndProject), never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _QUERY_TERMS, k=10).select(
+        F.col("doc").alias("doc_id"), "score"
+    )
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+WITH {_BM25_CTE},
+kw_top AS (SELECT doc_id, score FROM kw ORDER BY score DESC, doc_id LIMIT 20),
+kw_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM kw_top
+),
+edim AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) > 0
+),
+q AS (SELECT emb AS qv FROM edim WHERE vec_id = 0),
+vecscored AS (
+  SELECT e.vec_id,
+         list_dot_product(e.emb, q.qv)
+         / (sqrt(list_dot_product(e.emb, e.emb))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS raw
+  FROM edim e CROSS JOIN q WHERE len(e.emb) = len(q.qv)
+),
+vec_top AS (
+  SELECT vec_id, round(raw, 6) AS score FROM vecscored
+  WHERE raw >= -1.0 ORDER BY raw DESC, vec_id LIMIT 20
+),
+vec_rank AS (
+  SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS r
+  FROM vec_top
+),
+fused AS (
+  SELECT id, sum(c) AS rrf FROM (
+    SELECT doc_id AS id, 1.0 / (60 + r) AS c FROM kw_rank
+    UNION ALL
+    SELECT vec_id AS id, 1.0 / (60 + r) AS c FROM vec_rank
+  ) GROUP BY id
+)
+SELECT id, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10
+""".strip(),
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 and cosine-kNN top-20 (query =
+    vector 0, the same id space as doc_id per FIXTURES.md) fused by
+    reciprocal rank, top-10 out.  The two retrievals are independent
+    corpus-scale jobs; fusion touches 40 rows.  The kNN half reuses the
+    flagship operator unchanged (raw-score cutoff, rounded output);
+    within each top-20 frame, rank is (rounded score DESC, id ASC) —
+    exactly reproducible cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    kw_top = bm25_topk(docs, _QUERY_TERMS, k=20)
+    kw_rank = rank_by(kw_top, "score", "doc")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(
+        emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    vec_top = knn(emb, qvec, k=20, min_score=-1.0, tie_break="vec_id")
+    vec_rank = rank_by(
+        vec_top.select(F.col("vec_id").alias("doc"), "score"), "score", "doc"
+    )
+    return rrf_fuse([kw_rank, vec_rank], id_col="doc", k=10)

@@ -1,0 +1,80 @@
+"""BM25 scoring, RRF fusion, and the retrieval plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from merkonvectordb_spark.operators.textsearch import (
+    bm25_topk,
+    doc_postings,
+    rank_by,
+    rrf_fuse,
+)
+
+CORPUS = [
+    (1, "fast vector scan fast"),
+    (2, "fast table join"),
+    (3, "slow sort merge"),
+    (4, "vector vector vector scan"),
+    (5, "the quick brown fox"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id LONG, text STRING")
+
+
+def test_postings_counts(spark):
+    rows = {
+        (r.doc, r.term): (r.tf, r.dl)
+        for r in doc_postings(_docs(spark)).collect()
+    }
+    assert rows[(1, "fast")] == (2, 4)
+    assert rows[(4, "vector")] == (3, 4)
+    assert (3, "fast") not in rows
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    out = bm25_topk(_docs(spark), ["fast", "vector", "scan"], k=10).collect()
+    docs = [r.doc for r in out]
+    # only docs containing a query term appear; non-matching docs never do
+    assert set(docs) == {1, 2, 4}
+    # doc 1 matches all three terms (two 'fast') — must outrank doc 2's
+    # single 'fast'
+    assert docs.index(1) < docs.index(2)
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_bm25_empty_query_and_k(spark):
+    assert bm25_topk(_docs(spark), [], k=5).count() == 0
+    assert bm25_topk(_docs(spark), ["fast"], k=0).count() == 0
+
+
+def test_bm25_plan_is_heap_topk(spark):
+    plan = bm25_topk(_docs(spark), ["fast"], k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+
+
+def test_rrf_rewards_agreement(spark):
+    a = rank_by(
+        spark.createDataFrame(
+            [(10, 5.0), (11, 4.0), (12, 3.0)], "doc LONG, score DOUBLE"
+        ),
+        "score",
+        "doc",
+    )
+    b = rank_by(
+        spark.createDataFrame(
+            [(10, 9.0), (13, 8.0)], "doc LONG, score DOUBLE"
+        ),
+        "score",
+        "doc",
+    )
+    out = rrf_fuse([a, b], id_col="doc", k=10).collect()
+    assert out[0].id == 10  # rank 1 in both rankers
+    # present-in-one docs score exactly 1/(60+rank)
+    got = {r.id: r.rrf for r in out}
+    assert abs(got[13] - 1.0 / 62) < 1e-12
+    assert abs(got[10] - 2.0 / 61) < 1e-12
