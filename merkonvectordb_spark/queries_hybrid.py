@@ -133,3 +133,72 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_top.select(F.col("vec_id").alias("doc"), "score"), "score", "doc"
     )
     return rrf_fuse([kw_rank, vec_rank], id_col="doc", k=10)
+
+
+@register(
+    "doc_keywords_tfidf",
+    """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS tl
+  FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM base),
+post AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(tl) AS term FROM base
+  ) GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+scored AS (
+  SELECT p.doc_id, p.term, p.tf,
+         round(p.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+  FROM post p JOIN dfreq d USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf FROM ranked WHERE rn <= 3 AND doc_id < 100
+""".strip(),
+)
+def q_doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 tf-idf terms per document.  The whole
+    corpus flows through the postings aggregation once; the per-doc
+    top-3 is a bounded window (WindowGroupLimit pushes the limit
+    map-side, so the rank shuffle carries ≤ 3·P rows per doc, never a
+    doc's full vocabulary).  The postings⋈dfreq join is left to AQE —
+    at 100 TB the vocabulary is NOT broadcastable."""
+    from merkonvectordb_spark.operators.textsearch import doc_postings
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    post = doc_postings(docs).drop("dl")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # df(term) as a count-over-term window, NOT a groupBy+self-join: the
+    # join form consumes `post` twice, re-running the postings lineage
+    # per consumer (or forcing a persist); the window is one pass with
+    # the same shuffle count and a single lineage
+    wt = Window.partitionBy("term")
+    scored = (
+        post.withColumn("df", F.count(F.lit(1)).over(wt))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") <= 3) & (F.col("doc") < 100))
+        .select(F.col("doc").alias("doc_id"), "term", "tf", "tfidf")
+    )

@@ -57,6 +57,24 @@ def test_bm25_plan_is_heap_topk(spark):
     assert "TakeOrderedAndProject" in plan  # never a global sort
 
 
+def test_tfidf_plan_bounds_pergroup_topk(spark):
+    """The per-doc top-3 must plan as a partial WindowGroupLimit (map-side
+    bounded heap), and postings must appear ONCE in the plan — the df
+    window formulation shares the lineage the join form would duplicate."""
+    from merkonvectordb_spark.queries_hybrid import q_doc_keywords_tfidf
+
+    plan = (
+        q_doc_keywords_tfidf(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    # one postings aggregation, not two: a single exchange on the
+    # (doc, dl, term) grouping key
+    assert plan.count("hashpartitioning(doc#") <= 2  # term-window + rank
+
+
 def test_rrf_rewards_agreement(spark):
     a = rank_by(
         spark.createDataFrame(
