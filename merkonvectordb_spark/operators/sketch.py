@@ -83,3 +83,95 @@ def kmv_merge(*sketches: DataFrame, k: int) -> DataFrame:
     for s in it:
         merged = merged.unionByName(s)
     return merged.distinct().orderBy("h").limit(k)
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: Misra-Gries candidates + exact verification pass
+# ---------------------------------------------------------------------------
+
+
+def mg_candidates(df: DataFrame, column: str, m: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries of ``column``; returns the
+    distinct union of surviving items (≤ m per partition).
+
+    The MG invariant (mergeable-summaries form, Agarwal et al. 2012):
+    after absorbing n_p rows with capacity m, an item's undercount is at
+    most n_p/(m+1) — so every item with partition frequency above that
+    survives, and summing the per-partition bounds, **every item with
+    global frequency > n/(m+1) appears in at least one partition's
+    summary**.  That completeness guarantee is what makes the two-pass
+    exact heavy hitters below correct.
+
+    Each partition's state is a bounded m-entry counter map, merged
+    batch-at-a-time with vectorized pandas ops (value_counts → add →
+    subtract the (m+1)-th largest → drop non-positive): memory is O(m)
+    per task regardless of partition size, and nothing shuffles — the
+    output is the tiny candidate set itself.
+    """
+    if m < 1:
+        raise ValueError("capacity m must be >= 1")
+    import pandas as pd
+
+    src = df.where(F.col(column).isNotNull()).select(
+        F.col(column).cast("string").alias("item")
+    )
+
+    def _mg(batches):
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            batch = pdf["item"].value_counts()
+            counters = counters.add(batch, fill_value=0)
+            if len(counters) > m:
+                cut = counters.nlargest(m + 1).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        yield pd.DataFrame({"item": counters.index.astype(str)})
+
+    return src.mapInPandas(_mg, "item STRING").distinct()
+
+
+def exact_heavy_hitters(
+    df: DataFrame,
+    column: str,
+    phi_num: int,
+    phi_den: int,
+    m: int | None = None,
+) -> DataFrame:
+    """Exact items with frequency ≥ (phi_num/phi_den)·n, in bounded
+    memory: MG candidate generation (pass 1) + exact counting of the
+    candidate set only (pass 2).
+
+    A plain ``groupBy(column)`` is exact but its hash-aggregate state is
+    proportional to the number of DISTINCT items — unbounded on a
+    100 TB key column.  Here pass 2's aggregate only ever holds the
+    ≤ m·P candidate items (broadcast semi-join prunes everything else
+    map-side), and MG completeness (``m ≥ phi_den/phi_num`` ⇒ threshold
+    > n/(m+1)) guarantees no qualifying item was pruned.  The threshold
+    compare is integer arithmetic (``cnt·phi_den ≥ n·phi_num``) — no
+    float boundary, so the result is bit-exact and oracle-checkable
+    against a full GROUP BY ... HAVING.
+    """
+    if phi_num <= 0 or phi_den <= 0:
+        raise ValueError("phi must be a positive rational")
+    need = -(-phi_den // phi_num)  # ceil(1/phi): MG completeness bound
+    cap = m if m is not None else need
+    if cap < need:
+        raise ValueError(
+            f"capacity m={cap} cannot guarantee completeness at "
+            f"phi={phi_num}/{phi_den}; need m >= {need}"
+        )
+    cand = mg_candidates(df, column, cap)
+    src = df.where(F.col(column).isNotNull()).select(
+        F.col(column).cast("string").alias("item")
+    )
+    n_total = src.agg(F.count(F.lit(1)).alias("n"))
+    counted = (
+        src.join(F.broadcast(cand), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(n_total))
+        .where(F.col("cnt") * phi_den >= F.col("n") * phi_num)
+        .select("item", "cnt")
+    )

@@ -64,3 +64,32 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "heavy_hitters",
+    """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS item
+  FROM documents
+),
+counts AS (SELECT item, count(*) AS cnt FROM toks GROUP BY 1),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts)
+SELECT item, cnt FROM counts CROSS JOIN n WHERE cnt * 100 >= n
+""".strip(),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms covering ≥ 1% of the corpus token stream, computed in
+    bounded memory: per-partition Misra-Gries summaries (O(m) state per
+    task, nothing shuffles) propose candidates whose completeness the MG
+    bound guarantees, then one exact counting pass over the broadcast-
+    pruned candidate set.  The oracle is the unbounded formulation
+    (full GROUP BY ... HAVING) — the hash match proves the sketch path
+    loses nothing.  Integer threshold arithmetic on both sides."""
+    from merkonvectordb_spark.functions.text import tokenize
+    from merkonvectordb_spark.operators.sketch import exact_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+    return exact_heavy_hitters(toks, "term", phi_num=1, phi_den=100, m=200)

@@ -75,3 +75,48 @@ def test_bottom_k_plans_as_heap_not_global_sort(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _skewed(spark, n_heavy=400, n_tail=600):
+    """1000 rows: one item at 40%, a long distinct tail."""
+    rows = [("hot",)] * n_heavy + [(f"t{i}",) for i in range(n_tail)]
+    return spark.createDataFrame(rows, "v STRING").repartition(7)
+
+
+def test_mg_candidates_complete_and_bounded(spark):
+    from merkonvectordb_spark.operators.sketch import mg_candidates
+
+    m = 10
+    cand = [r.item for r in mg_candidates(_skewed(spark), "v", m).collect()]
+    assert "hot" in cand  # freq 0.4 > 1/(m+1): MUST survive
+    # bounded: at most m per partition (7 partitions)
+    assert len(cand) <= m * 7
+
+
+def test_exact_heavy_hitters_match_plain_groupby(spark):
+    from merkonvectordb_spark.operators.sketch import exact_heavy_hitters
+
+    import pytest as _pytest
+
+    df = _skewed(spark)
+    got = {
+        (r.item, r.cnt)
+        for r in exact_heavy_hitters(df, "v", 1, 10, m=30).collect()
+    }
+    # ground truth: plain groupBy/HAVING at the same threshold (n=1000)
+    truth = {
+        (r.v, r.cnt)
+        for r in df.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * 10 >= 1000)
+        .collect()
+    }
+    assert got == truth == {("hot", 400)}
+    # capacity below the completeness bound must be rejected, not silent
+    with _pytest.raises(ValueError):
+        exact_heavy_hitters(df, "v", 1, 100, m=50)
