@@ -1,0 +1,70 @@
+"""Cost-based kNN routing: decision correctness and plan equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from merkonvectordb_spark.plans.router import (
+    estimate_rows,
+    route_knn_batch,
+)
+from merkonvectordb_spark.schema import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _fixtures(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qset = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return emb, qset
+
+
+def test_estimate_rows_without_a_job(spark):
+    emb, _ = _fixtures(spark)
+    est = estimate_rows(emb, row_bytes=4 * 64 + 32)
+    exact = emb.count()
+    # catalog-size estimate is order-of-magnitude, never zero
+    assert est > 0
+    assert est / exact < 100 and exact / est < 100
+
+
+def test_router_brute_under_budget_matches_knn_batch(spark):
+    from merkonvectordb_spark.operators.search import knn_batch
+
+    emb, qset = _fixtures(spark)
+    decision, routed = route_knn_batch(
+        emb, qset, k=3, dim=64, n_queries=3,
+        flop_budget=1e15,
+        brute_kwargs={"tie_break": "vec_id"},
+    )
+    assert decision.strategy == "brute"
+    direct = knn_batch(emb, qset, k=3, tie_break="vec_id")
+    cols = ["query_id", "vec_id", "score"]
+    assert sorted(map(tuple, routed.select(cols).collect())) == sorted(
+        map(tuple, direct.select(cols).collect())
+    )
+
+
+def test_router_switches_to_ann_over_budget(spark):
+    emb, qset = _fixtures(spark)
+    decision, routed = route_knn_batch(
+        emb, qset, k=3, dim=64, n_queries=3,
+        flop_budget=1.0,  # everything exceeds this
+    )
+    assert decision.strategy == "ann"
+    assert decision.est_flops > decision.budget
+    out = routed.collect()
+    assert len(out) > 0  # the ANN plan runs and returns candidates
+
+
+def test_router_respects_exactness_requirement(spark):
+    emb, qset = _fixtures(spark)
+    decision, _ = route_knn_batch(
+        emb, qset, k=3, dim=64, n_queries=3,
+        flop_budget=1.0,
+        allow_approx=False,
+        brute_kwargs={"tie_break": "vec_id"},
+    )
+    assert decision.strategy == "brute"  # never silently approximate
