@@ -114,3 +114,63 @@ def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(k), 6).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@register(
+    "events_funnel",
+    """
+WITH agg AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'view') AS t1,
+         list_sort(list(ts) FILTER (WHERE event_type = 'click')) AS clicks,
+         list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS buys
+  FROM events GROUP BY 1
+),
+s2 AS (SELECT user_id, t1, list_filter(clicks, x -> x > t1)[1] AS t2, buys
+       FROM agg),
+s3 AS (SELECT user_id, t1, t2, list_filter(buys, x -> x > t2)[1] AS t3
+       FROM s2)
+SELECT 'view' AS step, count(t1) AS n_users FROM s3
+UNION ALL SELECT 'click', count(t2) FROM s3
+UNION ALL SELECT 'purchase', count(t3) FROM s3
+""".strip(),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): first view, first click
+    strictly after it, first purchase strictly after that.  ONE shuffle:
+    a single per-user conditional aggregation collects each step's
+    (bounded, per-user) timestamp list; the strictly-after walk is array
+    arithmetic on the agg row — no cascading per-step joins, which is
+    what the textbook SQL formulation costs.  The HOF lambdas reference
+    only plain attributes of the aggregated row (t1/t2), not expression
+    subtrees, so nothing re-evaluates per element."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            )
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            )
+        ).alias("buys"),
+    )
+    s2 = agg.withColumn(
+        "t2", F.get(F.filter("clicks", lambda x: x > F.col("t1")), 0)
+    )
+    s3 = s2.withColumn(
+        "t3", F.get(F.filter("buys", lambda x: x > F.col("t2")), 0)
+    )
+    counts = s3.agg(
+        F.count("t1").alias("c1"),
+        F.count("t2").alias("c2"),
+        F.count("t3").alias("c3"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 'view', c1, 'click', c2, 'purchase', c3)"
+        ).alias("step", "n_users")
+    )
