@@ -261,3 +261,70 @@ def stratified_sample(
         F.lit(denom),
     )
     return df.where(bucket < thr_col)
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    tokens_col: str,
+    weights: dict[str, int],
+    budget_tokens: int,
+    salt: str = "",
+) -> DataFrame:
+    """Downsample each stratum toward a token-budget mixture: stratum
+    ``s`` with integer weight ``w_s`` targets ``budget · w_s / Σw``
+    tokens, so its keep-rate is ``min(1, target_s / tokens_s)`` where
+    ``tokens_s`` is the stratum's actual token mass.
+
+    The rate is never materialized as a float: a row survives iff
+
+        bucket(key) · Σw · tokens_s  <  budget · w_s · 10^6
+
+    — exact wide-integer arithmetic (DECIMAL(38,0) here, HUGEINT in the
+    DuckDB oracle; BIGINT would overflow once Σw · tokens_s passes
+    ~9·10^12), so the surviving set is bit-exactly reproducible in any
+    engine, and when a stratum is under its target (rate ≥ 1) the
+    inequality holds for every bucket and the stratum passes through
+    whole.  Two scans: a per-stratum token aggregation (tiny result,
+    broadcast back) and the filter pass; the filter itself is a
+    projection — no shuffle of the data.
+
+    This is the "mix web/code/wiki at 70/20/10 into a 1T-token run"
+    operator; sampling is consistent per key, so reruns and resizes
+    select the same documents.
+    """
+    if budget_tokens < 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("budget and weights must be non-negative")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must have a positive sum")
+    denom = 1_000_000
+    mass = df.groupBy(F.col(strata_col).alias("__s")).agg(
+        F.sum(F.col(tokens_col).cast("bigint")).alias("__mass")
+    )
+    w_expr: Column | None = None
+    for name, w in weights.items():
+        cond = F.col(strata_col) == name
+        w_expr = F.when(cond, w) if w_expr is None else w_expr.when(cond, w)
+    weight = (
+        w_expr.otherwise(0) if w_expr is not None else F.lit(0)
+    ).cast("bigint")
+    bucket = F.pmod(
+        _hash60(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        F.lit(denom),
+    )
+    joined = df.join(
+        F.broadcast(mass), F.col(strata_col) == F.col("__s"), "left"
+    )
+    wide = "decimal(38,0)"
+    keep = (
+        bucket.cast(wide)
+        * F.lit(total_w).cast(wide)
+        * F.coalesce(F.col("__mass"), F.lit(0)).cast(wide)
+    ) < (
+        F.lit(budget_tokens).cast(wide)
+        * weight.cast(wide)
+        * F.lit(denom).cast(wide)
+    )
+    return joined.where(keep).drop("__s", "__mass")

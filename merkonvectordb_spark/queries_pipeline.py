@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from merkonvectordb_spark.operators.pipeline import (
     chunk_tokens,
     hash_split,
+    mixture_sample,
     pack_sequences,
     stratified_sample,
 )
@@ -171,3 +172,43 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt="r3",
     )
     return kept.select("doc_id", "lang", "source")
+
+
+@register(
+    "doc_mixture_sample",
+    """
+WITH mass AS (
+  SELECT source AS s, CAST(sum(n_chars) AS BIGINT) AS m
+  FROM documents GROUP BY 1
+),
+b AS (
+  SELECT doc_id, source, n_chars,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'mx'), 1, 15))
+              AS BIGINT) % 1000000 AS bucket,
+         CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3
+                     WHEN 'src2' THEN 2 ELSE 0 END AS w
+  FROM documents
+)
+SELECT doc_id, source, n_chars
+FROM b JOIN mass ON b.source = mass.s
+WHERE CAST(bucket AS HUGEINT) * 10 * CAST(m AS HUGEINT)
+    < CAST(10000 AS HUGEINT) * CAST(w AS HUGEINT) * 1000000
+""".strip(),
+)
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture: mix src0/src1/src2 at 5:3:2 into a
+    10k-char budget.  The per-stratum keep-rate is derived from the
+    stratum's actual token mass inside the plan (never a driver-side
+    float), and the survival test is exact wide-integer arithmetic —
+    the oracle proves the exact surviving document set matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        docs,
+        "doc_id",
+        "source",
+        "n_chars",
+        {"src0": 5, "src1": 3, "src2": 2},
+        budget_tokens=10_000,
+        salt="mx",
+    )
+    return kept.select("doc_id", "source", "n_chars")

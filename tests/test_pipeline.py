@@ -9,6 +9,7 @@ from merkonvectordb_spark.operators.pipeline import (
     chunk_tokens,
     global_exclusive_prefix_sum,
     hash_split,
+    mixture_sample,
     pack_sequences,
     stratified_sample,
 )
@@ -150,6 +151,38 @@ def test_stratified_sample_is_deterministic_subset(spark):
     assert abs(by_src["3"] / 1250 - 0.25) < 0.1
     with pytest.raises(ValueError):
         stratified_sample(df, "doc_id", "src", {"0": 1.5})
+
+
+def test_mixture_sample_budget_semantics(spark):
+    # 3 strata × 1000 docs × 10 tokens = 10k tokens each
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("src"),
+        F.lit(10).alias("toks"),
+    )
+    kept = mixture_sample(
+        df, "doc_id", "src", "toks",
+        {"s0": 1, "s1": 1}, budget_tokens=25_000,
+    )
+    by = {
+        r.src: r.n
+        for r in kept.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # s2 has weight 0: dropped entirely
+    assert "s2" not in by
+    # each weighted stratum targets 12.5k tokens > its 10k mass: rate
+    # clamps to 1 and the stratum passes through WHOLE (not ~sampled)
+    assert by == {"s0": 1000, "s1": 1000}
+    # now a tight budget: ~30% keep-rate per stratum
+    tight = mixture_sample(
+        df, "doc_id", "src", "toks", {"s0": 1, "s1": 1}, budget_tokens=6000
+    )
+    n = tight.count()
+    assert abs(n - 600) < 120  # 2×3000-token targets / 10 tokens each
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_sample(df, "doc_id", "src", "toks", {"s0": 0}, 100)
 
 
 def test_chunking_short_and_empty_docs(spark):
