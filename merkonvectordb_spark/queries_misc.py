@@ -471,3 +471,45 @@ def q_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(round(p50, 4), round(p90, 4), round(p99, 4), n)],
         "p50 DOUBLE, p90 DOUBLE, p99 DOUBLE, n LONG",
     )
+
+
+def _zorder_sql(cols: list[str], bits: int = 16) -> str:
+    """DuckDB mirror of operators.layout.zorder_key — same bit shuffle."""
+    n = len(cols)
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            # DuckDB's Postgres-style grammar gives |, &, << EQUAL precedence
+            # (left-to-right) -- every term must be fully parenthesized or
+            # the ORs re-associate into giant left shifts
+            terms.append(
+                f"(((({c} % {1 << bits}) >> {i}) & 1) << {i * n + j})"
+            )
+    return "CAST((" + " | ".join(terms) + ") AS BIGINT)"
+
+
+@register(
+    "zorder_key",
+    f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       {_zorder_sql(["l_partkey", "l_suppkey"])} AS z
+FROM lineitem WHERE l_orderkey < 1000
+""".strip(),
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-value for (partkey, suppkey) — the sort key behind the
+    multi-dimensional file-clustering layout (operators.layout).  The
+    bit interleave is a closed-form expression, so the layout decision
+    itself is oracle-checked row-by-row; the clustering QUALITY (every
+    interleaved column gets tight per-partition min/max bounds) is
+    measured in tests/test_layout.py."""
+    from merkonvectordb_spark.operators.layout import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        zorder_key([F.col("l_partkey"), F.col("l_suppkey")]).alias("z"),
+    )
