@@ -513,3 +513,54 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         zorder_key([F.col("l_partkey"), F.col("l_suppkey")]).alias("z"),
     )
+
+
+@register(
+    "supplier_rank_analytics",
+    """
+WITH rev AS (
+  SELECT l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT l_suppkey, qty,
+         CAST(rank()       OVER (ORDER BY qty DESC, l_suppkey) AS BIGINT) AS rnk,
+         CAST(dense_rank() OVER (ORDER BY qty DESC, l_suppkey) AS BIGINT) AS drnk,
+         round(percent_rank() OVER (ORDER BY qty DESC, l_suppkey), 9) AS prk,
+         round(cume_dist()    OVER (ORDER BY qty DESC, l_suppkey), 9) AS cd,
+         CAST(ntile(10) OVER (ORDER BY qty DESC, l_suppkey) AS BIGINT) AS decile
+  FROM rev
+)
+-- filter OUTSIDE the window scope: SQL WHERE runs before window
+-- functions, and the ranks must be computed over ALL suppliers
+SELECT * FROM ranked WHERE l_suppkey % 16 = 0
+""".strip(),
+)
+def q_supplier_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-window family (SURVEY §2.7 — the reference has no
+    window functions at all) in one pass: rank / dense_rank /
+    percent_rank / cume_dist / ntile over per-supplier quantity.  The
+    pre-aggregation shrinks the stream to one row per supplier BEFORE
+    the (inherently single-ordered) ranking window — rank semantics
+    need a total order, so the aggregate-first shape is what keeps the
+    single-partition window stage at dimension size, not fact size.
+    The suppkey filter applies AFTER ranking (it must see all rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("qty").desc(), F.col("l_suppkey").asc())
+    return (
+        rev.select(
+            "l_suppkey",
+            "qty",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.round(F.percent_rank().over(w), 9).alias("prk"),
+            F.round(F.cume_dist().over(w), 9).alias("cd"),
+            F.ntile(10).over(w).cast("bigint").alias("decile"),
+        )
+        .where(F.col("l_suppkey") % 16 == 0)
+    )
