@@ -228,3 +228,85 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("bucket_ts"),
     ).dropDuplicates(["user_id", "event_type", "bucket_ts"])
     return _run_to_memory(keys, "append", work)
+
+
+def _staged_events_split(sf_dir: str, work: str, n_files: int = 4) -> str:
+    """Stage the events parquet as ``n_files`` row-slices (pyarrow, so
+    the TIMESTAMP(NANOS) physical type survives verbatim) — with
+    ``maxFilesPerTrigger=1`` the file source then replays the table as
+    ``n_files`` distinct micro-batches."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    d = os.path.join(work, "src_split")
+    os.makedirs(d, exist_ok=True)
+    step = -(-t.num_rows // n_files)
+    for i in range(n_files):
+        sl = t.slice(i * step, step)
+        if sl.num_rows:
+            pq.write_table(sl, os.path.join(d, f"part-{i}.parquet"))
+    return d
+
+
+@register(
+    "streaming_sketch_distinct",
+    """
+SELECT 'user_id' AS col_name,
+       (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                    ELSE 255.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) END
+        FROM (SELECT DISTINCT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM events WHERE user_id IS NOT NULL
+              ORDER BY h LIMIT 256)) AS est_distinct,
+       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS exact_distinct
+""".strip(),
+)
+def q_streaming_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count maintenance: each micro-batch computes
+    its bottom-k KMV sketch ON THE EXECUTORS (distributed distinct +
+    heap top-k per batch), and the driver folds the k-hash summaries —
+    state is k longs, the mergeable-summary contract in its purest
+    form.  The oracle computes the sketch over the whole table in one
+    shot; the hash match proves fold-over-micro-batches ≡ one-shot,
+    i.e. the merge is lossless no matter how the stream is batched.
+    The exact count rides along to document sketch accuracy."""
+    from merkonvectordb_spark.operators.sketch import kmv_estimate
+
+    k = 256
+    work = tempfile.mkdtemp(prefix="strm_kmv_")
+    src = _staged_events_split(sf_dir, work, n_files=4)
+    ev = stream_events(spark, src, max_files_per_trigger=1)
+
+    state: set[int] = set()
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        from merkonvectordb_spark.operators.sketch import kmv_bottom_k
+
+        batch_hashes = [
+            r.h for r in kmv_bottom_k(batch_df, "user_id", k).collect()
+        ]
+        state.update(batch_hashes)
+        if len(state) > k:
+            keep = sorted(state)[:k]
+            state.clear()
+            state.update(keep)
+
+    q = (
+        ev.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    sketch = spark.createDataFrame(
+        [(h,) for h in sorted(state)[:k]], "h LONG"
+    )
+    est = kmv_estimate(sketch, k)
+    from merkonvectordb_spark.schema import load_table
+
+    exact = load_table(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.lit("user_id").alias("col_name"), "est_distinct", "exact_distinct"
+    )
