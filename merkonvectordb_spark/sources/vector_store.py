@@ -82,9 +82,18 @@ class VectorStore:
     # -- S2 save -----------------------------------------------------------
     def _overwrite_partitions(self, new_rows: DataFrame) -> None:
         """Dynamic partition overwrite: only collections present in
-        ``new_rows`` are rewritten — the scale-safe 'Save' (S2)."""
+        ``new_rows`` are rewritten — the scale-safe 'Save' (S2).
+
+        Range-partitioned on (collection, key), NOT hash-partitioned on
+        collection alone: hash-by-collection funnels each collection
+        through ONE writer task (a 10 TB collection would serialize
+        through a single file/core), while the range layout spreads a
+        big collection across many writers, keeps small collections to
+        few files, and leaves the data key-clustered for read-side
+        min/max pruning on point lookups."""
+        par = self.spark.sparkContext.defaultParallelism
         (
-            new_rows.repartition("collection")
+            new_rows.repartitionByRange(par, "collection", "key")
             .write.mode("overwrite")
             .partitionBy("collection")
             .parquet(self.vectors_path)
@@ -202,6 +211,70 @@ class VectorStore:
         """W8 explicit empty-key purge (never a read side effect)."""
         part = self.vectors().where(F.col("collection") == collection)
         self._overwrite_partitions(ops.delete_empty_keys(part, collection))
+
+    # -- maintenance -------------------------------------------------------
+    def compact(
+        self,
+        collection: str | None = None,
+        target_file_bytes: int = 128 << 20,
+    ) -> dict[str, tuple[int, int]]:
+        """OPTIMIZE-style small-file compaction: bin-pack each collection
+        partition's files into ⌈bytes/target⌉ outputs.
+
+        Every upsert/delete batch rewrites its partition as
+        ``spark.sql.shuffle.partitions``-many files; a write-heavy store
+        accumulates small files, and at scale the scan's task count (and
+        the file-listing cost) grows with file COUNT, not data size.
+        Compaction reads the partition once, repartitions to the target
+        count, stages to a sibling tmp dir, then swaps directories — the
+        stage+swap exists because a partition cannot be overwritten
+        while the plan is still lazily reading it (on an object store
+        the same two steps are a multipart upload + prefix rename).
+        Returns {collection: (files_before, files_after)}.
+        """
+        import glob
+        import math
+        import shutil
+
+        if collection is not None:
+            colls = [collection]
+        else:
+            colls = [
+                d.split("=", 1)[1]
+                for d in (
+                    os.listdir(self.vectors_path)
+                    if os.path.isdir(self.vectors_path)
+                    else []
+                )
+                if d.startswith("collection=")
+            ]
+        out: dict[str, tuple[int, int]] = {}
+        for c in colls:
+            p = os.path.join(self.vectors_path, f"collection={c}")
+            files = glob.glob(os.path.join(p, "*.parquet"))
+            if not files:
+                continue
+            total = sum(os.path.getsize(f) for f in files)
+            n_target = max(1, math.ceil(total / target_file_bytes))
+            if len(files) <= n_target:
+                out[c] = (len(files), len(files))
+                continue
+            part = (
+                self.vectors()
+                .where(F.col("collection") == c)
+                .drop("collection")
+            )
+            tmp = p + ".compact_tmp"
+            part.repartition(n_target).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(p)
+            os.makedirs(p)
+            moved = 0
+            for f in glob.glob(os.path.join(tmp, "*.parquet")):
+                shutil.move(f, os.path.join(p, os.path.basename(f)))
+                moved += 1
+            shutil.rmtree(tmp, ignore_errors=True)
+            out[c] = (len(files), moved)
+        return out
 
     # -- P1 / R1 / S3 reads ------------------------------------------------
     def get(self, collection: str, key: str, with_embedding: bool = True):

@@ -240,3 +240,39 @@ def test_vector_store_upsert_seq_spans_collections(spark, tmp_path):
     store.upsert(b)
     seqs = sorted(r.ingest_seq for r in store.vectors().collect())
     assert seqs == [1, 2]
+
+
+def test_compaction_binpacks_files_and_preserves_rows(spark, tmp_path):
+    import glob
+    import os
+
+    store = VectorStore(spark, str(tmp_path))
+    # 5 upsert batches -> each rewrites the partition as up-to-32 files
+    for b in range(5):
+        recs = spark.createDataFrame(
+            [
+                ("c0", "x", '{"id":"k%d_%d"}' % (b, i), [float(b), float(i)], TS)
+                for i in range(20)
+            ],
+            "collection STRING, key STRING, metadata STRING, "
+            "embedding ARRAY<FLOAT>, ts TIMESTAMP",
+        )
+        store.upsert(recs)
+    part = os.path.join(str(tmp_path), "vectors", "collection=c0")
+    before_rows = sorted(
+        (r.key, r.ingest_seq) for r in store.vectors().collect()
+    )
+    n_files_before = len(glob.glob(os.path.join(part, "*.parquet")))
+    assert n_files_before > 1
+
+    stats = store.compact("c0", target_file_bytes=1 << 30)
+    n_before, n_after = stats["c0"]
+    assert n_before == n_files_before and n_after == 1
+    assert len(glob.glob(os.path.join(part, "*.parquet"))) == 1
+    # identical table state after compaction (content, not layout)
+    after_rows = sorted(
+        (r.key, r.ingest_seq) for r in store.vectors().collect()
+    )
+    assert after_rows == before_rows
+    # idempotent: already-compacted partitions are left untouched
+    assert store.compact("c0", target_file_bytes=1 << 30)["c0"] == (1, 1)
