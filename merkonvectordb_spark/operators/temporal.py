@@ -114,3 +114,44 @@ def interval_join(
         )
         .drop("__bin")
     )
+
+
+def scd2_history(
+    df,
+    key_cols,
+    attr_col: str,
+    ts_col: str = "ts",
+    order_cols=("ts",),
+):
+    """Type-2 slowly-changing-dimension historization: collapse an event
+    log into validity intervals — one row per (key, attribute-run) with
+    ``valid_from`` / ``valid_to`` (NULL = currently open).
+
+    Change detection is ``lag(attr) != attr`` over the per-key order;
+    interval close is ``lead(valid_from)`` over the surviving change
+    rows.  Both windows hash-partition on the key — Spark reuses the
+    single exchange for the two window stages, so the whole
+    historization is ONE shuffle of the log, no self-joins.  Ties in
+    the order must be broken by unique columns (pass them in
+    ``order_cols``) or runs are nondeterministic.
+    """
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    order = [F.asc(c) for c in order_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = (
+        df.withColumn("__prev", F.lag(F.col(attr_col)).over(w))
+        .where(
+            F.col("__prev").isNull()
+            | (F.col("__prev") != F.col(attr_col))
+        )
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return changed.select(
+        *keys,
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w2).alias("valid_to"),
+    )

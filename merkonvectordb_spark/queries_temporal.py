@@ -162,3 +162,38 @@ def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(w), 6).alias("mov_avg"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
     )
+
+
+@register(
+    "events_scd2_history",
+    """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id FROM marked
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM changes
+""".strip(),
+)
+def q_events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 historization of each user's event_type: the event log
+    collapses into validity intervals (valid_to NULL = current).  Both
+    windows share one hash partitioning on user_id — a single shuffle
+    of the log, no self-joins (operators.temporal.scd2_history)."""
+    from merkonvectordb_spark.operators.temporal import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_history(
+        ev,
+        key_cols=("user_id",),
+        attr_col="event_type",
+        ts_col="ts",
+        order_cols=("ts", "event_id"),
+    )

@@ -146,3 +146,40 @@ def test_asof_single_shuffle_plan(spark, quotes):
     # union-merge shape: ONE hash exchange on the key, no join node
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_scd2_history_intervals_and_single_shuffle(spark):
+    import datetime as dt
+
+    from merkonvectordb_spark.operators.temporal import scd2_history
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, "a", t(1), 1), (1, "a", t(2), 2),  # run of a
+        (1, "b", t(3), 3),                      # change -> close a at t3
+        (1, "a", t(5), 4),                      # back to a (new interval!)
+        (2, "x", t(9), 5),                      # single open row
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, event_type STRING, ts TIMESTAMP, event_id LONG"
+    )
+    out = scd2_history(
+        df, ("user_id",), "event_type", "ts", ("ts", "event_id")
+    )
+    # read the plan BEFORE executing: after an action, AdaptiveSparkPlan
+    # toString prints Final AND Initial sections (double-counts operators)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+    got = sorted(
+        (r.user_id, r.event_type, r.valid_from.second,
+         r.valid_to.second if r.valid_to else None)
+        for r in out.collect()
+    )
+    assert got == [
+        (1, "a", 1, 3),   # repeated 'a' collapses into one interval
+        (1, "a", 5, None),  # returning to 'a' opens a NEW interval
+        (1, "b", 3, 5),
+        (2, "x", 9, None),
+    ]
