@@ -564,3 +564,64 @@ def q_supplier_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("l_suppkey") % 16 == 0)
     )
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank iteration (mirror of operators.graph)."""
+    return f"""
+c_{out} AS (
+  SELECT e.dst, sum({prev}.r / deg.d) AS s
+  FROM edges e JOIN {prev} ON e.src = {prev}.node
+               JOIN deg ON e.src = deg.src
+  GROUP BY 1
+),
+{out} AS (
+  SELECT node,
+         round(0.15 / (SELECT n FROM nn)
+               + 0.85 * coalesce(c_{out}.s, 0), 9) AS r
+  FROM nodes LEFT JOIN c_{out} ON node = c_{out}.dst
+)""".strip()
+
+
+@register(
+    "graph_pagerank",
+    f"""
+WITH pairs AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS a,
+                  'p' || CAST(l_partkey AS VARCHAR) AS b
+  FROM lineitem
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+{_pr_iter_sql("r0", "r1")},
+{_pr_iter_sql("r1", "r2")},
+{_pr_iter_sql("r2", "r3")}
+SELECT node, round(r, 6) AS rank FROM r3
+""".strip(),
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85) on the symmetrized supplier–part
+    co-occurrence graph from lineitem.  Each iteration shuffles |E|
+    contribution rows — the dataflow formulation, no adjacency blowup,
+    no driver-side graph.  The oracle unrolls the same three iterations
+    with per-iteration 9 dp rounding, so the hash match verifies every
+    round, not just the fixed point's neighborhood."""
+    from merkonvectordb_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("a"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("b"),
+    ).distinct()
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    n_nodes = edges.select("src").distinct().count()
+    out = pagerank(edges, n_nodes, iterations=3, damping=0.85)
+    return out.select("node", F.round("r", 6).alias("rank"))

@@ -1,0 +1,31 @@
+"""PageRank dataflow: mass conservation and centrality ordering."""
+
+from __future__ import annotations
+
+import pytest
+
+from merkonvectordb_spark.operators.graph import pagerank
+
+
+def _star(spark):
+    """Hub 0 connected to spokes 1..5, symmetrized."""
+    pairs = [(0, i) for i in range(1, 6)]
+    edges = pairs + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(edges, "src LONG, dst LONG")
+
+
+def test_pagerank_mass_and_ordering(spark):
+    out = {r.node: r.r for r in pagerank(_star(spark), 6, iterations=5).collect()}
+    assert len(out) == 6
+    # rank mass is conserved (no dangling nodes in a symmetrized graph)
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    # the hub out-ranks every spoke, spokes are symmetric
+    assert all(out[0] > out[i] for i in range(1, 6))
+    spoke_ranks = {round(out[i], 9) for i in range(1, 6)}
+    assert len(spoke_ranks) == 1
+
+
+def test_pagerank_rejects_empty(spark):
+    df = spark.createDataFrame([], "src LONG, dst LONG")
+    with pytest.raises(ValueError):
+        pagerank(df, 0)
