@@ -625,3 +625,36 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = edges.select("src").distinct().count()
     out = pagerank(edges, n_nodes, iterations=3, damping=0.85)
     return out.select("node", F.round("r", 6).alias("rank"))
+
+
+@register(
+    "source_geomean",
+    """
+SELECT source,
+       count(*) AS n_docs,
+       round(exp(avg(ln(n_chars))), 6) AS geo_mean_chars
+FROM documents WHERE n_chars > 0
+GROUP BY source
+""".strip(),
+)
+def q_source_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDAF extension point (SURVEY §2.7: the reference has no
+    aggregate surface at all): per-source geometric mean of document
+    length via a grouped-agg pandas UDF.  The oracle is the closed form
+    exp(avg(ln x)) — proving the Python aggregate computes the same
+    reduction.  UDAF trade-off on display: no partial aggregation, each
+    group funnels to one task (20 sources here; bucket huge keys)."""
+    from merkonvectordb_spark.functions.extensions import (
+        geometric_mean_udf,
+        group_size_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    # all-pandas aggregation list: Spark refuses to mix grouped-agg
+    # pandas UDFs with JVM aggregates in one agg()
+    return docs.groupBy("source").agg(
+        group_size_udf()(F.col("n_chars")).alias("n_docs"),
+        F.round(geometric_mean_udf()(F.col("n_chars")), 6).alias(
+            "geo_mean_chars"
+        ),
+    )
