@@ -575,3 +575,60 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def fuzzy_self_join(
+    df: DataFrame,
+    str_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Edit-distance self-join (entity resolution / spell-candidate
+    matching): all unordered pairs with ``levenshtein ≤ max_dist``,
+    WITHOUT the all-pairs cross product.
+
+    Blocking is the length band: two strings within distance d differ
+    in length by at most d, so each string is emitted into blocks
+    ``len .. len+d`` and a pair meets where the block equals the LONGER
+    string's length — exactly once, no cross-block dedup pass.  The
+    blocking is lossless (a pure consequence of the edit-distance
+    metric), which is why the oracle can be the brute-force
+    formulation.  At scale, length alone is a coarse partition — the
+    production composition adds the rarest-q-gram prefix filter
+    (``ngram_jaccard_pairs``'s machinery) INSIDE each band; the
+    verify-with-levenshtein stage is unchanged.
+
+    Returns (s1, s2, dist) with s1 < s2.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    base = df.select(F.col(str_col).alias("s")).where(
+        F.col("s").isNotNull()
+    ).distinct()
+    blocks = base.select(
+        "s",
+        F.length("s").alias("len"),
+        F.explode(
+            F.array(*[F.length("s") + F.lit(i) for i in range(max_dist + 1)])
+        ).alias("block"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.s") < F.col("b.s"))
+        & (
+            F.col("a.block")
+            == F.greatest(F.col("a.len"), F.col("b.len"))
+        ),
+    )
+    return (
+        pairs.withColumn(
+            "dist", F.levenshtein(F.col("a.s"), F.col("b.s"))
+        )
+        .where(F.col("dist") <= max_dist)
+        .select(
+            F.col("a.s").alias("s1"),
+            F.col("b.s").alias("s2"),
+            F.col("dist").cast("bigint").alias("dist"),
+        )
+    )

@@ -273,3 +273,33 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_corpus(spark, sf_dir), "doc_id", "text", max_hamming=7
     )
     return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@register(
+    "fuzzy_vocab_join",
+    """
+WITH w AS (
+  SELECT DISTINCT unnest(list_filter(
+    string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS t
+  FROM documents
+)
+SELECT a.t AS s1, b.t AS s2,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+FROM w a JOIN w b ON a.t < b.t
+WHERE levenshtein(a.t, b.t) <= 2
+""".strip(),
+)
+def q_fuzzy_vocab_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance ≤ 2 pairs over the corpus vocabulary.  The engine
+    runs the length-banded blocking join (operators.dedup
+    .fuzzy_self_join); the oracle is the BRUTE-FORCE all-pairs
+    formulation — the hash match proves the blocking is lossless, the
+    same verification pattern as dedup_ngram."""
+    from merkonvectordb_spark.functions.text import tokenize
+    from merkonvectordb_spark.operators.dedup import fuzzy_self_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        F.explode(tokenize(F.col("text"))).alias("term")
+    ).distinct()
+    return fuzzy_self_join(vocab, "term", max_dist=2)

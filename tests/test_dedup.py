@@ -193,3 +193,36 @@ def test_ngram_prefix_filter_prunes(spark):
     ).agg(F.sum("p")).first()[0]
     total_rows = g.count()
     assert pref_rows < total_rows / 3  # prefixes are a small fraction of grams
+
+
+def test_fuzzy_self_join_lossless_and_duplicate_free(spark):
+    from pyspark.sql import functions as F
+
+    from merkonvectordb_spark.operators.dedup import fuzzy_self_join
+
+    words = [
+        "cat", "cart", "card", "care", "car", "dog", "dig", "dug",
+        "spark", "shark", "stark", "a", "ab", "abc",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "term STRING")
+    for d in (0, 1, 2):
+        got = sorted(
+            (r.s1, r.s2, r.dist)
+            for r in fuzzy_self_join(df, "term", max_dist=d).collect()
+        )
+        # brute force: the cross product the blocking must reproduce
+        a, b = df.alias("a"), df.alias("b")
+        brute = sorted(
+            (r.s1, r.s2, r.dist)
+            for r in a.join(b, F.col("a.term") < F.col("b.term"))
+            .select(
+                F.col("a.term").alias("s1"),
+                F.col("b.term").alias("s2"),
+                F.levenshtein("a.term", "b.term").cast("bigint").alias("dist"),
+            )
+            .where(F.col("dist") <= d)
+            .collect()
+        )
+        assert got == brute, f"divergence at max_dist={d}"
+        # a pair must meet in exactly one block: no duplicates
+        assert len(got) == len({(s1, s2) for s1, s2, _ in got})
