@@ -129,3 +129,67 @@ def test_tpch_q2_correlated_min_is_broadcast_back(spark, sf_dir):
     plan = _plan(queries()["tpch_q2"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_bm25_term_filter_pushes_below_postings_agg(spark, sf_dir):
+    """Only query-term rows may reach the postings shuffle: the isin
+    filter must sit below the (doc, dl, term) aggregation, not above."""
+    from merkonvectordb_spark.operators.textsearch import bm25_topk
+    from merkonvectordb_spark.schema import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(bm25_topk(docs, ["fast", "scan"], k=5))
+    # the partial aggregate's input already carries the term filter:
+    # Catalyst rewrites isin on a grouping key into a pre-agg Filter
+    lines = plan.splitlines()
+    agg_line = next(i for i, ln in enumerate(lines) if "HashAggregate" in ln)
+    term_filter = next(
+        i for i, ln in enumerate(lines)
+        if "Filter " in ln and "fast" in ln and "scan" in ln
+    )
+    # toString prints children BELOW parents: a larger line index is a
+    # deeper operator — the term filter must sit under the aggregates
+    assert term_filter > agg_line
+
+
+def test_funnel_is_single_shuffle(spark, sf_dir):
+    """The ordered funnel must be ONE per-user exchange — a per-step
+    join cascade would show three."""
+    from merkonvectordb_spark.queries_events import q_events_funnel
+
+    plan = _plan(q_events_funnel(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_seq_packing_has_no_global_window(spark, sf_dir):
+    """The prefix sum must never plan a single-partition global window
+    (sum() OVER (ORDER BY) with empty PARTITION BY)."""
+    from merkonvectordb_spark.queries_pipeline import q_seq_packing
+
+    plan = _plan(q_seq_packing(spark, sf_dir))
+    assert "Window" not in plan  # two-pass form: no window operator at all
+    assert "Exchange rangepartitioning" in plan
+
+
+def test_heavy_hitters_prunes_via_broadcast_semi(spark, sf_dir):
+    """Pass 2 must semi-join the tiny candidate set map-side: the exact
+    count's aggregate state is bounded by candidates, not vocabulary."""
+    from merkonvectordb_spark.queries_sketch import q_heavy_hitters
+
+    plan = _plan(q_heavy_hitters(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_pagerank_broadcasts_ranks_not_edges(spark):
+    """Per iteration the small side (ranks/deg at node cardinality) may
+    broadcast; the edge list itself must never be the build side of a
+    nested loop."""
+    from merkonvectordb_spark.operators.graph import pagerank
+
+    pairs = [(i, (i * 7) % 50) for i in range(400)]
+    edges = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in pairs if a != (a * 7) % 50],
+        "src STRING, dst STRING",
+    )
+    plan = _plan(pagerank(edges, 50, iterations=2))
+    assert "BroadcastNestedLoopJoin" not in plan
