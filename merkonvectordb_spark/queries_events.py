@@ -174,3 +174,51 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(3, 'view', c1, 'click', c2, 'purchase', c3)"
         ).alias("step", "n_users")
     )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+WITH cohorts AS (
+  SELECT user_id,
+         CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS active_week
+  FROM events
+)
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, a.active_week) // 7 AS BIGINT)
+         AS week_offset,
+       count(*) AS n_users
+FROM activity a JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+""".strip(),
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort triangle: users grouped by first-active week,
+    counted in each later week they return.  Two aggregations (cohort
+    min, distinct activity) + one user-key join — every stage shrinks
+    the stream before the next, and the output is cohort-weeks ×
+    offsets, never user-scale.  (activity is already distinct per
+    (user, week), so count(*) IS the distinct-user count — no second
+    distinct aggregation.)"""
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
