@@ -222,3 +222,49 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "events_incremental_agg",
+    """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(min(user_id) AS BIGINT) AS min_user,
+       CAST(max(user_id) AS BIGINT) AS max_user
+FROM events
+""".strip()
+    + "\nGROUP BY 1",
+)
+def q_events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: history and a late-arriving delta
+    are aggregated SEPARATELY, then merged (operators.incremental) —
+    the oracle is the full recompute over everything, so the hash match
+    proves maintain(state, delta) ≡ recompute.  Sums are integer-scaled
+    (floor(value·100)): associative, so the two-step fold is bit-equal
+    to the one-shot sum — the double-sum ulp trap cannot appear."""
+    from merkonvectordb_spark.operators.incremental import (
+        aggregate_state,
+        merge_states,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("bigint")
+    )
+    cut = F.col("event_id") % 10 < 7  # "history" vs "delta" split
+    aggs = {
+        "n_events": ("count", "event_id"),
+        "sum_cents": ("sum", "cents"),
+        "min_user": ("min", "user_id"),
+        "max_user": ("max", "user_id"),
+    }
+    state = aggregate_state(ev.where(cut), ["event_type"], aggs)
+    delta = aggregate_state(ev.where(~cut), ["event_type"], aggs)
+    merged = merge_states(state, delta, ["event_type"], aggs)
+    return merged.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        F.col("min_user").cast("bigint").alias("min_user"),
+        F.col("max_user").cast("bigint").alias("max_user"),
+    )
