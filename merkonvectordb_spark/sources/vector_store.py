@@ -276,6 +276,38 @@ class VectorStore:
             out[c] = (len(files), moved)
         return out
 
+    def vacuum(self, older_than, collection: str | None = None) -> int:
+        """TTL retention: drop rows with ``ts`` strictly older than the
+        cutoff; returns rows removed.  Only partitions that actually
+        contain expired rows are rewritten (the expiry probe aggregates
+        per collection first — a collection with nothing expired is
+        never touched, so steady-state vacuums are near-free).  NULL
+        timestamps never expire."""
+        state = self.vectors()
+        if collection is not None:
+            state = state.where(F.col("collection") == collection)
+        expired = F.col("ts").isNotNull() & (
+            F.col("ts") < F.lit(older_than).cast("timestamp")
+        )
+        hit = [
+            r["collection"]
+            for r in state.where(expired)
+            .select("collection")
+            .distinct()
+            .collect()
+        ]
+        if not hit:
+            return 0
+        touched = state.where(F.col("collection").isin(hit))
+        n_before = touched.count()
+        kept = touched.where(~expired)
+        # count BEFORE the overwrite: afterwards the lazy lineage would
+        # re-read the rewritten files (numerically same, semantically
+        # wrong source)
+        n_kept = kept.count()
+        self._overwrite_partitions(kept)
+        return n_before - n_kept
+
     # -- P1 / R1 / S3 reads ------------------------------------------------
     def get(self, collection: str, key: str, with_embedding: bool = True):
         """P1/E3 point lookup: first match or None (MerkonDatabase.cs:26-32)."""

@@ -276,3 +276,27 @@ def test_compaction_binpacks_files_and_preserves_rows(spark, tmp_path):
     assert after_rows == before_rows
     # idempotent: already-compacted partitions are left untouched
     assert store.compact("c0", target_file_bytes=1 << 30)["c0"] == (1, 1)
+
+
+def test_vacuum_expires_only_old_rows(spark, tmp_path):
+    import datetime as dt
+
+    store = VectorStore(spark, str(tmp_path))
+    old, new = dt.datetime(2020, 1, 1), dt.datetime(2024, 6, 1)
+    recs = spark.createDataFrame(
+        [
+            ("c0", "x", '{"id":"old1"}', [1.0, 0.0], old),
+            ("c0", "x", '{"id":"new1"}', [0.0, 1.0], new),
+            ("c1", "x", '{"id":"new2"}', [0.5, 0.5], new),
+            ("c1", "x", '{"id":"nots"}', [0.5, 0.5], None),
+        ],
+        "collection STRING, key STRING, metadata STRING, "
+        "embedding ARRAY<FLOAT>, ts TIMESTAMP",
+    )
+    store.upsert(recs)
+    removed = store.vacuum(dt.datetime(2022, 1, 1))
+    assert removed == 1
+    left = {r.key for r in store.vectors().collect()}
+    assert left == {"new1", "new2", "nots"}  # NULL ts never expires
+    # steady state: nothing expired, nothing rewritten, zero removed
+    assert store.vacuum(dt.datetime(2022, 1, 1)) == 0
