@@ -37,9 +37,14 @@ def pagerank(
     full degree aggregation lineage (measured perf law)."""
     if n_nodes <= 0:
         raise ValueError("need a non-empty graph")
+    # the edge list feeds degree + scoring + node derivation, and nodes
+    # re-enter EVERY iteration's left join — without persist each
+    # reference re-executes the upstream lineage (union-of-distinct at
+    # the caller), turning 3 iterations into ~10 redundant shuffles
+    edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     edeg = edges.join(deg, "src").persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("r", F.lit(1.0 / n_nodes))
     for _ in range(iterations):
