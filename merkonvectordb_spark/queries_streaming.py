@@ -113,7 +113,7 @@ def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH flagged AS (
   SELECT user_id, ts, value,
-         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_SEC} * 1000000
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {SESSION_GAP_SEC} * 1000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -132,21 +132,46 @@ rolled AS (
 )
 SELECT user_id, start_us, end_us, n_events, sum_value
 FROM rolled
-QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id)
+WHERE end_us + {SESSION_GAP_SEC} * 1000000 <= (SELECT max(epoch_us(ts)) FROM events)
 """.strip(),
 )
 def q_streaming_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The custom stateful operator (applyInPandasWithState gap
-    sessionizer) run END TO END as a stream; emits closed sessions.  The
-    closed set is batch-boundary-invariant — each user's final session
-    stays open in state — so the DuckDB oracle is the batch sessionizer
-    QUALIFY-filtered to drop every user's last session."""
+    """Gap sessionization BY THE STREAMING ENGINE, emitting closed
+    sessions: built-in ``session_window`` aggregation (JVM whole-stage,
+    mergeable session state) + a 0-second watermark.  Append mode emits
+    a session once the watermark passes its window end (= last event +
+    gap), so the closed set is exactly the sessions whose gap deadline
+    precedes the stream's max event time — deterministic and mirrored by
+    the oracle's WHERE.  Session-merge semantics: an event extends a
+    session iff it lands strictly inside (gap >= breaks), hence ``>=``
+    in the oracle's new-session flag.
+
+    The Python-side twin (``streaming.stateful.sessionize_stream``,
+    applyInPandasWithState) expresses the same fold for semantics the
+    built-in can't (custom merge logic, per-session payloads); its fold
+    logic is pytest-verified.  This registered path stays JVM-native —
+    at 100 TB/day the sessionizer must not cross into Python."""
     work = tempfile.mkdtemp(prefix="strq_sess_")
     src = _staged_events_dir(sf_dir, work)
-    stream = sessionize_stream(
-        stream_events(spark, src), gap_sec=SESSION_GAP_SEC
+    ev = stream_events(spark, src).withWatermark("ts", "0 seconds")
+    sess = ev.groupBy(
+        F.session_window("ts", f"{SESSION_GAP_SEC} seconds"),
+        "user_id",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
     )
-    out = _run_to_memory(stream, "append", work)
+    out_stream = sess.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("start_us"),
+        (
+            F.unix_micros(F.col("session_window.end"))
+            - F.lit(SESSION_GAP_SEC * 1_000_000)
+        ).alias("end_us"),
+        "n_events",
+        "sum_value",
+    )
+    out = _run_to_memory(out_stream, "append", work)
     return out.select(
         "user_id", "start_us", "end_us", "n_events", "sum_value"
     )

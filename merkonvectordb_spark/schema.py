@@ -95,10 +95,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import types as T
 
     for f in df.schema.fields:
-        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+        if f.name != "ts":
+            continue
+        if isinstance(f.dataType, T.LongType):
             # integral `div`, NOT `/1000` + floor: the double round-trip
             # loses precision above 2^53 ns and lands ±1 µs off
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            # Newer readers surface TIMESTAMP(NANOS, adjusted=false) as
+            # TIMESTAMP_NTZ (micros-truncated) instead of LONG.  Session TZ
+            # is pinned UTC, so the NTZ→TIMESTAMP cast maps wall-clock to
+            # the same UTC instant the LONG path produces — downstream
+            # unix_micros()/window() see one canonical TIMESTAMP either way.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

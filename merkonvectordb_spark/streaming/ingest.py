@@ -38,15 +38,24 @@ def stream_events(
 ) -> DataFrame:
     """File-source stream over driver-shaped events parquet.
 
-    ``ts`` arrives as LONG nanoseconds (parquet TIMESTAMP(NANOS) under
-    ``nanosAsLong`` — same normalization as ``schema.load_table``):
-    integral-div to a microsecond TIMESTAMP.
+    ``ts`` arrives as LONG via the user-supplied schema, but the UNIT
+    depends on the reader build: older readers hand back the raw
+    TIMESTAMP(NANOS) int64 (nanos), newer ones pre-truncate to micros.
+    Normalize by magnitude: epoch-µs for any date before year ~2260 is
+    < 9.2e15, while epoch-ns for any date after 1973 is > 1e17 — the two
+    regimes are 10× apart, so the 1e17 cut is unambiguous.
     """
     reader = spark.readStream.schema(EVENTS_RAW_DDL)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(source_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.when(F.abs(F.col("ts")) > F.lit(10**17), F.expr("ts div 1000"))
+            .otherwise(F.col("ts"))
+        ),
+    )
 
 
 def windowed_counts(

@@ -1,19 +1,139 @@
-"""applyInPandasWithState sessionization: cross-batch session merging
-that a per-batch groupBy cannot express."""
+"""The custom stateful sessionizer's fold logic, plus the JVM-native
+``session_window`` streaming path end-to-end.
+
+The ``applyInPandasWithState`` fold (``make_session_fn``) is verified at
+the FUNCTION level with a fake GroupState: this pins the cross-batch
+merge, late-event, and timeout-flush semantics without depending on the
+runtime's Python-in-streaming plumbing (the 4.1.2 runtime here silently
+drops ALL Python-operator output inside micro-batches — state commits,
+sink rows vanish — so end-to-end coverage of the Python operator is not
+runnable; the registered ``streaming_sessionize_closed`` query therefore
+uses the built-in session_window aggregation, tested end-to-end below).
+"""
 
 from __future__ import annotations
 
 import shutil
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
 from merkonvectordb_spark.schema import load_table
 from merkonvectordb_spark.streaming import stream_events
-from merkonvectordb_spark.streaming.stateful import sessionize_stream
+from merkonvectordb_spark.streaming.stateful import make_session_fn
 
 SF = "/root/testdata/sf0.001"
 GAP = 1800
+US = 1_000_000
+
+
+class FakeState:
+    """Duck-typed GroupState: tuple value + timeout bookkeeping."""
+
+    def __init__(self, value=None, has_timed_out=False):
+        self._v = value
+        self.hasTimedOut = has_timed_out
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        if self._v is None:
+            raise ValueError("state empty")
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _pdf(rows):
+    """rows: (event_id, ts_us, value) → the pandas frame the operator sees."""
+    return pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] * 1000 for r in rows], unit="ns"),
+            "value": [r[2] for r in rows],
+        }
+    )
+
+
+def _run(fn, state, batches):
+    out = []
+    for batch in batches:
+        for frame in fn((1,), iter([_pdf(batch)]), state):
+            out.extend(map(tuple, frame.itertuples(index=False)))
+    return out
+
+
+def test_fold_closes_on_gap_and_keeps_last_open():
+    fn = make_session_fn(gap_sec=GAP)
+    state = FakeState()
+    t0 = 1_700_000_000 * US
+    closed = _run(
+        fn,
+        state,
+        [[(1, t0, 1.0), (2, t0 + 10 * US, 2.0), (3, t0 + 5000 * US, 4.0)]],
+    )
+    # gap 5000s > 1800s closes session 1; session 2 stays open in state
+    assert closed == [(1, t0, t0 + 10 * US, 2, 3.0)]
+    assert state.get == (t0 + 5000 * US, t0 + 5000 * US, 1, 4.0)
+
+
+def test_fold_merges_sessions_across_batches():
+    """An open session from batch 1 extends in batch 2 — the semantics a
+    per-batch groupBy cannot express."""
+    fn = make_session_fn(gap_sec=GAP)
+    state = FakeState()
+    t0 = 1_700_000_000 * US
+    closed = _run(
+        fn,
+        state,
+        [
+            [(1, t0, 1.0), (2, t0 + 100 * US, 2.0)],
+            [(3, t0 + 200 * US, 4.0), (4, t0 + 9000 * US, 8.0)],
+        ],
+    )
+    # batch-2 event at +200s is within gap of the open session → merge;
+    # +9000s breaks it → the merged 3-event session closes
+    assert closed == [(1, t0, t0 + 200 * US, 3, 7.0)]
+    assert state.get == (t0 + 9000 * US, t0 + 9000 * US, 1, 8.0)
+
+
+def test_fold_late_event_never_regresses_session_end():
+    """A late-but-within-gap event must extend counts without moving the
+    session end backwards (else the timeout fires early and splits the
+    session)."""
+    fn = make_session_fn(gap_sec=GAP, event_time_timeout=True)
+    state = FakeState()
+    t0 = 1_700_000_000 * US
+    _run(fn, state, [[(1, t0 + 100 * US, 1.0)]])
+    assert state.get[1] == t0 + 100 * US
+    _run(fn, state, [[(2, t0, 2.0)]])  # late: t < last, within gap
+    start, last, cnt, vsum = state.get
+    assert (start, last, cnt, vsum) == (t0, t0 + 100 * US, 2, 3.0)
+    # timeout anchored to the TRUE last event + gap
+    assert state.timeout_ms == (t0 + 100 * US + GAP * US) // 1000
+
+
+def test_fold_timeout_flushes_open_session():
+    fn = make_session_fn(gap_sec=GAP, event_time_timeout=True)
+    t0 = 1_700_000_000 * US
+    state = FakeState(value=(t0, t0 + 10 * US, 2, 3.0), has_timed_out=True)
+    out = []
+    for frame in fn((7,), iter([]), state):
+        out.extend(map(tuple, frame.itertuples(index=False)))
+    assert out == [(7, t0, t0 + 10 * US, 2, 3.0)]
+    assert not state.exists
 
 
 @pytest.fixture()
@@ -24,33 +144,32 @@ def events_dir(tmp_path):
     return str(d)
 
 
-def _batch_sessions(spark):
-    """Ground truth via the batch sessionizer shape."""
-    from pyspark.sql import Window
-
-    ev = load_table(spark, SF, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-    flagged = ev.withColumn(
-        "new_sess", F.when(gap_us > GAP * 1_000_000, 1).otherwise(0)
+def test_session_window_stream_matches_batch_closed_set(
+    spark, events_dir, tmp_path
+):
+    """End-to-end streaming sessionization via the built-in
+    session_window aggregation: append mode emits each session once the
+    watermark passes its gap deadline; the closed set must equal the
+    batch sessionizer filtered the same way."""
+    ev = stream_events(spark, events_dir).withWatermark("ts", "0 seconds")
+    sess = ev.groupBy(
+        F.session_window("ts", f"{GAP} seconds"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
     )
-    sess = flagged.withColumn("session_seq", F.sum("new_sess").over(w))
-    return (
-        sess.groupBy("user_id", "session_seq")
-        .agg(
-            F.unix_micros(F.min("ts")).alias("start_us"),
-            F.unix_micros(F.max("ts")).alias("end_us"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
+    out = sess.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("start_us"),
+        (
+            F.unix_micros(F.col("session_window.end")) - F.lit(GAP * US)
+        ).alias("end_us"),
+        "n_events",
+        "sum_value",
     )
-
-
-def test_stateful_sessions_match_batch_closed_set(spark, events_dir, tmp_path):
-    stream = sessionize_stream(stream_events(spark, events_dir), gap_sec=GAP)
     q = (
-        stream.writeStream.format("memory")
-        .queryName("sessions_out")
+        out.writeStream.format("memory")
+        .queryName("sessions_sw")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
@@ -59,81 +178,30 @@ def test_stateful_sessions_match_batch_closed_set(spark, events_dir, tmp_path):
     q.awaitTermination(180)
     got = {
         (r.user_id, r.start_us): (r.end_us, r.n_events, r.sum_value)
-        for r in spark.table("sessions_out").collect()
+        for r in spark.table("sessions_sw").collect()
     }
 
-    batch = _batch_sessions(spark)
-    # the stream emits CLOSED sessions only: every user's LAST session
-    # stays open in state at end-of-input
+    # batch ground truth, session_window break semantics (diff >= gap)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("user_id").orderBy(F.desc("start_us"))
-    closed = (
-        batch.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") > 1)
-        .drop("__rn")
+    ev_b = load_table(spark, SF, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev_b.withColumn(
+        "new_sess", F.when(gap_us >= GAP * US, 1).otherwise(0)
     )
+    sess_b = flagged.withColumn("session_seq", F.sum("new_sess").over(w))
+    rolled = sess_b.groupBy("user_id", "session_seq").agg(
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    max_us = ev_b.agg(F.max(F.unix_micros("ts"))).first()[0]
+    closed = rolled.where(F.col("end_us") + GAP * US <= max_us)
     want = {
         (r.user_id, r.start_us): (r.end_us, r.n_events, r.sum_value)
         for r in closed.collect()
     }
     assert len(got) > 0
     assert got == want
-
-
-def test_event_time_timeout_flushes_idle_sessions(spark, tmp_path):
-    """Two micro-batches; the watermark from batch 1 must flush users
-    whose open sessions passed their gap deadline, at batch 2."""
-    import time
-
-    us = 1_000_000
-    base = 1_700_000_000 * us  # epoch µs
-
-    def write(path, rows):
-        df = spark.createDataFrame(
-            [(eid, t * 1000, uid, "t", val, "{}")
-             for eid, t, uid, val in rows],  # ts in NANOS (raw file shape)
-            "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
-            "value DOUBLE, props STRING",
-        )
-        df.coalesce(1).write.mode("overwrite").parquet(path)
-
-    src = tmp_path / "src"
-    src.mkdir()
-    # batch 1: user1 two events 10s apart; user2 one event; user99 far in
-    # the future (drives the watermark past everyone's gap deadline)
-    write(str(src / "f1"), [
-        (1, base, 1, 1.0),
-        (2, base + 10 * us, 1, 2.0),
-        (3, base, 2, 5.0),
-        (4, base + 10_000 * us, 99, 0.5),
-    ])
-    time.sleep(1.1)  # file source orders batches by modification time
-    # batch 2: user2 starts a NEW session far later (its own gap break)
-    write(str(src / "f2"), [(5, base + 20_000 * us, 2, 7.0)])
-
-    stream = sessionize_stream(
-        stream_events(spark, str(src) + "/*", max_files_per_trigger=1),
-        gap_sec=GAP,
-        watermark="0 seconds",
-    )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName("sessions_to")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    got = {(r.user_id, r.start_us, r.end_us, r.n_events, r.sum_value)
-           for r in spark.table("sessions_to").collect()}
-    # every session whose gap deadline the FINAL watermark (base+20000s)
-    # passed flushes via timeout — incl. user99, handled by the no-data
-    # batch Spark runs after the last data batch.  user2's second
-    # session (deadline base+21800s) is the only one still open.
-    assert got == {
-        (1, base, base + 10 * us, 2, 3.0),
-        (2, base, base, 1, 5.0),
-        (99, base + 10_000 * us, base + 10_000 * us, 1, 0.5),
-    }
