@@ -335,3 +335,79 @@ def q_knn_batch_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, qset, k=3, centroids=refined, min_score=0.0, extra_cols=("label",)
     )
     return out.select("query_id", "vec_id", "label", "score")
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization + exact re-rank — the oracle replays the
+# codebook (per-dim min/max), midpoint dequantization, approx ranking,
+# and rescoring bit-for-bit (all IEEE-double arithmetic).
+# ---------------------------------------------------------------------------
+
+_SQ8_ORACLE = f"""
+WITH edim AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE len(embedding) = {A.DIM}
+),
+pos AS (SELECT unnest(generate_series(1, {A.DIM})) AS i),
+stats AS (
+  SELECT i, min(emb[i]) AS mn, max(emb[i]) AS mx
+  FROM edim CROSS JOIN pos GROUP BY i
+),
+dq AS (
+  SELECT vec_id, label,
+         list(mn + (((CASE WHEN mx > mn
+                THEN LEAST(255.0, GREATEST(0.0,
+                     floor((emb[i] - mn) * 255.0 / (mx - mn))))
+                ELSE 0.0 END) + 0.5) * (mx - mn)) / 255.0
+              ORDER BY i) AS dqv
+  FROM edim CROSS JOIN stats
+  GROUP BY vec_id, label
+),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM edim WHERE vec_id < 5),
+approx AS (
+  SELECT q.query_id, d.vec_id, d.label,
+         {_COS_RAW.format(a="d.dqv", b="q.qv")} AS araw
+  FROM dq d CROSS JOIN q
+  WHERE sqrt(list_dot_product(d.dqv, d.dqv)) > 0
+    AND sqrt(list_dot_product(q.qv, q.qv)) > 0
+),
+cand AS (
+  SELECT query_id, vec_id, label FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY araw DESC, vec_id ASC) AS arn
+    FROM approx) WHERE arn <= 12
+),
+rescored AS (
+  SELECT c.query_id, c.vec_id, c.label,
+         {_COS_RAW.format(a="e.emb", b="q.qv")} AS raw
+  FROM cand c
+  JOIN edim e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+  WHERE sqrt(list_dot_product(e.emb, e.emb)) > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, vec_id ASC) AS rn
+  FROM rescored WHERE raw >= 0.0
+)
+SELECT query_id, vec_id, label, round(raw, 6) AS score
+FROM ranked WHERE rn <= 3
+""".strip()
+
+
+@register("knn_batch_sq8", _SQ8_ORACLE)
+def q_knn_batch_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch top-3 via SQ8 rescoring: per-dim min/max codebook → int8
+    codes → midpoint-dequantized approx cosine keeps k*4 candidates per
+    query → exact re-rank.  The byte-reduction scale path (scan int8
+    codes, not raw doubles) next to the candidate-pruning LSH/IVF paths."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.size("embedding") == A.DIM
+    )
+    qset = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = A.knn_batch_sq8(
+        emb, qset, k=3, refine=4, min_score=0.0, extra_cols=("label",)
+    )
+    return out.select("query_id", "vec_id", "label", "score")

@@ -209,3 +209,77 @@ def test_lsh_recall_grows_with_tables(clustered):
         recalls.append(len(want & got) / len(want))
     assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
     assert recalls[0] < 1.0 or recalls == [1.0] * 3
+
+
+def test_sq8_codes_bounded_and_dequant_in_envelope(clustered):
+    from merkonvectordb_spark.operators.ann import (
+        sq8_codes,
+        sq8_dequant,
+        sq8_stats,
+    )
+
+    mn, mx = sq8_stats(clustered)
+    assert len(mn) == 64 and all(a <= b for a, b in zip(mn, mx))
+    codes_df = clustered.select(
+        sq8_codes(F.col("embedding"), mn, mx).alias("codes"),
+        sq8_dequant(
+            sq8_codes(F.col("embedding"), mn, mx), mn, mx
+        ).alias("dq"),
+    )
+    for row in codes_df.collect():
+        assert all(0.0 <= c <= 255.0 and c == int(c) for c in row.codes)
+        for i, v in enumerate(row.dq):
+            half = (mx[i] - mn[i]) / 255.0  # midpoint offset ≤ one step
+            assert mn[i] - 1e-9 <= v <= mx[i] + half + 1e-9
+
+
+def test_sq8_full_refine_equals_exact(clustered):
+    """With refine large enough to keep every corpus row, the re-rank
+    sees all candidates — SQ8 must reproduce the exact top-k."""
+    from merkonvectordb_spark.operators.ann import knn_batch_sq8
+
+    qset = clustered.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id, r.score)
+        for r in knn_batch(clustered, qset, k=3, min_score=0.0).select(
+            "query_id", "vec_id", "score"
+        ).collect()
+    }
+    sq8 = {
+        (r.query_id, r.vec_id, r.score)
+        for r in knn_batch_sq8(
+            clustered, qset, k=3, refine=1000, min_score=0.0
+        ).select("query_id", "vec_id", "score").collect()
+    }
+    assert sq8 == exact
+
+
+def test_sq8_recall_monotone_in_refine(clustered):
+    from merkonvectordb_spark.operators.ann import knn_batch_sq8
+
+    qset = clustered.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in knn_batch(clustered, qset, k=3, min_score=0.0).select(
+            "query_id", "vec_id"
+        ).collect()
+    }
+
+    def recall(refine):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in knn_batch_sq8(
+                clustered, qset, k=3, refine=refine, min_score=0.0
+            ).select("query_id", "vec_id").collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    # 8-bit quantization error is tiny relative to 4° cluster spread:
+    # the refined pass should recover the exact top-k on this corpus
+    assert r4 >= 0.9
