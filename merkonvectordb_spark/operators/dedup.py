@@ -632,3 +632,63 @@ def fuzzy_self_join(
             F.col("dist").cast("bigint").alias("dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination: cross-corpus n-gram overlap
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+    min_hits: int = 2,
+) -> DataFrame:
+    """Flag training documents that share ≥ ``min_hits`` distinct n-gram
+    shingles with any eval document — the decontamination pass every
+    training-data pipeline runs before a benchmark is trustworthy.
+
+    Returns ``(train_id, eval_id, shared_ngrams, containment)`` where
+    ``containment`` = shared / |eval doc's distinct grams| (1.0 ⇒ the
+    eval doc is fully contained in the training doc's gram set).
+
+    Plan shape for 100 TB train × small eval: the eval side's distinct
+    grams BROADCAST (benchmarks are thousands of docs, not billions), so
+    the train gram stream filters map-side — no shuffle of the exploded
+    train grams for the join; only the (train, eval) hit pairs reach the
+    partial-agg shuffle.  Each side explodes DISTINCT grams per doc, so
+    the pair count equals distinct shared grams with no count-distinct
+    state.
+    """
+    tr = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), n))
+        ).alias("gram"),
+    )
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), n))
+        ).alias("gram"),
+    )
+    evn = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("__n_ev"))
+    hits = (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .where(F.col("shared_ngrams") >= min_hits)
+    )
+    return (
+        hits.join(F.broadcast(evn), "eval_id")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("shared_ngrams").cast("double") / F.col("__n_ev"), 6
+            ),
+        )
+        .select("train_id", "eval_id", "shared_ngrams", "containment")
+    )

@@ -303,3 +303,47 @@ def q_fuzzy_vocab_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokenize(F.col("text"))).alias("term")
     ).distinct()
     return fuzzy_self_join(vocab, "term", max_dist=2)
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination: the first 25 docs act as the "benchmark",
+# the rest as the training corpus; flag shared-shingle contamination.
+# ---------------------------------------------------------------------------
+
+_DECON_EVAL_MAX = 25
+_DECON_MIN_HITS = 2
+
+_DECONTAMINATE_ORACLE = f"""
+WITH tr AS (
+  SELECT doc_id AS train_id, unnest({_SHINGLES_SQL}) AS gram
+  FROM documents WHERE doc_id >= {_DECON_EVAL_MAX}
+),
+ev AS (
+  SELECT doc_id AS eval_id, unnest({_SHINGLES_SQL}) AS gram
+  FROM documents WHERE doc_id < {_DECON_EVAL_MAX}
+),
+evn AS (SELECT eval_id, count(*) AS n_ev FROM ev GROUP BY eval_id),
+hits AS (
+  SELECT t.train_id, e.eval_id, count(*) AS shared_ngrams
+  FROM tr t JOIN ev e USING (gram)
+  GROUP BY t.train_id, e.eval_id
+)
+SELECT h.train_id, h.eval_id, h.shared_ngrams,
+       round(CAST(h.shared_ngrams AS DOUBLE) / n.n_ev, 6) AS containment
+FROM hits h JOIN evn n USING (eval_id)
+WHERE h.shared_ngrams >= {_DECON_MIN_HITS}
+""".strip()
+
+
+@register("decontaminate", _DECONTAMINATE_ORACLE)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus contamination scan: training docs sharing ≥2 distinct
+    3-word shingles with an eval doc, with per-pair containment.  The
+    eval side broadcasts, so the exploded training grams never shuffle
+    for the join — the 100 TB-train shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") < _DECON_EVAL_MAX)
+    tr = docs.where(F.col("doc_id") >= _DECON_EVAL_MAX)
+    return D.decontaminate(
+        tr, ev, n=D.SHINGLE_N, min_hits=_DECON_MIN_HITS
+    )

@@ -226,3 +226,33 @@ def test_fuzzy_self_join_lossless_and_duplicate_free(spark):
         assert got == brute, f"divergence at max_dist={d}"
         # a pair must meet in exactly one block: no duplicates
         assert len(got) == len({(s1, s2) for s1, s2, _ in got})
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from merkonvectordb_spark.operators.dedup import decontaminate
+
+    ev = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated benchmark prompt text here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    tr = spark.createDataFrame(
+        [
+            # contains eval doc 1 verbatim plus a prefix → containment 1.0
+            (100, "prefix words then the quick brown fox jumps over the lazy dog"),
+            # shares exactly one 3-gram with doc 1 → below min_hits=2
+            (101, "the quick brown bear sleeps all day long"),
+            (102, "nothing in common with either document at all"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        (r.train_id, r.eval_id): (r.shared_ngrams, r.containment)
+        for r in decontaminate(tr, ev, min_hits=2).collect()
+    }
+    assert set(got) == {(100, 1)}
+    shared, containment = got[(100, 1)]
+    # eval doc 1 has 7 distinct 3-grams, all present in train doc 100
+    assert shared == 7 and containment == 1.0
