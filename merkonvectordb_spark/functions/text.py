@@ -130,3 +130,31 @@ def doc_fingerprint(text: Column) -> Column:
     """
     norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.md5(norm)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# Simple character-class patterns only: identical semantics under Java
+# regex (Spark) and RE2 (DuckDB), so redaction is engine-portable.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) occurrence counts."""
+    return (
+        F.regexp_count(text, F.lit(EMAIL_RE)),
+        F.regexp_count(text, F.lit(PHONE_RE)),
+    )
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every email/phone with a typed placeholder token.
+
+    Order matters: emails first, so a phone-looking digit run inside a
+    local part can't be half-redacted before the email pattern sees it.
+    """
+    no_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_RE, "<PHONE>")

@@ -285,3 +285,59 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("quality"), 6).alias("avg_quality"),
         F.sum("tok_cnt").cast("long").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: plant deterministic emails/phones in copies of the
+# first 50 docs, then detect + redact across the whole corpus.
+# ---------------------------------------------------------------------------
+
+_PII_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555-123-4567 now'
+  FROM documents WHERE doc_id < 50
+),
+scanned AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{X.EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(text, '{X.PHONE_RE}')) AS n_phones,
+         regexp_replace(
+           regexp_replace(text, '{X.EMAIL_RE}', '<EMAIL>', 'g'),
+           '{X.PHONE_RE}', '<PHONE>', 'g') AS redacted
+  FROM corpus
+)
+SELECT doc_id, n_emails, n_phones, redacted
+FROM scanned WHERE n_emails + n_phones > 0
+""".strip()
+
+
+@register("pii_redact", _PII_ORACLE)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: count and redact emails/phones with
+    engine-portable character-class regexes (identical under Java regex
+    and RE2).  Scan-local projection — no shuffle; at 100 TB this is a
+    pure map over the text column.  Output: the flagged rows with their
+    redacted text, so the hash verifies detection AND rewriting."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-123-4567 now"),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    n_emails, n_phones = X.pii_counts(F.col("text"))
+    out = corpus.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        X.pii_redact(F.col("text")).alias("redacted"),
+    )
+    return out.where(F.col("n_emails") + F.col("n_phones") > 0)

@@ -70,3 +70,33 @@ def test_fingerprint_normalization(spark):
     assert a == b
     assert a != c
     assert len(a) == 32  # md5 hex
+
+
+def test_pii_redact_and_counts(spark):
+    from merkonvectordb_spark.functions.text import pii_counts, pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+spam@mail.example.org today"),
+            (2, "call +1 555-867-5309 or 212 555 1234"),
+            (3, "no pii here at all"),
+            (4, "two mails: a@b.co and c.d@e-f.org, one line 555-123-4567"),
+        ],
+        "id LONG, text STRING",
+    )
+    n_e, n_p = pii_counts(F.col("text"))
+    rows = {
+        r.id: (r.ne, r.np, r.red)
+        for r in df.select(
+            "id",
+            n_e.alias("ne"),
+            n_p.alias("np"),
+            pii_redact(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert rows[1] == (1, 0, "reach me at <EMAIL> today")
+    # "+1 555-867-5309" → the 3-3-4 run matches; "212 555 1234" too
+    assert rows[2][1] == 2 and "<PHONE>" in rows[2][2]
+    assert rows[3] == (0, 0, "no pii here at all")
+    assert rows[4][0] == 2 and rows[4][1] == 1
+    assert "@" not in rows[4][2].replace("<EMAIL>", "")
