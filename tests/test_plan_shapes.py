@@ -193,3 +193,32 @@ def test_pagerank_broadcasts_ranks_not_edges(spark):
     )
     plan = _plan(pagerank(edges, 50, iterations=2))
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The training side's exploded grams must never shuffle for the
+    join — the eval side broadcasts; the only exchanges are the two
+    partial-aggregated groupBys (hit pairs + eval gram counts)."""
+    from merkonvectordb_spark.plans.inspect import count_exchanges
+    from merkonvectordb_spark.queries_dedup import q_decontaminate
+
+    df = q_decontaminate(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert count_exchanges(df) <= 2
+
+
+def test_sq8_single_exchange_bounded_topk(spark, sf_dir):
+    """SQ8 rescoring: query set broadcasts (nested-loop against the
+    corpus), and the ONLY shuffle is the per-query top-k window, which
+    must plan as WindowGroupLimit (bounded partial top-k per map task,
+    ≤ Q·P·k·refine rows through the exchange)."""
+    from merkonvectordb_spark.plans.inspect import count_exchanges
+    from merkonvectordb_spark.queries_ann import q_knn_batch_sq8
+
+    df = q_knn_batch_sq8(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert count_exchanges(df) == 1
