@@ -570,3 +570,67 @@ def knn_batch_sq8(
         .drop("__rn", "__raw", "__qvec", emb_col)
         .withColumnRenamed("__qid", query_id_col)
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int,
+    lo: float,
+    hi: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    planes: list[list[list[float]]] | None = None,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query
+    (anchor), the top-m corpus rows that share an LSH bucket — so they
+    LOOK similar to the retrieval index — but whose exact cosine lands
+    in [lo, hi): similar enough to be hard, below the near-duplicate
+    line.  The self-match (score ≈ 1) and anything above ``hi`` is
+    excluded; random easy negatives never enter the candidate set at
+    all, which is the point.
+
+    Same bucketed plan as ``knn_batch_ann`` — candidates, not the
+    corpus, flow through exact scoring — so mining scales with bucket
+    occupancy, not corpus size.
+    """
+    planes = planes or HYPERPLANES
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    cidx = ann_index(corpus.repartition(par), id_col, emb_col, planes)
+    qidx = ann_index(
+        queries.select(F.col(query_id_col), F.col(emb_col)),
+        query_id_col,
+        emb_col,
+        planes,
+    ).withColumnRenamed(query_id_col, "__qid")
+    cand = (
+        qidx.join(cidx, ["table_id", "bucket"])
+        .select("__qid", id_col)
+        .distinct()
+    )
+    qvecs = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"), F.col(emb_col).alias("__qvec")
+        )
+    )
+    scored = (
+        cand.join(corpus.select(id_col, emb_col, *extra_cols), id_col)
+        .join(qvecs, "__qid")
+        .withColumn("__raw", cosine_similarity(F.col(emb_col), F.col("__qvec")))
+        .where(
+            F.col("__raw").isNotNull()
+            & (~F.isnan("__raw"))
+            & (F.col("__raw") >= F.lit(float(lo)))
+            & (F.col("__raw") < F.lit(float(hi)))
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("__raw"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= m)
+        .withColumn("score", F.round(F.col("__raw"), 6))
+        .drop("__rn", "__raw", "__qvec", emb_col)
+        .withColumnRenamed("__qid", query_id_col)
+    )

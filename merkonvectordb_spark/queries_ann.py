@@ -411,3 +411,59 @@ def q_knn_batch_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, qset, k=3, refine=4, min_score=0.0, extra_cols=("label",)
     )
     return out.select("query_id", "vec_id", "label", "score")
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training: same-bucket candidates
+# whose exact cosine lands in the [lo, hi) "hard" band.
+# ---------------------------------------------------------------------------
+
+_HN_LO, _HN_HI, _HN_M = 0.05, 0.95, 5
+
+_HARD_NEG_ORACLE = f"""
+WITH edim AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE len(embedding) = {A.DIM}
+),
+cbuck AS (
+  {_bucket_cte_sql("edim", "vec_id", "emb")}
+),
+qb AS (SELECT id AS query_id, table_id, bucket FROM cbuck WHERE id < 5),
+cand AS (
+  SELECT DISTINCT qb.query_id, cb.id AS vec_id
+  FROM qb JOIN cbuck cb ON qb.table_id = cb.table_id AND qb.bucket = cb.bucket
+),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM edim WHERE vec_id < 5),
+scored AS (
+  SELECT c.query_id, c.vec_id, e.label,
+         {_COS_RAW.format(a="e.emb", b="q.qv")} AS raw
+  FROM cand c
+  JOIN edim e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+  WHERE sqrt(list_dot_product(e.emb, e.emb)) > 0
+    AND sqrt(list_dot_product(q.qv, q.qv)) > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, vec_id ASC) AS rn
+  FROM scored WHERE raw >= {_HN_LO} AND raw < {_HN_HI}
+)
+SELECT query_id, vec_id, label, round(raw, 6) AS score
+FROM ranked WHERE rn <= {_HN_M}
+""".strip()
+
+
+@register("hard_negatives", _HARD_NEG_ORACLE)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hard negatives per anchor: LSH-bucket candidates scored
+    exactly, kept only in the [0.05, 0.95) band — retrieval-confusable
+    but not near-duplicates.  The contrastive-training twin of
+    ``knn_batch_ann``, same bucketed no-all-pairs plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qset = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = A.hard_negatives(
+        emb, qset, m=_HN_M, lo=_HN_LO, hi=_HN_HI, extra_cols=("label",)
+    )
+    return out.select("query_id", "vec_id", "label", "score")

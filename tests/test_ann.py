@@ -283,3 +283,24 @@ def test_sq8_recall_monotone_in_refine(clustered):
     # 8-bit quantization error is tiny relative to 4° cluster spread:
     # the refined pass should recover the exact top-k on this corpus
     assert r4 >= 0.9
+
+
+def test_hard_negatives_band_and_no_self(clustered):
+    from merkonvectordb_spark.operators.ann import hard_negatives
+
+    qset = clustered.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = hard_negatives(
+        clustered, qset, m=5, lo=0.05, hi=0.95
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # the anchor itself (cos = 1) and near-dups sit above hi
+        assert r.query_id != r.vec_id
+        assert 0.05 <= r.score < 0.95
+    # bounded per query
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in rows)
+    assert all(v <= 5 for v in per_q.values())
