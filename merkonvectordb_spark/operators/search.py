@@ -157,3 +157,76 @@ def knn_batch(
         .drop("__rn", "__raw", "__qvec", embedding_col)
         .withColumnRenamed("__qid", query_id_col)
     )
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    psim: DataFrame,
+    k: int,
+    lam: float = 0.5,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification over a per-query
+    candidate set: greedily pick the candidate maximizing
+    ``lam * sim(q, d) - (1 - lam) * max_{s in selected} sim(d, s)``.
+
+    ``cand`` carries ``(query_id, vec_id, qs)`` (raw query-relevance,
+    UNROUNDED — rounding happens at output only) and ``psim`` the raw
+    pairwise sims ``(query_id, a, b, sim)`` among that query's
+    candidates.  Expressed as k-1 dataflow iterations over the
+    candidate-width frames — the frames are (queries × top-N) rows, so
+    cost follows re-rank width, never corpus size; candidate generation
+    upstream is the existing top-k machinery.  Ties break on lowest id.
+
+    Use ``lam`` values exactly representable in binary (0.5, 0.25,
+    0.75): the oracle interpolates the SAME literals, and an
+    unrepresentable ``1 - lam`` would diverge in the last ulp.
+
+    Returns ``(query_id, vec_id, sel_rank, mmr_score)``; rank 1's score
+    is its raw relevance (greedy seed), later ranks the MMR objective.
+    """
+    qk, ik = query_id_col, id_col
+    w_seed = Window.partitionBy(qk).orderBy(F.desc("qs"), F.asc(ik))
+    selected = (
+        cand.withColumn("__rn", F.row_number().over(w_seed))
+        .where(F.col("__rn") == 1)
+        .select(
+            qk,
+            ik,
+            F.lit(1).alias("sel_rank"),
+            F.col("qs").alias("__mscore"),
+        )
+    )
+    for r in range(2, k + 1):
+        rem = cand.join(selected.select(qk, ik), [qk, ik], "left_anti")
+        ms = (
+            psim.join(
+                selected.select(qk, F.col(ik).alias("__sel")),
+                [qk],
+            )
+            .where(F.col("b") == F.col("__sel"))
+            .groupBy(qk, "a")
+            .agg(F.max("sim").alias("__ms"))
+            .withColumnRenamed("a", ik)
+        )
+        scored = rem.join(ms, [qk, ik]).withColumn(
+            "__mmr",
+            F.lit(float(lam)) * F.col("qs")
+            - F.lit(float(1.0 - lam)) * F.col("__ms"),
+        )
+        w = Window.partitionBy(qk).orderBy(F.desc("__mmr"), F.asc(ik))
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                qk,
+                ik,
+                F.lit(r).alias("sel_rank"),
+                F.col("__mmr").alias("__mscore"),
+            )
+        )
+        selected = selected.unionByName(pick)
+    return selected.withColumn(
+        "mmr_score", F.round(F.col("__mscore"), 6)
+    ).drop("__mscore")

@@ -467,3 +467,138 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, qset, m=_HN_M, lo=_HN_LO, hi=_HN_HI, extra_cols=("label",)
     )
     return out.select("query_id", "vec_id", "label", "score")
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-rank — the oracle unrolls the k-1 greedy steps as
+# CTE stages (same pattern as the k-means oracle's unrolled Lloyd
+# iterations), all IEEE-double arithmetic with representable lambda.
+# ---------------------------------------------------------------------------
+
+_MMR_K, _MMR_N, _MMR_LAM = 5, 10, 0.5
+
+
+def _mmr_oracle() -> str:
+    cos_eq = _COS_RAW.format(a="e.emb", b="q.qv")
+    cos_ab = _COS_RAW.format(a="a.emb", b="b.emb")
+    parts = [
+        f"""edim AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE len(embedding) = {A.DIM}
+),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM edim WHERE vec_id < 5),
+scored0 AS (
+  SELECT q.query_id, e.vec_id, e.emb, {cos_eq} AS qs
+  FROM edim e CROSS JOIN q
+  WHERE sqrt(list_dot_product(e.emb, e.emb)) > 0
+    AND sqrt(list_dot_product(q.qv, q.qv)) > 0
+),
+cand AS (
+  SELECT query_id, vec_id, emb, qs FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY qs DESC, vec_id ASC) AS rn
+    FROM scored0) WHERE rn <= {_MMR_N}
+),
+psim AS (
+  SELECT a.query_id, a.vec_id AS a, b.vec_id AS b, {cos_ab} AS sim
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+),
+sel1 AS (
+  SELECT query_id, vec_id, 1 AS sel_rank, qs AS mscore FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY qs DESC, vec_id ASC) AS rn
+    FROM cand) WHERE rn = 1
+)"""
+    ]
+    lam, one_m = repr(float(_MMR_LAM)), repr(1.0 - float(_MMR_LAM))
+    for r in range(2, _MMR_K + 1):
+        parts.append(
+            f"""ms{r} AS (
+  SELECT p.query_id, p.a AS vec_id, max(p.sim) AS ms
+  FROM psim p JOIN sel{r - 1} s
+    ON s.query_id = p.query_id AND s.vec_id = p.b
+  GROUP BY p.query_id, p.a
+),
+sc{r} AS (
+  SELECT c.query_id, c.vec_id, {lam} * c.qs - {one_m} * m.ms AS mmr
+  FROM cand c JOIN ms{r} m
+    ON m.query_id = c.query_id AND m.vec_id = c.vec_id
+  WHERE NOT EXISTS (SELECT 1 FROM sel{r - 1} s
+                    WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id)
+),
+s{r} AS (
+  SELECT query_id, vec_id, {r} AS sel_rank, mmr AS mscore FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY mmr DESC, vec_id ASC) AS rn
+    FROM sc{r}) WHERE rn = 1
+),
+sel{r} AS (SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM s{r})"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT query_id, vec_id, sel_rank, round(mscore, 6) AS mmr_score "
+        f"FROM sel{_MMR_K}"
+    )
+
+
+@register("mmr_rerank", _mmr_oracle())
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: exact top-10 candidates per query, then
+    5-step greedy MMR (lambda=0.5) as iterative dataflow over the
+    candidate-width frames — diversification cost follows re-rank width,
+    never corpus size."""
+    from merkonvectordb_spark.functions.vector import cosine_similarity
+    from merkonvectordb_spark.operators.search import mmr_rerank
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.size("embedding") == A.DIM
+    )
+    qset = F.broadcast(
+        emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qv"),
+        )
+    )
+    scored = (
+        emb.crossJoin(qset)
+        .withColumn(
+            "qs", cosine_similarity(F.col("embedding"), F.col("__qv"))
+        )
+        .where(F.col("qs").isNotNull() & (~F.isnan("qs")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qs"), F.asc("vec_id")
+    )
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= _MMR_N)
+        .select("query_id", "vec_id", "embedding", "qs")
+    )
+    a = cand.select(
+        "query_id",
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("__ea"),
+    )
+    b = cand.select(
+        "query_id",
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("__eb"),
+    )
+    psim = (
+        a.join(b, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .withColumn(
+            "sim", cosine_similarity(F.col("__ea"), F.col("__eb"))
+        )
+        .select("query_id", "a", "b", "sim")
+    )
+    out = mmr_rerank(
+        cand.select("query_id", "vec_id", "qs"),
+        psim,
+        k=_MMR_K,
+        lam=_MMR_LAM,
+    )
+    return out.select("query_id", "vec_id", "sel_rank", "mmr_score")

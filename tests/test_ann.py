@@ -304,3 +304,84 @@ def test_hard_negatives_band_and_no_self(clustered):
 
     per_q = Counter(r.query_id for r in rows)
     assert all(v <= 5 for v in per_q.values())
+
+
+def _mmr_inputs(clustered):
+    from merkonvectordb_spark.functions.vector import cosine_similarity
+    from pyspark.sql import Window
+
+    qset = F.broadcast(
+        clustered.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qv"),
+        )
+    )
+    scored = (
+        clustered.crossJoin(qset)
+        .withColumn("qs", cosine_similarity(F.col("embedding"), F.col("__qv")))
+        .where(F.col("qs").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qs"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 12)
+        .select("query_id", "vec_id", "embedding", "qs")
+    )
+    a = cand.select("query_id", F.col("vec_id").alias("a"), F.col("embedding").alias("__ea"))
+    b = cand.select("query_id", F.col("vec_id").alias("b"), F.col("embedding").alias("__eb"))
+    psim = (
+        a.join(b, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .withColumn("sim", cosine_similarity(F.col("__ea"), F.col("__eb")))
+        .select("query_id", "a", "b", "sim")
+    )
+    return cand, psim
+
+
+def test_mmr_diversifies_vs_plain_topk(clustered):
+    """On the clustered corpus, plain top-4 for a query returns its own
+    cluster (6 near-identical members); MMR at lambda=0.5 must break out
+    of the cluster, giving a lower max pairwise similarity."""
+    from merkonvectordb_spark.operators.search import mmr_rerank
+
+    cand, psim = _mmr_inputs(clustered)
+    topk_ids = [
+        r.vec_id
+        for r in cand.orderBy(F.desc("qs"), F.asc("vec_id")).limit(4).collect()
+    ]
+    mmr_ids = [
+        r.vec_id
+        for r in sorted(
+            mmr_rerank(
+                cand.select("query_id", "vec_id", "qs"), psim, k=4, lam=0.5
+            ).collect(),
+            key=lambda r: r.sel_rank,
+        )
+    ]
+    sims = {(r.a, r.b): r.sim for r in psim.collect()}
+
+    def max_pair(ids):
+        return max(
+            sims[(x, y)] for x in ids for y in ids if x != y
+        )
+
+    # rank-1 seed is the relevance top-1 in both
+    assert mmr_ids[0] == topk_ids[0] == 0
+    assert max_pair(mmr_ids) < max_pair(topk_ids)
+
+
+def test_mmr_lambda_one_reduces_to_topk(clustered):
+    from merkonvectordb_spark.operators.search import mmr_rerank
+
+    cand, psim = _mmr_inputs(clustered)
+    topk = [
+        r.vec_id
+        for r in cand.orderBy(F.desc("qs"), F.asc("vec_id")).limit(4).collect()
+    ]
+    mmr = {
+        r.sel_rank: r.vec_id
+        for r in mmr_rerank(
+            cand.select("query_id", "vec_id", "qs"), psim, k=4, lam=1.0
+        ).collect()
+    }
+    assert [mmr[i] for i in sorted(mmr)] == topk
