@@ -1,0 +1,229 @@
+"""Versioned parquet table: immutable data files + a manifest log —
+snapshot reads, time travel, and partition-scoped rewrites without a
+whole-table overwrite.
+
+The plain-parquet ``VectorStore`` inherits the reference's single-writer,
+no-isolation model (MerkonMemoryStore.cs:19-21); its module docstring
+promises that "a table format with a transaction log lifts that without
+touching this API".  This is that table format, reduced to the two ideas
+that matter at 100 TB:
+
+* **data files are immutable** — every write creates new files under
+  ``data/``; nothing is modified or deleted by a commit, so readers of
+  any version never race a writer;
+* **a version is a file list** — ``_manifest/v=N.parquet`` enumerates
+  the files live at version N (with their partition value).  Commit =
+  write the new files, then write one small manifest file; the manifest
+  write is the atomic publish point.  Reading version N plans a scan
+  over exactly its files; partition-scoped rewrites retire only the
+  touched partition's files from the live set.
+
+That is the Iceberg/Delta skeleton: O(changed-partitions) write
+amplification instead of the reference's O(database) (SURVEY §4.1), plus
+time travel for free.  ``vacuum`` deletes files unreferenced by the
+retained versions — the only destructive operation, and the only one a
+time-travel read can observe.
+
+Scale notes: the manifest is rows = live files, written as one parquet
+file per version — at 100 TB with ~10⁵ files it is a few MB of metadata,
+and the read path turns it into a file-list scan plan with no directory
+listing of ``data/`` at all (listing is the cloud-storage killer).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_DDL = "file STRING, part STRING"
+
+
+class VersionedTable:
+    """Append-only parquet table with manifest-log versioning.
+
+    ``part_col``: optional single partition column; files are tracked
+    per partition value so ``replace_partitions`` can retire exactly the
+    rewritten partitions.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        schema_ddl: str,
+        part_col: str | None = None,
+    ):
+        self.spark = spark
+        self.root = root
+        self.schema_ddl = schema_ddl
+        self.part_col = part_col
+        self.data_path = os.path.join(root, "data")
+        self.manifest_path = os.path.join(root, "_manifest")
+
+    # -- manifest ---------------------------------------------------------
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.manifest_path):
+            return []
+        out = []
+        for name in os.listdir(self.manifest_path):
+            if name.startswith("v="):
+                out.append(int(name[2:].split(".")[0]))
+        return sorted(out)
+
+    def current_version(self) -> int:
+        """0 = empty table (no commits yet)."""
+        vs = self._versions()
+        return vs[-1] if vs else 0
+
+    def _manifest_file(self, version: int) -> str:
+        return os.path.join(self.manifest_path, f"v={version}.parquet")
+
+    def _live_files(self, version: int) -> list[tuple[str, str | None]]:
+        if version == 0:
+            return []
+        if version not in self._versions():
+            raise ValueError(
+                f"version {version} does not exist (or was vacuumed); "
+                f"available: {self._versions() or '[]'}"
+            )
+        rows = (
+            self.spark.read.schema(_MANIFEST_DDL)
+            .parquet(self._manifest_file(version))
+            .collect()
+        )
+        return [(r.file, r.part) for r in rows]
+
+    def _publish(self, version: int, files: list[tuple[str, str | None]]) -> None:
+        df = self.spark.createDataFrame(files, _MANIFEST_DDL)
+        # one small file; the rename into _manifest/v=N is the commit point
+        tmp = self._manifest_file(version) + ".tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(self.manifest_path, exist_ok=True)
+        shutil.move(tmp, self._manifest_file(version))
+
+    # -- writes -----------------------------------------------------------
+    def _write_data(self, df: DataFrame) -> list[tuple[str, str | None]]:
+        """Write ``df`` as new immutable files; return (path, part) rows.
+
+        Files are written to a staging dir, then MOVED (never rewritten)
+        into the canonical ``data/<part_col>=<v>/<uuid>.parquet`` layout:
+        one flat k=v level under ``data/`` keeps Spark's partition
+        discovery happy for any mix of manifest file lists under one
+        ``basePath``, and unique names make concurrent batches collide-free.
+        """
+        batch = os.path.join(self.root, f"_stage-{uuid.uuid4().hex[:12]}")
+        writer = df.write.mode("error")
+        if self.part_col:
+            writer = writer.partitionBy(self.part_col)
+        writer.parquet(batch)
+        out: list[tuple[str, str | None]] = []
+        for dirpath, _dirs, names in os.walk(batch):
+            part = None
+            if self.part_col:
+                for seg in dirpath.split(os.sep):
+                    if seg.startswith(f"{self.part_col}="):
+                        part = seg.split("=", 1)[1]
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                dest_dir = (
+                    os.path.join(self.data_path, f"{self.part_col}={part}")
+                    if part is not None
+                    else self.data_path
+                )
+                os.makedirs(dest_dir, exist_ok=True)
+                dest = os.path.join(
+                    dest_dir, f"{uuid.uuid4().hex[:16]}.parquet"
+                )
+                shutil.move(os.path.join(dirpath, n), dest)
+                out.append((dest, part))
+        shutil.rmtree(batch, ignore_errors=True)
+        return out
+
+    def append(self, df: DataFrame) -> int:
+        """New version = previous live set + ``df``'s new files."""
+        cur = self.current_version()
+        files = self._live_files(cur) + self._write_data(df)
+        self._publish(cur + 1, files)
+        return cur + 1
+
+    def replace(self, df: DataFrame) -> int:
+        """Full logical replacement (the new state was computed upstream,
+        e.g. by ``operators.store.upsert``); old files stay for time
+        travel until vacuumed."""
+        cur = self.current_version()
+        self._publish(cur + 1, self._write_data(df))
+        return cur + 1
+
+    def replace_partitions(self, df: DataFrame) -> int:
+        """Rewrite ONLY the partitions present in ``df``: their old files
+        retire from the live set, every other partition's files carry
+        over untouched — O(changed partitions) write amplification."""
+        if not self.part_col:
+            raise ValueError("replace_partitions requires part_col")
+        touched = {
+            str(r[0])
+            for r in df.select(self.part_col).distinct().collect()
+        }
+        cur = self.current_version()
+        kept = [
+            (f, p) for f, p in self._live_files(cur) if p not in touched
+        ]
+        self._publish(cur + 1, kept + self._write_data(df))
+        return cur + 1
+
+    # -- reads ------------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table as of ``version`` (default: latest).  Plans a scan
+        over exactly that version's file list — no directory listing."""
+        v = self.current_version() if version is None else version
+        files = [f for f, _ in self._live_files(v)]
+        if not files:
+            return self.spark.createDataFrame([], self.schema_ddl)
+        reader = self.spark.read
+        if self.part_col:
+            reader = reader.option("basePath", self.data_path)
+        return reader.parquet(*files)
+
+    # -- maintenance ------------------------------------------------------
+    def vacuum(self, retain_last: int = 1) -> int:
+        """Delete data files unreferenced by the newest ``retain_last``
+        versions and drop the expired manifests.  Time travel to expired
+        versions then (correctly) fails.  Returns files deleted."""
+        vs = self._versions()
+        keep_vs = vs[-retain_last:] if retain_last > 0 else []
+        live: set[str] = set()
+        for v in keep_vs:
+            live.update(f for f, _ in self._live_files(v))
+        deleted = 0
+        for dirpath, _dirs, names in os.walk(self.data_path):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                if n.endswith(".parquet") and p not in live:
+                    os.remove(p)
+                    deleted += 1
+        for v in vs:
+            if v not in keep_vs:
+                target = self._manifest_file(v)
+                if os.path.isdir(target):
+                    shutil.rmtree(target)
+                else:
+                    os.remove(target)
+        return deleted
+
+
+def versioned_vector_store(
+    spark: SparkSession, root: str
+) -> VersionedTable:
+    """The vectors table (SURVEY §1.3 layout) on the versioned format:
+    collection-partitioned, so upserts/deletes retire only the touched
+    collections' files and every past state stays readable."""
+    from merkonvectordb_spark.schema import VECTORS_SCHEMA_DDL
+
+    return VersionedTable(
+        spark, root, VECTORS_SCHEMA_DDL, part_col="collection"
+    )
