@@ -89,3 +89,53 @@ def test_versioned_upsert_roundtrip(spark, tmp_path):
     assert got == {"k1": '{"x":1}', "k2": "{}"}
     # time travel: the pre-upsert state is intact
     assert {r.key for r in vt.read(1).collect()} == {"k1"}
+
+
+def test_streaming_foreachbatch_into_versioned_table(spark, tmp_path):
+    """CDC-style ingest: each micro-batch commits one version via
+    foreachBatch, so the table's history IS the stream's batch history —
+    any intermediate ingest state stays queryable."""
+    import os
+
+    from merkonvectordb_spark.streaming import stream_events
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(path, rows):
+        spark.createDataFrame(
+            rows,
+            "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+            "value DOUBLE, props STRING",
+        ).coalesce(1).write.parquet(path)
+
+    t0 = 1_700_000_000 * 1_000_000_000  # ns
+    write(str(src / "f1"), [(1, t0, 1, "a", 1.0, "{}"),
+                            (2, t0, 2, "b", 2.0, "{}")])
+    import time
+
+    time.sleep(1.1)
+    write(str(src / "f2"), [(3, t0, 3, "a", 3.0, "{}")])
+
+    vt = VersionedTable(
+        spark,
+        str(tmp_path / "sink"),
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE",
+        part_col="event_type",
+    )
+
+    def commit_batch(bdf, bid):
+        vt.append(bdf.select("event_id", "user_id", "event_type", "value"))
+
+    q = (
+        stream_events(spark, str(src) + "/*", max_files_per_trigger=1)
+        .writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert vt.current_version() == 2
+    assert {r.event_id for r in vt.read().collect()} == {1, 2, 3}
+    assert {r.event_id for r in vt.read(1).collect()} == {1, 2}
