@@ -30,7 +30,7 @@ from merkonvectordb_spark.operators.search import knn_batch
 
 @dataclass(frozen=True)
 class RouteDecision:
-    strategy: str  # "brute" | "ann"
+    strategy: str  # "brute" | "sq8" | "ann"
     est_rows: int
     est_flops: float
     budget: float
@@ -54,28 +54,50 @@ def route_knn_batch(
     dim: int,
     n_queries: int,
     flop_budget: float = 2e12,
+    byte_budget: float = 64e9,
     allow_approx: bool = True,
     est_rows: int | None = None,
     brute_kwargs: dict | None = None,
     ann_kwargs: dict | None = None,
+    sq8_kwargs: dict | None = None,
 ) -> tuple[RouteDecision, DataFrame]:
-    """Pick exact vs ANN for a batched similarity search.
+    """Pick a physical strategy for a batched similarity search.
 
-    Exact scoring costs ``rows × n_queries × dim`` multiply-adds; when
-    that exceeds ``flop_budget`` and the caller allows approximation,
-    route to the LSH index path (corpus touched only at candidate rows).
+    Two independent resources, three strategies:
+
+    * ``flops`` = rows × n_queries × dim multiply-adds — the COMPUTE
+      dimension.  Over ``flop_budget`` only candidate pruning helps →
+      LSH (``knn_batch_ann``: corpus touched at candidate rows only).
+    * ``scan_bytes`` = rows × row width — the IO dimension.  Over
+      ``byte_budget`` with compute still affordable, the right lever is
+      SQ8 (``knn_batch_sq8``: scan int8 codes, 8× fewer bytes, exact
+      re-rank on k·refine rows).
+    * Under both budgets (or when the caller demands exactness):
+      exact ``knn_batch``.
+
     ``n_queries`` is caller-supplied — the query batch is driver-known
     in every entry point, so no count job.  Returns (decision, plan);
     the decision is surfaced, not hidden, so callers can log/refuse it.
-    Per-path kwargs are separate because the two operators expose
-    different knobs (tie_break vs planes/extra_cols).
+    Per-path kwargs are separate because the operators expose different
+    knobs (tie_break vs planes/extra_cols vs refine).
     """
+    row_bytes = 4 * dim + 32
     rows = est_rows if est_rows is not None else estimate_rows(
-        corpus, row_bytes=4 * dim + 32
+        corpus, row_bytes=row_bytes
     )
     flops = float(rows) * float(max(0, n_queries)) * float(dim)
-    if flops <= flop_budget or not allow_approx:
-        decision = RouteDecision("brute", rows, flops, flop_budget)
-        return decision, knn_batch(corpus, queries, k, **(brute_kwargs or {}))
-    decision = RouteDecision("ann", rows, flops, flop_budget)
-    return decision, knn_batch_ann(corpus, queries, k, **(ann_kwargs or {}))
+    scan_bytes = float(rows) * float(row_bytes)
+    if allow_approx and flops > flop_budget:
+        decision = RouteDecision("ann", rows, flops, flop_budget)
+        return decision, knn_batch_ann(
+            corpus, queries, k, **(ann_kwargs or {})
+        )
+    if allow_approx and scan_bytes > byte_budget:
+        from merkonvectordb_spark.operators.ann import knn_batch_sq8
+
+        decision = RouteDecision("sq8", rows, flops, flop_budget)
+        return decision, knn_batch_sq8(
+            corpus, queries, k, **(sq8_kwargs or {})
+        )
+    decision = RouteDecision("brute", rows, flops, flop_budget)
+    return decision, knn_batch(corpus, queries, k, **(brute_kwargs or {}))

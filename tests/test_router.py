@@ -68,3 +68,18 @@ def test_router_respects_exactness_requirement(spark):
         brute_kwargs={"tie_break": "vec_id"},
     )
     assert decision.strategy == "brute"  # never silently approximate
+
+
+def test_router_picks_sq8_when_io_bound(spark):
+    """Compute within budget but scan bytes over it: the byte-reduction
+    path (SQ8) wins over both brute force and candidate pruning."""
+    emb, qset = _fixtures(spark)
+    decision, routed = route_knn_batch(
+        emb, qset, k=3, dim=64, n_queries=3,
+        flop_budget=1e15,  # compute is fine
+        byte_budget=1.0,   # IO is not
+    )
+    assert decision.strategy == "sq8"
+    out = routed.collect()
+    assert len(out) > 0
+    assert {r.query_id for r in out} <= {0, 1, 2}
