@@ -197,3 +197,34 @@ def q_events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         order_cols=("ts", "event_id"),
     )
+
+
+@register(
+    "events_time_window_agg",
+    """
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 2) AS sum_1h,
+       count(*) OVER w AS n_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""".strip(),
+)
+def q_events_time_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based trailing window (vs the ROW-based moving average):
+    each event's sum/count over the same user's preceding hour, as a
+    RANGE frame on epoch micros.  One hash-partition window, no second
+    shuffle; frame membership is defined by event time, so ties at the
+    same microsecond share identical frames in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
