@@ -341,3 +341,51 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.pii_redact(F.col("text")).alias("redacted"),
     )
     return out.where(F.col("n_emails") + F.col("n_phones") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Data-driven quality curation: the keep-threshold is the corpus's own
+# p25 quality (exact percentile), not a magic constant.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_quantile_filter",
+    f"""
+WITH q AS (SELECT source, {_quality_sql("text")} AS quality FROM documents),
+thr AS (SELECT quantile_cont(quality, 0.25) AS t FROM q)
+SELECT source,
+       count(*) AS n_total,
+       count(*) FILTER (WHERE quality >= (SELECT t FROM thr)) AS n_kept,
+       round(count(*) FILTER (WHERE quality >= (SELECT t FROM thr))
+             * 1.0 / count(*), 6) AS retention
+FROM q GROUP BY source
+""".strip(),
+)
+def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-threshold corpus curation: keep docs at or above the
+    corpus's own p25 quality, report per-source retention.  The
+    threshold is one exact global percentile (broadcast back as a 1-row
+    join); the filter itself is a scan-local comparison.  At 100 TB the
+    single-group percentile() switches to
+    ``operators.stats.exact_global_quantiles`` (range-partition order
+    statistics) — same value, bounded per-task buffers."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "source", X.quality_score(F.col("text")).alias("quality")
+    )
+    thr = F.broadcast(
+        q.agg(F.expr("percentile(quality, 0.25)").alias("__t"))
+    )
+    kept = F.when(F.col("quality") >= F.col("__t"), 1).otherwise(0)
+    return (
+        q.crossJoin(thr)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.round(
+                F.sum(kept) * F.lit(1.0) / F.count(F.lit(1)), 6
+            ).alias("retention"),
+        )
+    )
