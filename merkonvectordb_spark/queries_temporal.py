@@ -228,3 +228,66 @@ def q_events_time_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 2).alias("sum_1h"),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )
+
+
+@register(
+    "events_gap_fill_locf",
+    """
+WITH hourly AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+         round(sum(value), 2) AS v
+  FROM events WHERE user_id < 20
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id
+),
+grid AS (
+  SELECT b.user_id, g.h
+  FROM bounds b, unnest(generate_series(b.h0, b.h1, INTERVAL '1 hour')) AS g(h)
+),
+joined AS (
+  SELECT g.user_id, g.h, hr.v,
+         count(hr.v) OVER (PARTITION BY g.user_id ORDER BY g.h) AS grp
+  FROM grid g LEFT JOIN hourly hr ON hr.user_id = g.user_id AND hr.h = g.h
+)
+SELECT user_id, epoch_us(h) AS hour_us,
+       max(v) OVER (PARTITION BY user_id, grp) AS v_filled,
+       (v IS NULL) AS was_gap
+FROM joined
+""".strip(),
+)
+def q_events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward:
+    per user, a dense hourly grid between their first and last events
+    (``sequence`` — no driver-side calendar), left-joined to the hourly
+    rollup, gaps filled by the previous present value (``last_value
+    IGNORE NULLS`` trailing window).  The grid explode is bounded by
+    (users × their own span), the fill is one hash-partition window —
+    the hypertable-rollup shape.  ``user_id < 20`` keeps fixture output
+    proportionate; the plan is user-count-independent."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.unix_micros("h").alias("hour_us"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )
