@@ -136,3 +136,56 @@ def rrf_fuse(
         fused = fused.unionByName(p)
     out = fused.groupBy("id").agg(F.sum("__c").alias("rrf"))
     return out.orderBy(F.col("rrf").desc(), F.col("id").asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing TF vectorizer (HashingTF re-expressed declaratively)
+# ---------------------------------------------------------------------------
+
+HASHTF_DIM = 128
+
+
+def hashed_tf_vectors(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    d: int = HASHTF_DIM,
+) -> DataFrame:
+    """Dense d-dim term-frequency vectors via the hashing trick: each
+    token buckets to ``md5-fold(token) % d`` (the same 60-bit md5 codec
+    the dedup family uses, so the oracle replays it exactly) and the
+    vector is the per-bucket token count.
+
+    Train-free vectorization: no vocabulary build, no second pass, no
+    driver state — the property that lets a 100 TB corpus vectorize in
+    one scan-local-ish pass (explode → two partial-agg shuffles on
+    (doc, bucket) then doc).  Docs with zero tokens produce no vector
+    (nothing to hash, nothing to search).
+    """
+    from merkonvectordb_spark.functions.text import tokenize
+
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+        .cast("bigint") % d
+    ).cast("int")
+    counts = (
+        toks.withColumn("bucket", bucket)
+        .groupBy("__id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = counts.groupBy("__id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "n"))
+        ).alias("__m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m"), i.cast("int")), F.lit(0)
+        ).cast("double"),
+    )
+    return m.select(F.col("__id").alias(id_col), vec.alias("tf_vec"))

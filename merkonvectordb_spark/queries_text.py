@@ -389,3 +389,93 @@ def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick TF vectors + text similarity search over them: the
+# oracle replays tokenization, md5-fold bucketing, dense-vector build,
+# and cosine ranking (same codec constants as the dedup family).
+# ---------------------------------------------------------------------------
+
+
+def _hashtf_oracle() -> str:
+    from merkonvectordb_spark.operators.textsearch import HASHTF_DIM
+    from merkonvectordb_spark.queries_dedup import _TOKS_SQL
+
+    fold = (
+        "list_reduce(list_transform("
+        "regexp_split_to_array(substr(md5(tok), 1, 15), ''),"
+        " ch -> CAST(strpos('0123456789abcdef', ch) AS BIGINT) - 1),"
+        " (acc, d) -> acc * 16 + d)"
+    )
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+),
+counts AS (
+  SELECT doc_id, CAST({fold} % {HASHTF_DIM} AS INT) AS bucket, count(*) AS n
+  FROM toks GROUP BY doc_id, bucket
+),
+grid AS (SELECT unnest(generate_series(0, {HASHTF_DIM - 1})) AS i),
+vecs AS (
+  SELECT d.doc_id, list(CAST(coalesce(c.n, 0) AS DOUBLE) ORDER BY g.i) AS v
+  FROM (SELECT DISTINCT doc_id FROM counts) d
+  CROSS JOIN grid g
+  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bucket = g.i
+  GROUP BY d.doc_id
+),
+q AS (SELECT doc_id AS query_id, v AS qv FROM vecs WHERE doc_id < 3),
+scored AS (
+  SELECT q.query_id, e.doc_id, {cos.format(a="e.v", b="q.qv")} AS raw
+  FROM vecs e CROSS JOIN q
+  WHERE sqrt(list_dot_product(e.v, e.v)) > 0
+    AND sqrt(list_dot_product(q.qv, q.qv)) > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, doc_id, round(raw, 6) AS score FROM ranked WHERE rn <= 5
+""".strip()
+
+
+@register("text_search_hashtf", _hashtf_oracle())
+def q_text_search_hashtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-free text similarity: hashing-trick TF vectors (no
+    vocabulary pass, no driver state) + cosine top-5.  Lexical overlap
+    search that needs neither embeddings nor an inverted index — the
+    third retrieval family next to BM25 and dense kNN."""
+    from merkonvectordb_spark.functions.vector import cosine_similarity
+    from merkonvectordb_spark.operators.textsearch import hashed_tf_vectors
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = hashed_tf_vectors(docs)
+    qset = F.broadcast(
+        vecs.where(F.col("doc_id") < 3).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("tf_vec").alias("__qv"),
+        )
+    )
+    scored = (
+        vecs.crossJoin(qset)
+        .withColumn(
+            "raw", cosine_similarity(F.col("tf_vec"), F.col("__qv"))
+        )
+        .where(F.col("raw").isNotNull() & (~F.isnan("raw")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("raw"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 5)
+        .select(
+            "query_id", "doc_id", F.round("raw", 6).alias("score")
+        )
+    )

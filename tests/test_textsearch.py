@@ -96,3 +96,39 @@ def test_rrf_rewards_agreement(spark):
     got = {r.id: r.rrf for r in out}
     assert abs(got[13] - 1.0 / 62) < 1e-12
     assert abs(got[10] - 2.0 / 61) < 1e-12
+
+
+def test_hashed_tf_vectors_count_tokens(spark):
+    import hashlib
+
+    from merkonvectordb_spark.operators.textsearch import (
+        HASHTF_DIM,
+        hashed_tf_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "")], "doc_id LONG, text STRING"
+    )
+    rows = {r.doc_id: r.tf_vec for r in hashed_tf_vectors(df).collect()}
+    assert set(rows) == {1}  # token-free docs vectorize to nothing
+    v = rows[1]
+    assert len(v) == HASHTF_DIM and sum(v) == 3.0
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % HASHTF_DIM
+
+    assert v[bucket("alpha")] == 2.0
+    assert v[bucket("beta")] == 1.0
+
+
+def test_hashtf_search_self_is_rank1(spark, sf_dir):
+    from merkonvectordb_spark.queries_text import q_text_search_hashtf
+
+    out = q_text_search_hashtf(spark, sf_dir).collect()
+    top1 = {
+        r.query_id: (r.doc_id, r.score)
+        for r in out
+        if (r.query_id, r.doc_id) in {(q, q) for q in (0, 1, 2)}
+    }
+    for q, (d, s) in top1.items():
+        assert d == q and s == 1.0
