@@ -663,7 +663,12 @@ def decontaminate(
     the pair count equals distinct shared grams with no count-distinct
     state.
     """
-    tr = train.select(
+    # shingling is CPU-bound interpreted-expression work: spread the
+    # train side across all cores instead of inheriting 1-2 scan splits
+    # (same rule as the MinHash/SimHash stages; a many-file 100 TB table
+    # parallelizes naturally and AQE elides the no-op exchange)
+    par = train.sparkSession.sparkContext.defaultParallelism
+    tr = train.repartition(par).select(
         F.col(id_col).alias("train_id"),
         F.explode(
             F.array_distinct(word_shingles(F.col(text_col), n))

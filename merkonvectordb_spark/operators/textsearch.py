@@ -164,7 +164,10 @@ def hashed_tf_vectors(
     """
     from merkonvectordb_spark.functions.text import tokenize
 
-    toks = docs.select(
+    # tokenization + md5 bucketing is CPU-bound: spread across all cores
+    # rather than inheriting the fixture's 1-2 scan splits
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
         F.col(id_col).alias("__id"),
         F.explode(tokenize(F.col(text_col))).alias("tok"),
     )
@@ -189,3 +192,98 @@ def hashed_tf_vectors(
         ).cast("double"),
     )
     return m.select(F.col("__id").alias(id_col), vec.alias("tf_vec"))
+
+
+def hashed_tf_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    d: int = HASHTF_DIM,
+) -> DataFrame:
+    """Sparse hashed-TF representation: ``(id, bucket, n)`` rows — the
+    inverted-index form of ``hashed_tf_vectors``, and the one to score
+    with at scale (no dense materialization, no per-slot probing)."""
+    from merkonvectordb_spark.functions.text import tokenize
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+        .cast("bigint") % d
+    ).cast("int")
+    return (
+        toks.withColumn("bucket", bucket)
+        .groupBy("__id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def hashed_tf_search(
+    docs: DataFrame,
+    query_ids,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    d: int = HASHTF_DIM,
+) -> DataFrame:
+    """Cosine top-k over hashed-TF vectors computed SPARSELY: the dot
+    product is Σ n_a·n_b over shared buckets (inner join on bucket,
+    partial-agg sum), norms are per-doc Σ n² — all integer arithmetic
+    until the final divide, so the result is bit-identical under ANY
+    summation order and both engines agree without sequential folds.
+
+    Scale shape: query-side counts broadcast; the corpus count stream is
+    probed map-side and only (doc, query) partials shuffle — the
+    inverted-index plan, same family as BM25.  Docs sharing zero buckets
+    with a query score 0 and are absent (they can never reach a top-k
+    that any sharing doc reaches).
+    """
+    counts = hashed_tf_counts(docs, id_col, text_col, d)
+    norms = counts.groupBy(id_col).agg(
+        F.sum(F.col("n") * F.col("n")).alias("__na2")
+    )
+    qcounts = F.broadcast(
+        hashed_tf_counts(
+            docs.where(F.col(id_col).isin(list(query_ids))),
+            id_col,
+            text_col,
+            d,
+        ).select(
+            F.col(id_col).alias("__qid"),
+            "bucket",
+            F.col("n").alias("__qn"),
+        )
+    )
+    qnorms = F.broadcast(
+        qcounts.groupBy("__qid").agg(
+            F.sum(F.col("__qn") * F.col("__qn")).alias("__qa2")
+        )
+    )
+    dots = (
+        counts.join(qcounts, "bucket")
+        .groupBy(id_col, "__qid")
+        .agg(F.sum(F.col("n") * F.col("__qn")).alias("__dot"))
+    )
+    scored = (
+        dots.join(norms, id_col)
+        .join(qnorms, "__qid")
+        .withColumn(
+            "__raw",
+            F.col("__dot")
+            / (F.sqrt(F.col("__na2")) * F.sqrt(F.col("__qa2"))),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("__raw"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            id_col,
+            F.round("__raw", 6).alias("score"),
+        )
+    )

@@ -408,10 +408,6 @@ def _hashtf_oracle() -> str:
         " ch -> CAST(strpos('0123456789abcdef', ch) AS BIGINT) - 1),"
         " (acc, d) -> acc * 16 + d)"
     )
-    cos = (
-        "list_dot_product({a}, {b}) / "
-        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-    )
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
@@ -420,20 +416,20 @@ counts AS (
   SELECT doc_id, CAST({fold} % {HASHTF_DIM} AS INT) AS bucket, count(*) AS n
   FROM toks GROUP BY doc_id, bucket
 ),
-grid AS (SELECT unnest(generate_series(0, {HASHTF_DIM - 1})) AS i),
-vecs AS (
-  SELECT d.doc_id, list(CAST(coalesce(c.n, 0) AS DOUBLE) ORDER BY g.i) AS v
-  FROM (SELECT DISTINCT doc_id FROM counts) d
-  CROSS JOIN grid g
-  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bucket = g.i
-  GROUP BY d.doc_id
+qc AS (SELECT doc_id AS query_id, bucket, n AS qn FROM counts WHERE doc_id < 3),
+norms AS (SELECT doc_id, sum(n * n) AS na2 FROM counts GROUP BY doc_id),
+qnorms AS (SELECT query_id, sum(qn * qn) AS qa2 FROM qc GROUP BY query_id),
+dots AS (
+  SELECT c.doc_id, q.query_id, sum(c.n * q.qn) AS dot
+  FROM counts c JOIN qc q USING (bucket)
+  GROUP BY c.doc_id, q.query_id
 ),
-q AS (SELECT doc_id AS query_id, v AS qv FROM vecs WHERE doc_id < 3),
 scored AS (
-  SELECT q.query_id, e.doc_id, {cos.format(a="e.v", b="q.qv")} AS raw
-  FROM vecs e CROSS JOIN q
-  WHERE sqrt(list_dot_product(e.v, e.v)) > 0
-    AND sqrt(list_dot_product(q.qv, q.qv)) > 0
+  SELECT d.query_id, d.doc_id,
+         d.dot / (sqrt(n.na2) * sqrt(qn.qa2)) AS raw
+  FROM dots d
+  JOIN norms n USING (doc_id)
+  JOIN qnorms qn USING (query_id)
 ),
 ranked AS (
   SELECT *, row_number() OVER (
@@ -446,72 +442,15 @@ SELECT query_id, doc_id, round(raw, 6) AS score FROM ranked WHERE rn <= 5
 
 @register("text_search_hashtf", _hashtf_oracle())
 def q_text_search_hashtf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train-free text similarity: hashing-trick TF vectors (no
-    vocabulary pass, no driver state) + cosine top-5.  Lexical overlap
-    search that needs neither embeddings nor an inverted index — the
-    third retrieval family next to BM25 and dense kNN."""
-    from merkonvectordb_spark.functions.vector import cosine_similarity
-    from merkonvectordb_spark.operators.textsearch import hashed_tf_vectors
-    from pyspark.sql import Window
+    """Train-free text similarity: hashing-trick TF counts (no
+    vocabulary pass, no driver state) scored SPARSELY — the dot product
+    is an inner join on shared buckets with integer partial-agg sums,
+    norms are per-doc sums of squares, and the only doubles appear in
+    the final divide, so both engines agree bit-for-bit under any
+    summation order.  The third retrieval family next to BM25 and dense
+    kNN; the dense-vector form (``hashed_tf_vectors``) remains the API
+    for embedding-style consumers."""
+    from merkonvectordb_spark.operators.textsearch import hashed_tf_search
 
     docs = load_table(spark, sf_dir, "documents")
-    vecs = hashed_tf_vectors(docs)
-    qset = F.broadcast(
-        vecs.where(F.col("doc_id") < 3).select(
-            F.col("doc_id").alias("query_id"),
-            F.col("tf_vec").alias("__qv"),
-        )
-    )
-    scored = (
-        vecs.crossJoin(qset)
-        .withColumn(
-            "raw", cosine_similarity(F.col("tf_vec"), F.col("__qv"))
-        )
-        .where(F.col("raw").isNotNull() & (~F.isnan("raw")))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("raw"), F.asc("doc_id")
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= 5)
-        .select(
-            "query_id", "doc_id", F.round("raw", 6).alias("score")
-        )
-    )
-
-
-@register(
-    "curriculum_deciles",
-    f"""
-WITH q AS (
-  SELECT doc_id, source, {_quality_sql("text")} AS quality FROM documents
-),
-tiled AS (
-  SELECT source, ntile(10) OVER (ORDER BY quality DESC, doc_id ASC) AS decile
-  FROM q
-)
-SELECT decile, source, count(*) AS n_docs
-FROM tiled GROUP BY decile, source
-""".strip(),
-)
-def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curriculum ordering: corpus-wide quality deciles (NTILE over a
-    deterministic total order) crossed with source — the
-    easy-to-hard schedule builder.  The single global window is the
-    known cost (one ordered pass); at 100 TB the same deciles come from
-    ``exact_global_quantiles`` cut points + a scan-local bucket compare,
-    trading the global sort for 9 broadcast thresholds."""
-    from pyspark.sql import Window
-
-    docs = load_table(spark, sf_dir, "documents")
-    q = docs.select(
-        "doc_id",
-        "source",
-        X.quality_score(F.col("text")).alias("quality"),
-    )
-    w = Window.orderBy(F.desc("quality"), F.asc("doc_id"))
-    tiled = q.select("source", F.ntile(10).over(w).alias("decile"))
-    return tiled.groupBy("decile", "source").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
+    return hashed_tf_search(docs, query_ids=[0, 1, 2], k=5)
