@@ -187,6 +187,13 @@ def mmr_rerank(
     is its raw relevance (greedy seed), later ranks the MMR objective.
     """
     qk, ik = query_id_col, id_col
+    # the loop re-references cand/psim every iteration and the selected
+    # set's lineage grows per step — persist the invariants and cut the
+    # accumulator's lineage (same persist-or-recompute law PageRank
+    # measured; without this, k-1 iterations re-run the candidate
+    # scoring DAG k-1 times over)
+    cand = cand.persist()
+    psim = psim.persist()
     w_seed = Window.partitionBy(qk).orderBy(F.desc("qs"), F.asc(ik))
     selected = (
         cand.withColumn("__rn", F.row_number().over(w_seed))
@@ -197,7 +204,7 @@ def mmr_rerank(
             F.lit(1).alias("sel_rank"),
             F.col("qs").alias("__mscore"),
         )
-    )
+    ).localCheckpoint()
     for r in range(2, k + 1):
         rem = cand.join(selected.select(qk, ik), [qk, ik], "left_anti")
         ms = (
@@ -226,7 +233,10 @@ def mmr_rerank(
                 F.col("__mmr").alias("__mscore"),
             )
         )
-        selected = selected.unionByName(pick)
-    return selected.withColumn(
+        selected = selected.unionByName(pick).localCheckpoint()
+    out = selected.withColumn(
         "mmr_score", F.round(F.col("__mscore"), 6)
     ).drop("__mscore")
+    cand.unpersist()
+    psim.unpersist()
+    return out
