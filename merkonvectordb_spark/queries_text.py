@@ -454,3 +454,39 @@ def q_text_search_hashtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return hashed_tf_search(docs, query_ids=[0, 1, 2], k=5)
+
+
+@register(
+    "curriculum_deciles",
+    f"""
+WITH q AS (
+  SELECT doc_id, source, {_quality_sql("text")} AS quality FROM documents
+),
+tiled AS (
+  SELECT source, ntile(10) OVER (ORDER BY quality DESC, doc_id ASC) AS decile
+  FROM q
+)
+SELECT decile, source, count(*) AS n_docs
+FROM tiled GROUP BY decile, source
+""".strip(),
+)
+def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: corpus-wide quality deciles (NTILE over a
+    deterministic total order) crossed with source — the
+    easy-to-hard schedule builder.  The single global window is the
+    known cost (one ordered pass); at 100 TB the same deciles come from
+    ``exact_global_quantiles`` cut points + a scan-local bucket compare,
+    trading the global sort for 9 broadcast thresholds."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        "source",
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+    w = Window.orderBy(F.desc("quality"), F.asc("doc_id"))
+    tiled = q.select("source", F.ntile(10).over(w).alias("decile"))
+    return tiled.groupBy("decile", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
