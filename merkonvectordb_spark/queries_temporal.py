@@ -291,3 +291,42 @@ def q_events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@register(
+    "events_outliers_p99",
+    """
+WITH thr AS (
+  SELECT event_type, quantile_cont(value, 0.99) AS p99
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       round(e.value, 2) AS value,
+       round(t.p99, 6) AS type_p99
+FROM events e JOIN thr t USING (event_type)
+WHERE e.value > t.p99
+""".strip(),
+)
+def q_events_outliers_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier detection with a deterministic rule: events above their
+    type's exact p99.  Percentile thresholds (5 groups, broadcast back)
+    instead of mean+3σ because exact order statistics hash-match across
+    engines while variance accumulates in engine-dependent FP order —
+    the same determinism discipline as the quantile suite."""
+    ev = load_table(spark, sf_dir, "events")
+    thr = F.broadcast(
+        ev.groupBy("event_type").agg(
+            F.expr("percentile(value, 0.99)").alias("p99")
+        )
+    )
+    return (
+        ev.join(thr, "event_type")
+        .where(F.col("value") > F.col("p99"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round("p99", 6).alias("type_p99"),
+        )
+    )
