@@ -90,6 +90,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     bootstrap made every events-table query fail under such sessions.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # UTC must hold in EXTERNAL harness sessions too: the NTZ→TIMESTAMP
+    # normalization below and all timestamp rendering assume it, and a
+    # non-UTC session would shift every events instant by the zone offset
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
