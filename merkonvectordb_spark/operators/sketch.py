@@ -175,3 +175,48 @@ def exact_heavy_hitters(
         .where(F.col("cnt") * phi_den >= F.col("n") * phi_num)
         .select("item", "cnt")
     )
+
+
+def kmv_bottom_k_grouped(
+    df: DataFrame, group_col: str, column: str, k: int
+) -> DataFrame:
+    """Per-group bottom-k sketches in ONE pass: distinct (group, hash)
+    pairs, then a per-group rank keep of the k smallest — the shuffle
+    carries per-partition-distinct hashes only, and every group's
+    summary stays ≤ k rows (mergeable exactly like the global sketch)."""
+    if k < 3:
+        raise ValueError("kmv requires k >= 3")
+    from pyspark.sql import Window
+
+    hashes = (
+        df.where(F.col(column).isNotNull())
+        .select(group_col, kmv_hash(F.col(column)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy(F.asc("h"))
+    return (
+        hashes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_distinct_grouped(
+    df: DataFrame, group_col: str, column: str, k: int = 256
+) -> DataFrame:
+    """Per-group distinct-count estimates: (group_col, est_distinct)."""
+    sk = kmv_bottom_k_grouped(df, group_col, column, k)
+    return (
+        sk.groupBy(group_col)
+        .agg(F.count("h").alias("__n"), F.max("h").alias("__mx"))
+        .select(
+            group_col,
+            F.when(F.col("__n") < k, F.col("__n").cast("double"))
+            .otherwise(
+                F.lit(float(k - 1))
+                * F.lit(TWO_POW_60)
+                / F.col("__mx").cast("double")
+            )
+            .alias("est_distinct"),
+        )
+    )

@@ -93,3 +93,52 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
     return exact_heavy_hitters(toks, "term", phi_num=1, phi_den=100, m=200)
+
+
+_GK = 64  # small enough that the estimator (not the exact branch) engages
+
+
+@register(
+    "sketch_distinct_grouped",
+    f"""
+WITH hs AS (
+  SELECT event_type,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY event_type, h
+),
+topk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hs) WHERE rn <= {_GK}
+),
+est AS (
+  SELECT event_type, count(*) AS n, max(h) AS mx FROM topk GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CASE WHEN e.n < {_GK} THEN CAST(e.n AS DOUBLE)
+            ELSE {float(_GK - 1)} * 1152921504606846976.0 / CAST(e.mx AS DOUBLE)
+       END AS est_distinct,
+       x.exact_distinct
+FROM est e JOIN exact x USING (event_type)
+""".strip(),
+)
+def q_sketch_distinct_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED KMV: distinct users per event type as ≤ k-row per-group
+    sketches built in one pass (distinct (group, hash) → per-group rank
+    keep) — the GROUP BY twin of `sketch_distinct`, with the exact
+    count alongside to record accuracy.  At 100 TB only the sketch path
+    runs; its shuffle carries per-partition-distinct hashes, never rows."""
+    from merkonvectordb_spark.operators.sketch import kmv_distinct_grouped
+
+    ev = load_table(spark, sf_dir, "events")
+    est = kmv_distinct_grouped(ev, "event_type", "user_id", _GK)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
