@@ -57,14 +57,36 @@ def main() -> int:
         timings[name] = round(best, 4)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    total = round(sum(timings.values()), 4)
+    sf = _sf_from_dir(sf_dir)
     out = {
         "metric": "wall_clock_total",
-        "value": round(sum(timings.values()), 4),
+        "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": _sf_from_dir(sf_dir),
+        "sf": sf,
     }
     print(json.dumps(out))
+    # The full per-query line above can overflow a bounded tail buffer
+    # (102 timings ≈ 3 KB — round 3's BENCH record truncated mid-line and
+    # parsed as null).  Emit a compact line LAST — guaranteed to survive
+    # any tail cut — carrying the headline numbers plus only the slowest
+    # queries, so the record is always parseable.
+    ts = sorted(timings.values())
+    median = round(ts[len(ts) // 2], 4) if ts else 0.0
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    compact = {
+        "metric": "wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "median_sec": median,
+        "queries": slowest,
+    }
+    print(json.dumps(compact))
     return 0
 
 

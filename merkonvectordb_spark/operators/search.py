@@ -217,10 +217,18 @@ def mmr_rerank(
             .agg(F.max("sim").alias("__ms"))
             .withColumnRenamed("a", ik)
         )
-        scored = rem.join(ms, [qk, ik]).withColumn(
-            "__mmr",
-            F.lit(float(lam)) * F.col("qs")
-            - F.lit(float(1.0 - lam)) * F.col("__ms"),
+        # LEFT join: a candidate with no pairwise-sim row against any
+        # selected item is maximally diverse (sim 0), not silently
+        # droppable — an incomplete/one-directional psim otherwise
+        # shrinks the result set without error
+        scored = (
+            rem.join(ms, [qk, ik], "left")
+            .withColumn("__ms", F.coalesce("__ms", F.lit(0.0)))
+            .withColumn(
+                "__mmr",
+                F.lit(float(lam)) * F.col("qs")
+                - F.lit(float(1.0 - lam)) * F.col("__ms"),
+            )
         )
         w = Window.partitionBy(qk).orderBy(F.desc("__mmr"), F.asc(ik))
         pick = (

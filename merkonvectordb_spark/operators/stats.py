@@ -108,3 +108,69 @@ def exact_global_quantiles(
         v_hi = wanted[locate(hi)]
         out.append(v_lo + (v_hi - v_lo) * w)
     return out
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: Sequence,
+    n_tiles: int,
+    out_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(n)`` over a global order — without the
+    single-partition window ``ntile() OVER (ORDER BY ...)`` plans.
+
+    ``order_cols`` are (col, 'asc'|'desc') pairs (or bare names, taken
+    ascending) and must form a total order (include a unique tie-break).
+    The global 0-based rank comes from the same distributed two-pass
+    shape as ``exact_global_quantiles``: range-partition + local sort,
+    P partition counts to the driver, offsets re-applied as literals
+    (``operators.pipeline.global_exclusive_prefix_sum`` with a ones
+    column).  The tile is then pure arithmetic on the rank — SQL NTILE
+    semantics: with n rows and t tiles, the first ``n % t`` tiles get
+    ``n // t + 1`` rows, the rest ``n // t``.
+    """
+    from merkonvectordb_spark.operators.pipeline import (
+        global_exclusive_prefix_sum,
+    )
+
+    norm: list[tuple[str, str]] = []
+    for oc in order_cols:
+        if isinstance(oc, str):
+            norm.append((oc, "asc"))
+        else:
+            c, d = oc
+            norm.append((c, d.lower()))
+
+    work = df
+    keys: list[str] = []
+    drop: list[str] = []
+    for i, (c, d) in enumerate(norm):
+        if d == "desc":
+            # range partitioner here orders ascending only; negate once
+            # (numeric) so every key ranges ascending
+            k = f"__ord{i}"
+            work = work.withColumn(k, -F.col(c))
+            keys.append(k)
+            drop.append(k)
+        else:
+            keys.append(c)
+
+    work = work.withColumn("__one", F.lit(1))
+    ranked = global_exclusive_prefix_sum(
+        work, keys, "__one", out_col="__rank", num_partitions=num_partitions
+    )
+    n = ranked.count()  # metadata-sized job over the persisted ranking
+    base, rem = divmod(n, n_tiles)
+    r = F.col("__rank")
+    if base == 0:
+        tile = (r + 1).cast("int")
+    else:
+        cut = rem * (base + 1)
+        tile = (
+            F.when(r < cut, F.floor(r / (base + 1)))
+            .otherwise(rem + F.floor((r - cut) / base))
+            .cast("int")
+            + 1
+        )
+    return ranked.withColumn(out_col, tile).drop("__one", "__rank", *drop)

@@ -48,14 +48,23 @@ def _first_match_rank(state: DataFrame) -> DataFrame:
 
 def with_key_from_metadata(records: DataFrame) -> DataFrame:
     """W3: overwrite ``key`` with ``metadata.id`` (MerkonMemoryStore.cs:240)
-    — the metadata id is the true primary key."""
-    return records.withColumn(
-        "key", F.get_json_object(F.col("metadata"), "$.id")
+    — the metadata id is the true primary key.  Goes through the typed
+    ``METADATA_STRUCT`` decode (schema.parse_metadata), the declared F3
+    design: one ``from_json`` parse, then struct projections."""
+    from merkonvectordb_spark.schema import parse_metadata
+
+    return (
+        parse_metadata(records, out_col="__meta")
+        .withColumn("key", F.col("__meta").getField("id"))
+        .drop("__meta")
     )
 
 
 def upsert(
-    state: DataFrame, updates: DataFrame, order_col: str | None = None
+    state: DataFrame,
+    updates: DataFrame,
+    order_col: str | None = None,
+    bulk_inserts: bool = False,
 ) -> DataFrame:
     """W1/W2/W4 batched InsertOrUpdate (MerkonDatabase.cs:89-104).
 
@@ -72,6 +81,17 @@ def upsert(
     batch came through a shuffle/join — without it we fall back to
     ``monotonically_increasing_id``, which reflects partition layout and is
     only a faithful batch order for locally-constructed / ordered inputs.
+
+    Scale guard: fresh-insert sequence numbers need a total order over
+    the inserted keys.  The default path ranks them with a global
+    ``row_number`` window — single-partition, fine for CRUD-sized
+    batches (the intended write path) but a one-task cliff for bulk
+    loads.  Pass ``bulk_inserts=True`` to route the ranking through the
+    distributed two-pass prefix sum instead
+    (``operators.pipeline.global_exclusive_prefix_sum``: range shuffle +
+    P driver-side partition counts); both paths assign IDENTICAL
+    sequence numbers — (collection, key) ascending — so the choice is
+    purely a physical one.
     """
     if order_col is not None:
         upd_ord = updates.withColumn("__uord", F.col(order_col))
@@ -105,13 +125,26 @@ def upsert(
     max_seq = F.broadcast(
         state.agg(F.coalesce(F.max("ingest_seq"), F.lit(0)).alias("__max_seq"))
     )
-    ins_w = Window.orderBy(F.asc("collection"), F.asc("key"))
-    inserted = (
-        upd.join(
-            state.select(*_MERGE_KEYS).distinct(), _MERGE_KEYS, "left_anti"
+    fresh = upd.join(
+        state.select(*_MERGE_KEYS).distinct(), _MERGE_KEYS, "left_anti"
+    )
+    if bulk_inserts:
+        from merkonvectordb_spark.operators.pipeline import (
+            global_exclusive_prefix_sum,
         )
-        .withColumn("__ord", F.row_number().over(ins_w))
-        .crossJoin(max_seq)
+
+        ranked_ins = global_exclusive_prefix_sum(
+            fresh.withColumn("__one", F.lit(1)),
+            ["collection", "key"],
+            "__one",
+            out_col="__ord0",
+        )
+        fresh = ranked_ins.withColumn("__ord", F.col("__ord0") + 1)
+    else:
+        ins_w = Window.orderBy(F.asc("collection"), F.asc("key"))
+        fresh = fresh.withColumn("__ord", F.row_number().over(ins_w))
+    inserted = (
+        fresh.crossJoin(max_seq)
         .withColumn("ingest_seq", F.col("__max_seq") + F.col("__ord"))
         .select(*STATE_COLS)
     )

@@ -34,6 +34,11 @@ class RouteDecision:
     est_rows: int
     est_flops: float
     budget: float
+    # the IO dimension, populated on every route so a surfaced decision
+    # shows WHICH resource bound fired and by how much
+    est_scan_bytes: float = 0.0
+    byte_budget: float = 0.0
+    binding_resource: str = "none"  # "flops" | "bytes" | "none"
 
 
 def estimate_rows(df: DataFrame, row_bytes: int) -> int:
@@ -88,16 +93,24 @@ def route_knn_batch(
     flops = float(rows) * float(max(0, n_queries)) * float(dim)
     scan_bytes = float(rows) * float(row_bytes)
     if allow_approx and flops > flop_budget:
-        decision = RouteDecision("ann", rows, flops, flop_budget)
+        decision = RouteDecision(
+            "ann", rows, flops, flop_budget,
+            scan_bytes, byte_budget, "flops",
+        )
         return decision, knn_batch_ann(
             corpus, queries, k, **(ann_kwargs or {})
         )
     if allow_approx and scan_bytes > byte_budget:
         from merkonvectordb_spark.operators.ann import knn_batch_sq8
 
-        decision = RouteDecision("sq8", rows, flops, flop_budget)
+        decision = RouteDecision(
+            "sq8", rows, flops, flop_budget,
+            scan_bytes, byte_budget, "bytes",
+        )
         return decision, knn_batch_sq8(
             corpus, queries, k, **(sq8_kwargs or {})
         )
-    decision = RouteDecision("brute", rows, flops, flop_budget)
+    decision = RouteDecision(
+        "brute", rows, flops, flop_budget, scan_bytes, byte_budget, "none"
+    )
     return decision, knn_batch(corpus, queries, k, **(brute_kwargs or {}))

@@ -25,7 +25,7 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        event_type,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       round(sum(value), 2) AS sum_value
+       sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
 FROM events
 GROUP BY 1, 2
 """.strip(),
@@ -34,7 +34,9 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event type: the canonical streaming
     aggregation run as a batch plan (partial agg → shuffle on
     (window, type)).  ``streaming.ingest.windowed_counts`` is the
-    readStream twin with a watermark."""
+    readStream twin with a watermark.  Value sums are integer-scaled
+    cents (associative, order-free) so partial-agg order can never flip
+    a 2dp rounding boundary between engines."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -44,7 +46,9 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                "sum_cents"
+            ),
         )
     )
 
@@ -67,7 +71,7 @@ SELECT user_id, session_seq,
        count(*) AS n_events,
        epoch_us(min(ts)) AS start_us,
        epoch_us(max(ts)) AS end_us,
-       round(sum(value), 2) AS sum_value
+       sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
 FROM sessions GROUP BY user_id, session_seq
 """.strip(),
 )
@@ -76,7 +80,13 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum (session id) → per-session rollup.  One shuffle on
     user_id serves both windows AND the final groupBy (hash-partitioned
     on a prefix of the window key) — the streaming twin is a
-    session_window/applyInPandasWithState plan."""
+    session_window/applyInPandasWithState plan.
+
+    The per-session value sum is integer-scaled cents (BIGINT): the old
+    ``round(sum(value), 2)`` hash-failed in harness runs r2/r3 whenever
+    a DOUBLE session sum landed on a .xx5 tick and the engines' fold
+    orders split it — integer sums are associative, so the flake class
+    is gone by construction (same fix as ``events_incremental_agg``)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
@@ -89,7 +99,9 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.unix_micros(F.min("ts")).alias("start_us"),
         F.unix_micros(F.max("ts")).alias("end_us"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+            "sum_cents"
+        ),
     )
 
 

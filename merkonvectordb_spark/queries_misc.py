@@ -231,7 +231,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT coalesce(event_type, '<all>') AS event_type,
        coalesce(CAST(extract(hour FROM ts) AS BIGINT), -1) AS hr,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
 FROM events
 GROUP BY ROLLUP (event_type, extract(hour FROM ts))
 """.strip(),
@@ -246,13 +246,15 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.rollup(F.col("event_type"), hr.alias("hr"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                "sum_cents"
+            ),
         )
         .select(
             F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
             F.coalesce("hr", F.lit(-1)).alias("hr"),
             "n_events",
-            "sum_value",
+            "sum_cents",
         )
     )
 
@@ -265,7 +267,7 @@ SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
        GROUPING(l_returnflag, l_linestatus) AS gid,
        count(*) AS n,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """.strip(),
@@ -284,8 +286,15 @@ def q_lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 10000
+                    ).cast("bigint")
+                )
+                / 10000.0
             ).alias("revenue"),
         )
         .select(

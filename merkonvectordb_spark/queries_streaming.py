@@ -83,7 +83,7 @@ def _run_to_memory(
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
 FROM events
 GROUP BY 1, 2
 """.strip(),
@@ -103,7 +103,9 @@ def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+            "sum_cents"
+        ),
     )
     return _run_to_memory(agg, "complete", work)
 
@@ -127,10 +129,10 @@ rolled AS (
          epoch_us(min(ts)) AS start_us,
          epoch_us(max(ts)) AS end_us,
          count(*) AS n_events,
-         round(sum(value), 2) AS sum_value
+         sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
   FROM sessions GROUP BY user_id, session_seq
 )
-SELECT user_id, start_us, end_us, n_events, sum_value
+SELECT user_id, start_us, end_us, n_events, sum_cents
 FROM rolled
 WHERE end_us + {SESSION_GAP_SEC} * 1000000 <= (SELECT max(epoch_us(ts)) FROM events)
 """.strip(),
@@ -159,7 +161,9 @@ def q_streaming_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+            "sum_cents"
+        ),
     )
     out_stream = sess.select(
         "user_id",
@@ -169,11 +173,11 @@ def q_streaming_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame
             - F.lit(SESSION_GAP_SEC * 1_000_000)
         ).alias("end_us"),
         "n_events",
-        "sum_value",
+        "sum_cents",
     )
     out = _run_to_memory(out_stream, "append", work)
     return out.select(
-        "user_id", "start_us", "end_us", "n_events", "sum_value"
+        "user_id", "start_us", "end_us", "n_events", "sum_cents"
     )
 
 

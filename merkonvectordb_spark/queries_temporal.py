@@ -89,7 +89,7 @@ WITH inc AS (
 )
 SELECT i.incident_id,
        count(*) AS n_events,
-       round(sum(e.value), 2) AS sum_value
+       sum(CAST(floor(e.value * 100) AS BIGINT)) AS sum_cents
 FROM inc i
 JOIN events e
   ON e.user_id = i.user_id AND e.ts >= i.w_start AND e.ts < i.w_end
@@ -125,7 +125,9 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return matched.groupBy("incident_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+            "sum_cents"
+        ),
     )
 
 
@@ -203,7 +205,7 @@ def q_events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_time_window_agg",
     """
 SELECT event_id, user_id,
-       round(sum(value) OVER w, 2) AS sum_1h,
+       sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS sum_cents_1h,
        count(*) OVER w AS n_1h
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -215,17 +217,22 @@ def q_events_time_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     each event's sum/count over the same user's preceding hour, as a
     RANGE frame on epoch micros.  One hash-partition window, no second
     shuffle; frame membership is defined by event time, so ties at the
-    same microsecond share identical frames in both engines."""
+    same microsecond share identical frames in both engines.  The frame
+    sum is integer cents: DuckDB evaluates window sums via segment tree
+    while Spark folds in frame order, so a DOUBLE sum could land on
+    opposite sides of a 2dp rounding tick — BIGINT sums are fold-order
+    free."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))
         .rangeBetween(-3600 * 1_000_000, Window.currentRow)
     )
+    cents = F.floor(F.col("value") * 100).cast("bigint")
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+        F.sum(cents).over(w).alias("sum_cents_1h"),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )
 
@@ -235,7 +242,7 @@ def q_events_time_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH hourly AS (
   SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
-         round(sum(value), 2) AS v
+         sum(CAST(floor(value * 100) AS BIGINT)) AS v
   FROM events WHERE user_id < 20
   GROUP BY 1, 2
 ),
@@ -252,7 +259,7 @@ joined AS (
   FROM grid g LEFT JOIN hourly hr ON hr.user_id = g.user_id AND hr.h = g.h
 )
 SELECT user_id, epoch_us(h) AS hour_us,
-       max(v) OVER (PARTITION BY user_id, grp) AS v_filled,
+       max(v) OVER (PARTITION BY user_id, grp) AS v_filled_cents,
        (v IS NULL) AS was_gap
 FROM joined
 """.strip(),
@@ -269,7 +276,9 @@ def q_events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("v")
+    )
     bounds = hourly.groupBy("user_id").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
     )
@@ -288,7 +297,7 @@ def q_events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "user_id",
         F.unix_micros("h").alias("hour_us"),
-        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled_cents"),
         F.col("v").isNull().alias("was_gap"),
     )
 

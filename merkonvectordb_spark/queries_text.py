@@ -471,13 +471,18 @@ FROM tiled GROUP BY decile, source
 """.strip(),
 )
 def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curriculum ordering: corpus-wide quality deciles (NTILE over a
-    deterministic total order) crossed with source — the
-    easy-to-hard schedule builder.  The single global window is the
-    known cost (one ordered pass); at 100 TB the same deciles come from
-    ``exact_global_quantiles`` cut points + a scan-local bucket compare,
-    trading the global sort for 9 broadcast thresholds."""
-    from pyspark.sql import Window
+    """Curriculum ordering: corpus-wide quality deciles (exact NTILE
+    semantics over a deterministic total order) crossed with source —
+    the easy-to-hard schedule builder.
+
+    Scale-safe plan (``operators.stats.global_ntile``): range-partition
+    on (-quality, doc_id) + local sort gives each row a global rank via
+    P driver-side partition counts, and the decile is arithmetic on the
+    rank — no ``ntile() OVER (ORDER BY …)`` single-partition window
+    anywhere in the plan (pinned in ``test_plan_shapes``).  Ties at
+    decile boundaries resolve exactly as the oracle's NTILE does because
+    the rank order (quality DESC, doc_id ASC) is total."""
+    from merkonvectordb_spark.operators.stats import global_ntile
 
     docs = load_table(spark, sf_dir, "documents")
     q = docs.select(
@@ -485,8 +490,9 @@ def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         X.quality_score(F.col("text")).alias("quality"),
     )
-    w = Window.orderBy(F.desc("quality"), F.asc("doc_id"))
-    tiled = q.select("source", F.ntile(10).over(w).alias("decile"))
+    tiled = global_ntile(
+        q, [("quality", "desc"), ("doc_id", "asc")], 10, out_col="decile"
+    )
     return tiled.groupBy("decile", "source").agg(
         F.count(F.lit(1)).alias("n_docs")
     )

@@ -18,7 +18,7 @@ from merkonvectordb_spark.schema import load_table
     "tpch_q5",
     """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -59,8 +59,18 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # integer-scaled sum (see tpch_q10): per-term rounding to 1e-4
+            # ticks is deterministic, the BIGINT sum is order-free, and
+            # the final division is the same IEEE op in both engines
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 10000
+                    ).cast("bigint")
+                )
+                / 10000.0
             ).alias("revenue")
         )
     )
@@ -69,7 +79,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6",
     """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) / 10000.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -89,8 +99,13 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * F.col("l_discount") * 10000
+                    ).cast("bigint")
+                )
+                / 10000.0
             ).alias("revenue")
         )
     )

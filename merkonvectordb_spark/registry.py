@@ -18,6 +18,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
+# Explicit verification-priority order.  The external harness hash-checks
+# only the FIRST 50 entries of ``queries()`` per round, so each round we
+# front-load the names that still lack a green driver row (names not
+# listed keep registration order after the prioritized block).  The full
+# registry is always returned — this reorders, never hides.
+_PRIORITY: list[str] = []
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
@@ -29,8 +36,19 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def set_priority(names: list[str]) -> None:
+    _PRIORITY[:] = list(names)
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    out: dict[str, QueryFn] = {}
+    for n in _PRIORITY:
+        if n in _QUERIES:
+            out[n] = _QUERIES[n]
+    for n, fn in _QUERIES.items():
+        if n not in out:
+            out[n] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

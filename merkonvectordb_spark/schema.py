@@ -115,6 +115,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parse_metadata(
+    df: DataFrame, src_col: str = "metadata", out_col: str = "metadata_struct"
+) -> DataFrame:
+    """F3 as the DECLARED design (SURVEY §1.3): decode the metadata JSON
+    once into a typed ``METADATA_STRUCT`` column, after which every field
+    access is a struct projection (column-pruned, codegen) instead of a
+    per-access ``get_json_object`` re-parse.  Unknown JSON fields are
+    dropped, missing ones are NULL — SK's lenient contract
+    (MerkonMemoryStore.cs:232)."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(out_col, F.from_json(F.col(src_col), METADATA_STRUCT))
+
+
 def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every testdata table as a temp view; returns the DataFrames."""
     out: dict[str, DataFrame] = {}

@@ -32,6 +32,18 @@ def decode_embedding_json(embedding_json: Column) -> Column:
     return F.from_json(embedding_json, EMBEDDING_JSON_TYPE)
 
 
+def parse_u_timestamp(s: Column) -> Column:
+    """F4 parse direction: a "u"-format (universal sortable,
+    ``yyyy-MM-dd HH:mm:ss'Z'``) string → TIMESTAMP at second precision.
+
+    The reference parses with ``DateTimeStyles.AssumeUniversal``
+    (MerkonMemoryStore.cs:212-221) — the string IS a UTC instant; the
+    session timezone is pinned UTC (schema.load_table / session.get_spark),
+    so ``to_timestamp`` lands on the same instant.  Unparseable strings ⇒
+    NULL (lenient, per-row throws don't distribute)."""
+    return F.to_timestamp(s, "yyyy-MM-dd HH:mm:ss'Z'")
+
+
 def deterministic_embedding(seed: Column, dim: int = 64) -> Column:
     """S5: hash-seeded pseudo-embedding in [-1, 1]^dim (float32).
 
@@ -100,6 +112,7 @@ def embed_query_text(text: str, dim: int = 64) -> list[float]:
 __all__ = [
     "encode_embedding_json",
     "decode_embedding_json",
+    "parse_u_timestamp",
     "deterministic_embedding",
     "records_from_texts",
     "embed_query_text",

@@ -98,12 +98,30 @@ class VersionedTable:
         return [(r.file, r.part) for r in rows]
 
     def _publish(self, version: int, files: list[tuple[str, str | None]]) -> None:
+        """Atomic commit point: rename a staged manifest into place.
+
+        The staging dir lives OUTSIDE ``_manifest/`` — a crash between
+        write and rename must never leave anything ``_versions()`` could
+        parse as a committed version (a ``v=N.parquet.tmp`` inside the
+        log would read back as phantom version N).  And the rename is
+        ``os.rename``, not ``shutil.move``: renaming onto an existing
+        non-empty directory FAILS, so a lost-update race (two writers
+        publishing the same version) surfaces as an error instead of one
+        writer's tmp dir being silently nested inside the other's
+        manifest."""
         df = self.spark.createDataFrame(files, _MANIFEST_DDL)
-        # one small file; the rename into _manifest/v=N is the commit point
-        tmp = self._manifest_file(version) + ".tmp"
+        tmp = os.path.join(self.root, f".tmp-manifest-{uuid.uuid4().hex[:12]}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         os.makedirs(self.manifest_path, exist_ok=True)
-        shutil.move(tmp, self._manifest_file(version))
+        dest = self._manifest_file(version)
+        try:
+            os.rename(tmp, dest)
+        except OSError as e:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise FileExistsError(
+                f"version {version} already committed (concurrent writer?) "
+                f"— refusing to overwrite {dest}"
+            ) from e
 
     # -- writes -----------------------------------------------------------
     def _write_data(self, df: DataFrame) -> list[tuple[str, str | None]]:

@@ -171,6 +171,40 @@ def test_seq_packing_has_no_global_window(spark, sf_dir):
     assert "Exchange rangepartitioning" in plan
 
 
+def test_curriculum_deciles_has_no_global_window(spark, sf_dir):
+    """The decile assignment must be rank arithmetic over a range
+    partitioning — never ``ntile() OVER (ORDER BY …)``, whose empty
+    PARTITION BY moves the whole corpus to one task."""
+    from merkonvectordb_spark.queries_text import q_curriculum_deciles
+
+    plan = _plan(q_curriculum_deciles(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Exchange rangepartitioning" in plan
+
+
+def test_global_ntile_matches_builtin(spark):
+    """global_ntile == NTILE on a single-partition reference, including
+    the uneven-tile remainder rule and boundary ties."""
+    from pyspark.sql import Window
+
+    from merkonvectordb_spark.operators.stats import global_ntile
+
+    rows = [(i, float((i * 7) % 13)) for i in range(47)]  # ties included
+    df = spark.createDataFrame(rows, "id LONG, v DOUBLE")
+    got = {
+        (r.id): r.tile
+        for r in global_ntile(
+            df, [("v", "desc"), ("id", "asc")], 10
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    want = {
+        r.id: r.nt
+        for r in df.select("id", F.ntile(10).over(w).alias("nt")).collect()
+    }
+    assert got == want
+
+
 def test_heavy_hitters_prunes_via_broadcast_semi(spark, sf_dir):
     """Pass 2 must semi-join the tiny candidate set map-side: the exact
     count's aggregate state is bounded by candidates, not vocabulary."""

@@ -144,6 +144,76 @@ def events_dir(tmp_path):
     return str(d)
 
 
+def test_runtime_delivers_applyInPandasWithState_output(
+    spark, events_dir, tmp_path
+):
+    """RUNTIME PROBE — end-to-end coverage of the Python stateful
+    operator, gated on the runtime actually delivering its output.
+
+    The pinned 4.1.2 runtime silently drops ALL Python-operator rows
+    inside micro-batches (sink receives nothing although the fold runs),
+    so the sessionizer's end-to-end path cannot be asserted here: this
+    test SKIPS — loudly — when the probe sees zero rows.  On a runtime
+    where Python streaming output works, the skip disappears and the
+    closed-session set is verified against the batch sessionizer
+    automatically (no code change needed to re-arm the coverage).
+    """
+    from merkonvectordb_spark.streaming.stateful import sessionize_stream
+
+    ev = stream_events(spark, events_dir)
+    sess = sessionize_stream(ev, gap_sec=GAP)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_py_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_probe"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got_rows = spark.table("sessions_py_probe").collect()
+    if not got_rows:
+        pytest.skip(
+            "RUNTIME-SWALLOWS-PYTHON-STREAM-OUTPUT: "
+            "applyInPandasWithState produced 0 sink rows on this runtime "
+            "(known 4.1.2 behavior, BASELINE.md caveat) — fold logic is "
+            "verified function-level above; e2e re-arms on a fixed runtime"
+        )
+    # runtime delivers output → assert real end-to-end semantics
+    from pyspark.sql import Window
+
+    ev_b = load_table(spark, SF, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev_b.withColumn(
+        "new_sess", F.when(gap_us > GAP * US, 1).otherwise(0)
+    )
+    sess_b = flagged.withColumn("session_seq", F.sum("new_sess").over(w))
+    rolled = sess_b.groupBy("user_id", "session_seq").agg(
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    # the Python operator emits CLOSED sessions only (each user's last
+    # session stays open in state — NoTimeout config)
+    last_w = Window.partitionBy("user_id").orderBy(F.desc("start_us"))
+    closed = (
+        rolled.withColumn("__rn", F.row_number().over(last_w))
+        .where(F.col("__rn") > 1)
+        .drop("__rn")
+    )
+    got = {
+        (r.user_id, r.start_us): (r.end_us, r.n_events, r.sum_value)
+        for r in got_rows
+    }
+    want = {
+        (r.user_id, r.start_us): (r.end_us, r.n_events, r.sum_value)
+        for r in closed.collect()
+    }
+    assert got == want
+
+
 def test_session_window_stream_matches_batch_closed_set(
     spark, events_dir, tmp_path
 ):

@@ -61,6 +61,27 @@ def test_upsert_inserts_with_fresh_seq(spark, base):
     assert out.where("key='new'").first().ingest_seq == 6  # max(5)+1
 
 
+def test_upsert_bulk_inserts_matches_window_path(spark, base):
+    """The bulk-load insert ranking (distributed prefix sum) must assign
+    the IDENTICAL sequence numbers the CRUD-sized window path does — the
+    flag is a physical choice only.  Batch is big enough to span many
+    partitions."""
+    rows = [
+        ("c0", f"bulk{i:05d}", '{"id":"bulk%05d"}' % i, [float(i), 0.0], TS)
+        for i in range(2000)
+    ]
+    upd = _upd(spark, rows).repartition(16)
+    small = ops.upsert(base, upd)
+    bulk = ops.upsert(base, upd, bulk_inserts=True)
+    a = sorted((r.collection, r.key, r.ingest_seq) for r in small.collect())
+    b = sorted((r.collection, r.key, r.ingest_seq) for r in bulk.collect())
+    assert a == b
+    # the insert ranking went through the range-partitioned prefix sum
+    # (the remaining Window operators are the per-key partitioned ones)
+    plan = bulk._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in plan
+
+
 def test_upsert_idempotent(spark, base):
     """SURVEY §5.2.4 property: upsert∘upsert = upsert."""
     upd = _upd(spark, [("c0", "a", '{"id":"a","v":1}', [7.0, 0.0], TS)])

@@ -58,6 +58,30 @@ def test_empty_table_reads_empty(spark, table):
     assert table.current_version() == 0
 
 
+def test_duplicate_version_publish_fails_loudly(spark, table):
+    """A lost-update race (two writers committing the same version) must
+    be an ERROR, not silent manifest corruption (shutil.move would have
+    nested the second tmp dir inside the first manifest)."""
+    table.append(spark.createDataFrame([("a", "k1", 1)], DDL))
+    with pytest.raises(FileExistsError):
+        table._publish(1, [])
+    # the committed manifest is still intact and readable
+    assert _rows(table.read(1)) == {("a", "k1", 1)}
+
+
+def test_crashed_staging_leaves_no_phantom_version(spark, table):
+    """Staging dirs live outside _manifest/ — a crash between manifest
+    write and rename must not read back as a committed version."""
+    table.append(spark.createDataFrame([("a", "k1", 1)], DDL))
+    # simulate the pre-rename crash state: a staged-but-unpublished manifest
+    stage = os.path.join(table.root, ".tmp-manifest-crashed")
+    spark.createDataFrame(
+        [("nope", None)], "file STRING, part STRING"
+    ).coalesce(1).write.parquet(stage)
+    assert table._versions() == [1]
+    assert table.current_version() == 1
+
+
 def test_vacuum_drops_expired_versions_only(spark, table):
     table.append(spark.createDataFrame([("a", "k1", 1)], DDL))
     table.replace(spark.createDataFrame([("a", "k1", 2)], DDL))
