@@ -41,9 +41,17 @@ def main() -> int:
     from merkonvectordb_spark import get_spark
 
     spark = get_spark("bench")
-    # warm the session: one trivial job so JVM/codegen startup isn't
-    # attributed to the first query
+    # warm the session: one trivial job for JVM startup, then one real
+    # query (flagship at sf0.001) so parquet-reader init, whole-stage
+    # codegen, and shuffle paths are JITted before the first TIMED query
+    # — with a verification-priority registry order the first timed
+    # entries change each round, and without this they absorb warm-up
+    # cost that then reads as a per-query regression
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    try:
+        entrymod.entry(spark).write.format("noop").mode("overwrite").save()
+    except Exception as e:  # warm-up must never fail the bench
+        print(f"  warmup entry() failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

@@ -150,9 +150,10 @@ def q_streaming_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame
 
     The Python-side twin (``streaming.stateful.sessionize_stream``,
     applyInPandasWithState) expresses the same fold for semantics the
-    built-in can't (custom merge logic, per-session payloads); its fold
-    logic is pytest-verified.  This registered path stays JVM-native —
-    at 100 TB/day the sessionizer must not cross into Python."""
+    built-in can't (custom merge logic, per-session payloads) and is
+    oracle-verified separately (``streaming_sessionize_python``).  This
+    registered path stays JVM-native — at 100 TB/day prefer the
+    built-in whenever it can express the semantics."""
     work = tempfile.mkdtemp(prefix="strq_sess_")
     src = _staged_events_dir(sf_dir, work)
     ev = stream_events(spark, src).withWatermark("ts", "0 seconds")
@@ -178,6 +179,71 @@ def q_streaming_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame
     out = _run_to_memory(out_stream, "append", work)
     return out.select(
         "user_id", "start_us", "end_us", "n_events", "sum_cents"
+    )
+
+
+@register(
+    "streaming_sessionize_python",
+    f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_SEC} * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+  FROM flagged
+),
+rolled AS (
+  SELECT user_id, session_seq,
+         epoch_us(min(ts)) AS start_us,
+         epoch_us(max(ts)) AS end_us,
+         count(*) AS n_events,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+  FROM sessions GROUP BY user_id, session_seq
+)
+SELECT user_id, start_us, end_us, n_events, sum_cents
+FROM rolled
+QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id)
+""".strip(),
+)
+def q_streaming_sessionize_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator end-to-end: gap sessionization via
+    ``applyInPandasWithState`` (streaming/stateful.py — per-user open
+    session in the state store, closed sessions emitted downstream),
+    run BY THE STREAMING ENGINE and hash-checked against the batch
+    sessionizer.  This is the north-star slot for semantics the built-in
+    ``session_window`` can't express (custom merge logic, per-session
+    payloads); the JVM-native twin is ``streaming_sessionize_closed``.
+
+    Determinism: values are pre-scaled to integer cents BEFORE the fold
+    (the Python accumulator then sums exact integers — no float-order
+    hash risk), and with NoTimeout the emitted set is exactly every
+    session except each user's LAST (still open in state at end-of-
+    input), which the oracle mirrors with a QUALIFY.  The fold's
+    cross-batch merge/timeout semantics are pinned function-level in
+    ``test_stateful_streaming``; a runtime probe test keeps this path
+    skip-marked on runtimes that drop Python micro-batch output."""
+    from merkonvectordb_spark.streaming.stateful import sessionize_stream
+
+    work = tempfile.mkdtemp(prefix="strq_pysess_")
+    src = _staged_events_dir(sf_dir, work)
+    ev = stream_events(spark, src).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("double").alias("value"),
+    )
+    sess = sessionize_stream(ev, gap_sec=SESSION_GAP_SEC)
+    out = _run_to_memory(sess, "append", work)
+    return out.select(
+        "user_id",
+        "start_us",
+        "end_us",
+        "n_events",
+        F.col("sum_value").cast("bigint").alias("sum_cents"),
     )
 
 

@@ -3,12 +3,13 @@
 
 The ``applyInPandasWithState`` fold (``make_session_fn``) is verified at
 the FUNCTION level with a fake GroupState: this pins the cross-batch
-merge, late-event, and timeout-flush semantics without depending on the
-runtime's Python-in-streaming plumbing (the 4.1.2 runtime here silently
-drops ALL Python-operator output inside micro-batches — state commits,
-sink rows vanish — so end-to-end coverage of the Python operator is not
-runnable; the registered ``streaming_sessionize_closed`` query therefore
-uses the built-in session_window aggregation, tested end-to-end below).
+merge, late-event, and timeout-flush semantics independently of the
+runtime's Python-in-streaming plumbing.  A runtime PROBE test then
+drives the operator end-to-end through a real availableNow stream: on
+runtimes that silently drop Python micro-batch output (an earlier
+container runtime here did) it SKIPS with a loud marker; on this one it
+delivers, so the e2e path is asserted — and the registered
+``streaming_sessionize_python`` query is oracle-verified on top.
 """
 
 from __future__ import annotations
