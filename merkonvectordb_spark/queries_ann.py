@@ -239,6 +239,53 @@ def q_knn_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "label", "score")
 
 
+@register("knn_batch_ivf_persisted", _IVF_ORACLE)
+def q_knn_batch_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED index path (operators.index): build the IVF index
+    once — assignment written to a cid-partitioned VersionedTable, the
+    quantizer alongside — then answer the batch from disk, scanning only
+    the probed list partitions (static partition pruning over the
+    manifest file list).  Same quantizer/probing semantics as
+    ``knn_batch_ivf``, so the SAME oracle must hash-match: build+search
+    ≡ the in-memory operator ≡ the SQL replay.  This is the
+    amortize-the-assignment deployment shape — at 100 TB the corpus×K
+    assignment runs once at build, never per query."""
+    import shutil
+    import tempfile
+
+    from merkonvectordb_spark.functions.vector import l2_norm
+    from merkonvectordb_spark.operators.index import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        (F.size("embedding") == A.DIM)
+    )
+    emb = emb.where(l2_norm(F.col("embedding")) > 0)
+    cents = emb.where(F.col("vec_id") < A.IVF_K).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    qset = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    root = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        idx = build_ivf_index(
+            spark, emb, cents, root, extra_cols=("label",)
+        )
+        out = search_ivf_index(
+            idx, qset, k=3, n_probe=A.IVF_N_PROBE, min_score=0.0
+        )
+        return spark.createDataFrame(
+            out.select("query_id", "vec_id", "label", "score").collect(),
+            "query_id LONG, vec_id LONG, label INT, score DOUBLE",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # IVF with k-means-refined centroids — the oracle replays 2 Lloyd
 # iterations (assign via window, element-wise means via position
