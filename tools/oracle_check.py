@@ -6,6 +6,13 @@ row count, column names, and an order-insensitive value hash (columns
 sorted by name, rows sorted by their canonical string form).
 
 Usage:  python tools/oracle_check.py [sf_dir] [query_name ...]
+
+Set ``ORACLE_BARE=1`` to run against a deliberately UN-tuned
+SparkSession (default shuffle partitions, no pre-set timezone /
+nanosAsLong / Arrow / broadcast confs) — a stand-in for the external
+harness, which hands the queries ITS session, not ours.  Every query
+must pass under both; runtime-critical confs belong in ``load_table``,
+not session bootstrap.
 """
 
 from __future__ import annotations
@@ -53,9 +60,21 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as entrymod
-    from merkonvectordb_spark import get_spark
 
-    spark = get_spark("oracle_check")
+    if os.environ.get("ORACLE_BARE"):
+        # harness stand-in: a stock session with none of our tuned confs
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("oracle_check_bare")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from merkonvectordb_spark import get_spark
+
+        spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
