@@ -136,19 +136,27 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def band_rows(sets_df: DataFrame) -> DataFrame:
+    """``(__id, band_id, band_key)`` LSH band rows of a shingle-set
+    table — the joinable (and persistable: see
+    ``operators.fingerprint_store``) form of the MinHash index."""
+    sigs = sets_df.select(
+        "__id",
+        minhash_signature(shingle_base_hashes(F.col("__sh"))).alias("__sig"),
+    )
+    return sigs.select(
+        "__id",
+        F.posexplode(lsh_band_keys(F.col("__sig"))).alias("band_id", "band_key"),
+    )
+
+
 def candidate_pairs_from_sets(sets_df: DataFrame) -> DataFrame:
     """LSH candidate pairs ``(a, b)`` with a < b from a shingle-set table:
     explode band keys, self-join per bucket.  The join key
     (band_id, band_key) hash-partitions both sides; bucket sizes are
     bounded by signature collisions, so the comparison count is
     Σ|bucket|² — NOT |corpus|²."""
-    sigs = sets_df.select(
-        "__id",
-        minhash_signature(shingle_base_hashes(F.col("__sh"))).alias("__sig"),
-    )
-    bands = sigs.select(
-        "__id", F.posexplode(lsh_band_keys(F.col("__sig"))).alias("band_id", "band_key")
-    )
+    bands = band_rows(sets_df)
     l = bands.alias("l")
     r = bands.alias("r")
     return (

@@ -1,0 +1,145 @@
+"""Persisted MinHash fingerprint store: incremental near-dup screening
+of NEW data against an ever-growing historical corpus.
+
+``near_dedup`` answers "which documents in THIS table duplicate each
+other"; a production ingest pipeline asks a different question every
+day: "which of today's documents near-duplicate anything we already
+have?"  Re-shingling 100 TB of history per batch is the naive answer.
+The store amortizes it:
+
+* **build / append**: shingle the historical docs once, persist two
+  versioned tables under one root — ``bands`` (the exploded LSH band
+  rows ``(__id, band_id, band_key)``, partitioned by band_id) and
+  ``shingles`` (``(__id, __sh)``, the exact-verify side).  Appending a
+  day's batch appends its rows; versioning gives atomic publish and
+  lets a probe pin yesterday's snapshot while today's append runs.
+* **probe**: shingle ONLY the new batch, equi-join its band rows
+  against the stored bands (hash join on (band_id, band_key) — the
+  same Σ|bucket|² bound as self-dedup, history never re-shingles),
+  then exact-Jaccard-verify candidates against the stored shingle sets.
+
+This is the incremental face of ``operators.dedup``: same constants,
+same signatures, same banding — a probe against a store built from
+corpus X returns exactly the cross-pairs ``near_dedup`` would find
+inside X ∪ batch (oracle ``dedup_incremental`` pins this).
+
+Scale notes: the probe's shuffle volume is (batch bands + matched
+bucket rows), independent of history size except through bucket
+occupancy; the Jaccard verify joins only candidate ids against the
+shingle table (partition-pruned by nothing — but candidate-sized, so
+the join's build side is tiny).  At 100 TB the bands table is the only
+history-sized scan, and it is a 3-column table clustered by band_id.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from merkonvectordb_spark.operators.dedup import band_rows, shingle_sets
+from merkonvectordb_spark.sources.versioned import VersionedTable
+
+_BANDS_DDL = "__id LONG, band_id INT, band_key STRING"
+_SHINGLES_DDL = "__id LONG, __sh ARRAY<STRING>"
+
+
+class MinHashStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.bands = VersionedTable(
+            spark, os.path.join(root, "bands"), _BANDS_DDL, part_col="band_id"
+        )
+        self.shingles = VersionedTable(
+            spark, os.path.join(root, "shingles"), _SHINGLES_DDL
+        )
+
+
+def build_minhash_store(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> MinHashStore:
+    """Shingle + sign + band ``docs`` and persist both tables (replacing
+    any previous build — use :func:`append_minhash_store` for daily
+    growth)."""
+    store = MinHashStore(spark, root)
+    sets_df = shingle_sets(docs, id_col, text_col).persist()
+    store.shingles.replace(sets_df)
+    store.bands.replace(
+        band_rows(sets_df).withColumn("band_id", F.col("band_id").cast("int"))
+    )
+    sets_df.unpersist()
+    return store
+
+
+def append_minhash_store(
+    store: MinHashStore,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Append a new batch's fingerprints; returns the new version."""
+    sets_df = shingle_sets(docs, id_col, text_col).persist()
+    store.shingles.append(sets_df)
+    v = store.bands.append(
+        band_rows(sets_df).withColumn("band_id", F.col("band_id").cast("int"))
+    )
+    sets_df.unpersist()
+    return v
+
+
+def probe_minhash_store(
+    store: MinHashStore,
+    new_docs: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    version: int | None = None,
+) -> DataFrame:
+    """``(new_id, hist_id, jaccard)`` — every stored document whose
+    exact shingle Jaccard with a new-batch document meets ``threshold``.
+    Only the new batch is shingled; history is served from the store
+    (optionally a pinned ``version`` — probe a stable snapshot while an
+    append commits)."""
+    new_sets = shingle_sets(new_docs, id_col, text_col).persist()
+    new_bands = band_rows(new_sets).withColumn(
+        "band_id", F.col("band_id").cast("int")
+    )
+    hist_bands = store.bands.read(version)
+    cand = (
+        new_bands.withColumnRenamed("__id", "new_id")
+        .join(
+            hist_bands.withColumnRenamed("__id", "hist_id"),
+            ["band_id", "band_key"],
+        )
+        .select("new_id", "hist_id")
+        .distinct()
+    )
+    hist_sets = store.shingles.read(version)
+    jac = F.size(F.array_intersect("sh_n", "sh_h")) / F.size(
+        F.array_union("sh_n", "sh_h")
+    )
+    return (
+        cand.join(
+            new_sets.select(
+                F.col("__id").alias("new_id"), F.col("__sh").alias("sh_n")
+            ),
+            "new_id",
+        )
+        .join(
+            hist_sets.select(
+                F.col("__id").alias("hist_id"), F.col("__sh").alias("sh_h")
+            ),
+            "hist_id",
+        )
+        .withColumn("__jac", jac)
+        .where(F.col("__jac") >= F.lit(float(threshold)))
+        .select(
+            "new_id", "hist_id", F.round("__jac", 6).alias("jaccard")
+        )
+    )

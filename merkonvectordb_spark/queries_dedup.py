@@ -139,6 +139,85 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# incremental near-dup: probe a PERSISTED MinHash store with a new batch.
+# The oracle replays both sides' shingle→signature→band pipelines and the
+# cross-join banding — same constants, so the persisted-store probe must
+# produce exactly the cross-pairs a one-shot run would.
+# ---------------------------------------------------------------------------
+
+
+def _side_ctes(tag: str, src: str) -> str:
+    """shingle/sig/band CTEs for one side (columns: doc_id, text)."""
+    return f"""
+sh_{tag} AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM {src}),
+b_{tag} AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {_BASE_HASH_SQL}) AS bases
+  FROM sh_{tag} WHERE len(sh) > 0
+),
+g_{tag} AS (SELECT doc_id, sh, {_SIG_SQL} AS sig FROM b_{tag}),
+bands_{tag} AS (
+  SELECT doc_id, u.band_id AS band_id, u.band_key AS band_key
+  FROM (SELECT doc_id, unnest({_BAND_STRUCTS_SQL}) AS u FROM g_{tag})
+)""".strip()
+
+
+_INCR_DEDUP_ORACLE = f"""
+WITH {_NEAR_CORPUS_CTE},
+hist AS (SELECT doc_id, text FROM corpus WHERE doc_id < 20000),
+newb AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 20000),
+{_side_ctes("h", "hist")},
+{_side_ctes("n", "newb")},
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+  FROM bands_n n JOIN bands_h h USING (band_id, band_key)
+),
+verified AS (
+  SELECT c.new_id, c.hist_id,
+         CAST(len(list_intersect(sn.sh, sh2.sh)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(sn.sh, sh2.sh))) AS DOUBLE) AS jac
+  FROM cand c
+  JOIN b_n sn ON sn.doc_id = c.new_id
+  JOIN b_h sh2 ON sh2.doc_id = c.hist_id
+)
+SELECT new_id, hist_id, round(jac, 6) AS jaccard
+FROM verified WHERE jac >= 0.6
+""".strip()
+
+
+@register("dedup_incremental", _INCR_DEDUP_ORACLE)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening (operators.fingerprint_store): the
+    historical corpus' MinHash bands + shingle sets are PERSISTED once
+    (band_id-partitioned VersionedTable), then the new batch — here the
+    mutant docs — is shingled alone and probed against the store.  The
+    oracle replays both pipelines in SQL, so the hash match proves the
+    persisted probe finds exactly the cross-pairs a from-scratch run
+    would: history is never re-shingled, which is the 100 TB/day ingest
+    property."""
+    import shutil
+    import tempfile
+
+    from merkonvectordb_spark.operators.fingerprint_store import (
+        build_minhash_store,
+        probe_minhash_store,
+    )
+
+    corpus = near_corpus(spark, sf_dir)
+    hist = corpus.where(F.col("doc_id") < 20000)
+    newb = corpus.where(F.col("doc_id") >= 20000)
+    root = tempfile.mkdtemp(prefix="minhash_store_")
+    try:
+        store = build_minhash_store(spark, hist, root)
+        out = probe_minhash_store(store, newb, threshold=0.6)
+        return spark.createDataFrame(
+            out.select("new_id", "hist_id", "jaccard").collect(),
+            "new_id LONG, hist_id LONG, jaccard DOUBLE",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs — prefix filtering (exact, no recall knob)
 # ---------------------------------------------------------------------------
 

@@ -256,3 +256,43 @@ def test_decontaminate_flags_planted_overlap(spark):
     shared, containment = got[(100, 1)]
     # eval doc 1 has 7 distinct 3-grams, all present in train doc 100
     assert shared == 7 and containment == 1.0
+
+
+def test_minhash_store_incremental_probe(spark, tmp_path):
+    """Persisted-store probe ≡ from-scratch cross screening, appends
+    grow the store, and a version pin probes the pre-append snapshot."""
+    from merkonvectordb_spark.operators.fingerprint_store import (
+        append_minhash_store,
+        build_minhash_store,
+        probe_minhash_store,
+    )
+
+    base = "many common words shared across documents for shingling"
+    hist1 = spark.createDataFrame(
+        [(1, f"{base} alpha beta gamma"), (2, "totally unrelated text body")],
+        "doc_id LONG, text STRING",
+    )
+    hist2 = spark.createDataFrame(
+        [(3, f"{base} delta epsilon zeta")], "doc_id LONG, text STRING"
+    )
+    new = spark.createDataFrame(
+        [(100, f"{base} alpha beta gamma extra"),
+         (101, f"{base} delta epsilon zeta extra")],
+        "doc_id LONG, text STRING",
+    )
+    store = build_minhash_store(spark, hist1, str(tmp_path / "fp"))
+    append_minhash_store(store, hist2)
+    hits = {
+        (r.new_id, r.hist_id)
+        for r in probe_minhash_store(store, new, threshold=0.5).collect()
+    }
+    assert (100, 1) in hits and (101, 3) in hits
+    assert all(h != 2 for _, h in hits)
+    # pre-append snapshot: doc 3 invisible at version 1
+    v1 = {
+        (r.new_id, r.hist_id)
+        for r in probe_minhash_store(
+            store, new, threshold=0.5, version=1
+        ).collect()
+    }
+    assert (100, 1) in v1 and all(h != 3 for _, h in v1)
