@@ -208,6 +208,44 @@ class VersionedTable:
         return reader.parquet(*files)
 
     # -- maintenance ------------------------------------------------------
+    def compact(self, max_files_per_partition: int = 1) -> int:
+        """Rewrite partitions whose live-file count exceeds
+        ``max_files_per_partition`` into that many files; untouched
+        partitions carry their files over by reference.  Appends (daily
+        fingerprint batches, streaming foreachBatch commits) each add a
+        file per partition — without compaction a year of appends makes
+        every scan open 365× more files than its bytes justify, and at
+        cloud-storage latencies file count IS the scan cost.
+
+        Data identity is preserved (same rows, new physical layout), old
+        versions still see the old files (vacuum reclaims them), and the
+        commit is the same atomic manifest publish as any write.
+        Returns the new version, or the current one if nothing needed
+        compaction."""
+        cur = self.current_version()
+        live = self._live_files(cur)
+        by_part: dict[str | None, list[str]] = {}
+        for f, p in live:
+            by_part.setdefault(p, []).append(f)
+        crowded = {
+            p for p, fs in by_part.items() if len(fs) > max_files_per_partition
+        }
+        if not crowded:
+            return cur
+        kept = [(f, p) for f, p in live if p not in crowded]
+        new_files: list[tuple[str, str | None]] = []
+        for p in sorted(crowded, key=str):
+            df = self.spark.read.parquet(*by_part[p])
+            if self.part_col and p is not None:
+                # partition value is directory-encoded; re-materialize the
+                # column so _write_data routes rows back to cid=<p>/
+                df = df.withColumn(self.part_col, F.lit(p))
+            new_files.extend(
+                self._write_data(df.coalesce(max_files_per_partition))
+            )
+        self._publish(cur + 1, kept + new_files)
+        return cur + 1
+
     def vacuum(self, retain_last: int = 1) -> int:
         """Delete data files unreferenced by the newest ``retain_last``
         versions and drop the expired manifests.  Time travel to expired

@@ -58,6 +58,27 @@ def test_empty_table_reads_empty(spark, table):
     assert table.current_version() == 0
 
 
+def test_compact_rewrites_crowded_partitions_only(spark, table):
+    """Three appends → 3 files in partition a; compact(1) rewrites a
+    into one file, carries b's single file over BY REFERENCE, preserves
+    the row set, and keeps the pre-compaction version time-travelable."""
+    for i in range(3):
+        table.append(spark.createDataFrame([("a", f"k{i}", i)], DDL))
+    table.append(spark.createDataFrame([("b", "kb", 9)], DDL))
+    before = _rows(table.read())
+    b_files_before = {f for f, p in table._live_files(4) if p == "b"}
+    v = table.compact(max_files_per_partition=1)
+    assert v == 5
+    assert _rows(table.read()) == before
+    files = table._live_files(v)
+    assert len([f for f, p in files if p == "a"]) == 1
+    assert {f for f, p in files if p == "b"} == b_files_before
+    # old version still reads the pre-compaction layout
+    assert _rows(table.read(4)) == before
+    # nothing crowded anymore → compact is a no-op, same version
+    assert table.compact(max_files_per_partition=1) == 5
+
+
 def test_duplicate_version_publish_fails_loudly(spark, table):
     """A lost-update race (two writers committing the same version) must
     be an ERROR, not silent manifest corruption (shutil.move would have
