@@ -106,6 +106,52 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_apply_changes",
+    """
+WITH log AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM log
+)
+SELECT user_id, event_id AS last_seq, event_type AS last_type,
+       cents AS last_cents
+FROM latest WHERE rn = 1 AND op <> 'D'
+""".strip(),
+)
+def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC application (operators.cdc.apply_changes): the events table
+    read as a keyed change log — error events are deletions, everything
+    else upserts, event_id is the log sequence — folded to the current
+    snapshot.  Latest-wins is ``max_by`` (partial-aggregable argmax:
+    map-side combine, ONE shuffle of combined rows), not the oracle's
+    row_number window — same result, scale-right plan.  A user whose
+    last event is an error is absent: log-replay delete semantics."""
+    from merkonvectordb_spark.operators.cdc import apply_changes
+
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    snap = apply_changes(log, ["user_id"], "event_id")
+    return snap.select(
+        "user_id",
+        F.col("event_id").alias("last_seq"),
+        F.col("event_type").alias("last_type"),
+        F.col("cents").alias("last_cents"),
+    )
+
+
+@register(
     "events_props_stats",
     """
 SELECT event_type,
