@@ -1,0 +1,75 @@
+"""Corpus language-model scoring: the CCNet-style perplexity-proxy
+filter, with the LM trained and applied in one distributed pass.
+
+Web-scale curation pipelines score every document by how "natural" its
+text is under a language model and drop the tails (boilerplate, menus,
+gibberish score low; fluent prose scores high).  The full method uses a
+trained n-gram LM; the distributable skeleton — and a surprisingly
+strong baseline — is a UNIGRAM model estimated from the corpus itself:
+
+    score(doc) = (1/|doc|) · Σ_token  ln P(token),
+    P(token)   = corpus_count(token) / corpus_tokens
+
+Plan shape: one explode of the corpus into tokens, one (token)
+aggregation for the model, one (token) hash join to attach
+probabilities, one (doc) aggregation for the scores — every stage
+partial-aggregates, the model is itself a DataFrame (at 100 TB the
+vocabulary does not fit the driver, so there is no broadcast-the-vocab
+step; the join shuffles on token like any fact-fact join and AQE
+handles the skew of stopword tokens).  The token total is the only
+driver value (one row).
+
+No external model artifacts: the LM is the corpus' own statistics, so
+the operator is deterministic and oracle-checkable end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from merkonvectordb_spark.functions.text import tokenize
+
+
+def unigram_model(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """``(freq, total)``: per-token counts and the 1-row corpus total."""
+    toks = docs.select(
+        F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("t"))
+    return freq, total
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    freq: DataFrame | None = None,
+    total: DataFrame | None = None,
+) -> DataFrame:
+    """``(id_col, n_toks, avg_lp)`` — mean token log-probability per doc.
+
+    Pass a pre-computed ``(freq, total)`` (e.g. from a larger reference
+    corpus, or reused across batches) to score against a FIXED model;
+    by default the model is estimated from ``docs`` itself.  Tokens
+    absent from the model drop out of the average (with the self-model
+    default every token is present)."""
+    if freq is None or total is None:
+        freq, total = unigram_model(docs, text_col)
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    lp = F.log(F.col("c").cast("double") / F.col("t").cast("double"))
+    return (
+        toks.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), lp.alias("__lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.avg("__lp"), 6).alias("avg_lp"),
+        )
+    )

@@ -496,3 +496,36 @@ def q_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiled.groupBy("decile", "source").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@register(
+    "unigram_lm_score",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+freq AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+tot AS (SELECT count(*) AS t FROM toks),
+scored AS (
+  SELECT tk.doc_id, ln(CAST(f.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS lp
+  FROM toks tk JOIN freq f USING (token) CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_toks, round(avg(lp), 6) AS avg_lp
+FROM scored GROUP BY doc_id
+""".strip(),
+)
+def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy curation scoring (operators.lm): a unigram LM
+    estimated from the corpus' own token statistics, applied back to
+    every document as mean token log-probability — the distributable
+    skeleton of the CCNet perplexity filter, no external model
+    artifacts.  The vocabulary stays a DataFrame (joined on token, never
+    broadcast to the driver), so the plan survives a 100 TB vocabulary;
+    only the 1-row token total crosses as a scalar."""
+    from merkonvectordb_spark.operators.lm import unigram_logprob_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob_score(docs).select("doc_id", "n_toks", "avg_lp")

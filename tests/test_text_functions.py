@@ -100,3 +100,31 @@ def test_pii_redact_and_counts(spark):
     assert rows[3] == (0, 0, "no pii here at all")
     assert rows[4][0] == 2 and rows[4][1] == 1
     assert "@" not in rows[4][2].replace("<EMAIL>", "")
+
+
+def test_unigram_score_against_fixed_external_model(spark):
+    """Scoring against a FIXED reference model: counts come from the
+    model corpus, not the scored batch; unknown tokens drop out."""
+    import math
+
+    from merkonvectordb_spark.operators.lm import (
+        unigram_logprob_score,
+        unigram_model,
+    )
+
+    model_docs = spark.createDataFrame(
+        [(1, "a a a b")], "doc_id LONG, text STRING"
+    )
+    freq, total = unigram_model(model_docs)  # P(a)=3/4, P(b)=1/4
+    batch = spark.createDataFrame(
+        [(10, "a b"), (11, "a zz")], "doc_id LONG, text STRING"
+    )
+    got = {
+        r.doc_id: (r.n_toks, r.avg_lp)
+        for r in unigram_logprob_score(
+            batch, freq=freq, total=total
+        ).collect()
+    }
+    lp_a, lp_b = math.log(3 / 4), math.log(1 / 4)
+    assert got[10] == (2, round((lp_a + lp_b) / 2, 6))
+    assert got[11] == (1, round(lp_a, 6))  # zz unknown -> dropped

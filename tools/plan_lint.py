@@ -92,6 +92,9 @@ ALLOW: dict[tuple[str, str], str] = {
     ("knn_batch_sq8", "nested_loop"):
         "per-dimension min/max codebook stats (1 row) broadcast for "
         "quantize/dequantize",
+    ("unigram_lm_score", "nested_loop"):
+        "corpus token-total scalar (1 row) for the LM denominator; the "
+        "vocabulary itself joins on token, never broadcasts",
 }
 
 PATTERNS = {
