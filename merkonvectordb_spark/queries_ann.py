@@ -649,3 +649,56 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         lam=_MMR_LAM,
     )
     return out.select("query_id", "vec_id", "sel_rank", "mmr_score")
+
+
+# ---------------------------------------------------------------------------
+# embedding diagnostics: per-label centroids + own-centroid outliers
+# ---------------------------------------------------------------------------
+
+_CENTROID_OUTLIER_ORACLE = f"""
+WITH edim AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE len(embedding) = {A.DIM}
+    AND sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0
+),
+m AS (
+  SELECT label, i.i AS pos, round(avg(emb[i.i]), 6) AS v
+  FROM edim CROSS JOIN (SELECT unnest(generate_series(1, {A.DIM})) AS i) i
+  GROUP BY label, i.i
+),
+cents AS (SELECT label, list(v ORDER BY pos) AS cv FROM m GROUP BY label),
+scored AS (
+  SELECT e.label, e.vec_id,
+         {_COS_RAW.format(a="e.emb", b="c.cv")} AS raw
+  FROM edim e JOIN cents c USING (label)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY label ORDER BY raw ASC, vec_id ASC) AS rn
+  FROM scored WHERE NOT isnan(raw)
+)
+SELECT label, vec_id, round(raw, 6) AS cos_to_centroid
+FROM ranked WHERE rn <= 5
+""".strip()
+
+
+@register("label_centroid_outliers", _CENTROID_OUTLIER_ORACLE)
+def q_label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled-example screen (operators.embedding_stats): per-label
+    element-wise mean centroid (posexplode → (label, pos) partial-agg
+    mean, 6dp-rounded for cross-engine mean-order parity — the
+    kmeans_refine discipline), then each embedding's cosine to its OWN
+    label's centroid, bottom-5 per label.  Centroids are label-count
+    sized → broadcast back; the scoring pass is scan-local; the bottom-k
+    window moves ≤ labels·k rows."""
+    from merkonvectordb_spark.functions.vector import l2_norm
+    from merkonvectordb_spark.operators.embedding_stats import (
+        centroid_outliers,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        (F.size("embedding") == A.DIM)
+    )
+    emb = emb.where(l2_norm(F.col("embedding")) > 0)
+    out = centroid_outliers(emb, "label", "vec_id", k=5)
+    return out.select("label", "vec_id", "cos_to_centroid")

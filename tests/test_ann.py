@@ -385,3 +385,26 @@ def test_mmr_lambda_one_reduces_to_topk(clustered):
         ).collect()
     }
     assert [mmr[i] for i in sorted(mmr)] == topk
+
+
+def test_grouped_centroids_and_outliers(spark):
+    """Centroid = exact elementwise mean (rounded); outliers = bottom-k
+    by own-centroid cosine with id tie-break."""
+    from merkonvectordb_spark.operators.embedding_stats import (
+        centroid_outliers,
+        grouped_centroids,
+    )
+
+    rows = [
+        (1, "x", [1.0, 0.0]),
+        (2, "x", [1.0, 0.2]),
+        (3, "x", [-1.0, 0.0]),   # the outlier in group x
+        (4, "y", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, g STRING, embedding ARRAY<FLOAT>")
+    cents = {r.g: r.centroid for r in grouped_centroids(df, "g").collect()}
+    assert cents["y"] == [0.0, 1.0]
+    assert cents["x"][0] == round(1 / 3, 6)
+    out = centroid_outliers(df, "g", "id", k=1).collect()
+    worst = {r.g: r.id for r in out}
+    assert worst["x"] == 3 and worst["y"] == 4
