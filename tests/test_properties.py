@@ -141,3 +141,63 @@ def test_exact_dedup_partitions_corpus(spark, texts):
     assert sum(g.group_sz for g in groups) == len(texts)
     ids = [g.survivor_id for g in groups]
     assert len(ids) == len(set(ids))
+
+
+@settings(**_SETTINGS)
+@given(
+    n=st.integers(1, 60),
+    tiles=st.integers(1, 12),
+    seed=st.integers(0, 10_000),
+)
+def test_global_ntile_equals_builtin(spark, n, tiles, seed):
+    """global_ntile ≡ NTILE for any size/tile count, including ties and
+    n < tiles (distributed rank arithmetic matches the windowed spec)."""
+    from pyspark.sql import Window
+
+    from merkonvectordb_spark.operators.stats import global_ntile
+
+    rng = random.Random(seed)
+    rows = [(i, float(rng.randint(0, 5))) for i in range(n)]  # heavy ties
+    df = spark.createDataFrame(rows, "id LONG, v DOUBLE")
+    got = {
+        r.id: r.tile
+        for r in global_ntile(
+            df, [("v", "desc"), ("id", "asc")], tiles, num_partitions=4
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    want = {
+        r.id: r.nt
+        for r in df.select("id", F.ntile(tiles).over(w).alias("nt")).collect()
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    n_keys=st.integers(1, 6),
+    n_changes=st.integers(1, 30),
+    seed=st.integers(0, 10_000),
+)
+def test_apply_changes_equals_sequential_replay(spark, n_keys, n_changes, seed):
+    """apply_changes ≡ replaying the log in sequence order into a dict."""
+    from merkonvectordb_spark.operators.cdc import apply_changes
+
+    rng = random.Random(seed)
+    log = [
+        (rng.randrange(n_keys), seq, rng.choice(["U", "U", "D"]), f"v{seq}")
+        for seq in range(n_changes)
+    ]
+    rng.shuffle(log)  # arrival order ≠ sequence order
+    df = spark.createDataFrame(log, "k LONG, seq LONG, op STRING, v STRING")
+    got = {
+        r.k: (r.seq, r.v)
+        for r in apply_changes(df, ["k"], "seq").collect()
+    }
+    state: dict[int, tuple[int, str]] = {}
+    for k, seq, op, v in sorted(log, key=lambda r: r[1]):
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = (seq, v)
+    assert got == state
