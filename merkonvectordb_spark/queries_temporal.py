@@ -339,3 +339,75 @@ def q_events_outliers_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("p99", 6).alias("type_p99"),
         )
     )
+
+
+@register(
+    "events_hierarchical_rollup",
+    """
+WITH lvl_minute AS (
+  SELECT 'minute' AS lvl, time_bucket(INTERVAL '1 minute', ts) AS bucket_ts,
+         event_type, count(*) AS n_events,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+  FROM events GROUP BY 2, 3
+),
+lvl_hour AS (
+  SELECT 'hour', time_bucket(INTERVAL '1 hour', ts), event_type, count(*),
+         sum(CAST(floor(value * 100) AS BIGINT))
+  FROM events GROUP BY 2, 3
+),
+lvl_day AS (
+  SELECT 'day', time_bucket(INTERVAL '1 day', ts), event_type, count(*),
+         sum(CAST(floor(value * 100) AS BIGINT))
+  FROM events GROUP BY 2, 3
+)
+SELECT lvl, epoch_us(bucket_ts) AS bucket_us, event_type, n_events, sum_cents
+FROM (SELECT * FROM lvl_minute UNION ALL SELECT * FROM lvl_hour
+      UNION ALL SELECT * FROM lvl_day)
+""".strip(),
+)
+def q_events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: the RAW stream is aggregated
+    ONCE at the finest grain (minute), and every coarser level is
+    re-aggregated from the previous level's partials — hour from
+    |minute-buckets| rows, day from |hour-buckets| rows — never from the
+    events again.  The oracle computes each level directly from raw, so
+    the hash match proves reaggregation-from-partials ≡ direct (count
+    and integer-cent sums are associative; that associativity is the
+    entire contract of a continuous-aggregate hierarchy).  At 100 TB the
+    raw stream is scanned once; the hierarchy costs |buckets|-sized
+    shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket_ts"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("sum_cents"),
+    )
+    minute = minute.localCheckpoint(eager=False)  # partials computed once
+    hour = minute.groupBy(
+        F.date_trunc("hour", "bucket_ts").alias("bucket_ts"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_cents").alias("sum_cents"),
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", "bucket_ts").alias("bucket_ts"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_cents").alias("sum_cents"),
+    )
+
+    def lvl(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("lvl"),
+            F.unix_micros("bucket_ts").alias("bucket_us"),
+            "event_type",
+            "n_events",
+            "sum_cents",
+        )
+
+    return (
+        lvl(minute, "minute").unionByName(lvl(hour, "hour"))
+        .unionByName(lvl(day, "day"))
+    )
