@@ -529,3 +529,39 @@ def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_logprob_score(docs).select("doc_id", "n_toks", "avg_lp")
+
+
+@register(
+    "top_docs_per_source",
+    f"""
+WITH q AS (
+  SELECT doc_id, source, {{q}} AS quality FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM q
+)
+SELECT source, doc_id, quality AS q_score FROM ranked WHERE rn <= 3
+""".format(q=_quality_sql("text")).strip(),
+)
+def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groupwise top-k: the 3 highest-quality docs per source.  Spark
+    3.5+ plans this as WindowGroupLimit with a PARTIAL pass below the
+    exchange — each map task forwards at most k rows per group, so the
+    shuffle carries ≤ sources·k·partitions rows, not the corpus.  The
+    canonical 'best n per category' shape at 100 TB."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "source", X.quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        q.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("source", "doc_id", F.col("quality").alias("q_score"))
+    )
