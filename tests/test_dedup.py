@@ -296,3 +296,68 @@ def test_minhash_store_incremental_probe(spark, tmp_path):
         ).collect()
     }
     assert (100, 1) in v1 and all(h != 3 for _, h in v1)
+
+
+def test_streaming_ingest_appends_fingerprint_store(spark, tmp_path):
+    """The daily-ingest pipeline as a STREAM: each micro-batch is probed
+    against the store (dups vs all history so far), then appended.  With
+    deterministic per-file batches, batch 2's docs must match their
+    batch-1 near-dups, and the final store equals a batch build."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from merkonvectordb_spark.operators.fingerprint_store import (
+        MinHashStore,
+        append_minhash_store,
+        build_minhash_store,
+        probe_minhash_store,
+    )
+
+    base = "shared shingle text body with many common words in sequence"
+    b1 = spark.createDataFrame(
+        [(1, f"{base} one"), (2, "completely different content here")],
+        "doc_id LONG, text STRING",
+    )
+    b2 = spark.createDataFrame(
+        [(10, f"{base} two")], "doc_id LONG, text STRING"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    b1.coalesce(1).write.parquet(str(src / "f=1"))
+    b2.coalesce(1).write.parquet(str(src / "f=2"))
+
+    store = MinHashStore(spark, str(tmp_path / "fp"))
+    seen_dups: list[tuple[int, int]] = []
+
+    def _ingest(batch_df, batch_id):
+        batch = batch_df.select("doc_id", "text")
+        if store.bands.current_version() > 0:
+            hits = probe_minhash_store(store, batch, threshold=0.5)
+            seen_dups.extend(
+                (r.new_id, r.hist_id) for r in hits.collect()
+            )
+            append_minhash_store(store, batch)
+        else:
+            build_minhash_store(spark, batch, store.root)
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, f INT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .select("doc_id", "text")
+    )
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert (10, 1) in seen_dups and all(h != 2 for _, h in seen_dups)
+    # store now equals a from-scratch batch build over b1 ∪ b2
+    ids = sorted(
+        r["__id"] for r in store.shingles.read().select("__id").collect()
+    )
+    assert ids == [1, 2, 10]
