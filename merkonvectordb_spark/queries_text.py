@@ -565,3 +565,100 @@ def q_top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("source", "doc_id", F.col("quality").alias("q_score"))
     )
+
+
+@register(
+    "repetition_signals",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         len(t) AS n_tok,
+         CASE WHEN len(t) > 0
+              THEN round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+              ELSE 0.0 END AS dup_token_frac,
+         list_transform(range(1, greatest(len(t), 1)),
+                        i -> t[i] || ' ' || t[i + 1]) AS bigrams
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM base, UNNEST(bigrams) AS u(g)
+  GROUP BY doc_id, g
+),
+tops AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS tot_c FROM grams GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tok, b.dup_token_frac,
+       CASE WHEN coalesce(t.tot_c, 0) > 0
+            THEN round(CAST(t.top_c AS DOUBLE) / t.tot_c, 6)
+            ELSE 0.0 END AS top_bigram_frac,
+       (b.dup_token_frac > 0.8
+        OR CASE WHEN coalesce(t.tot_c, 0) > 0
+                THEN round(CAST(t.top_c AS DOUBLE) / t.tot_c, 6)
+                ELSE 0.0 END > 0.18) AS is_repetitive
+FROM base b LEFT JOIN tops t USING (doc_id)
+""".strip(),
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition screening (Rae et al. 2021
+    §A1.1): duplicate-token fraction (1 − distinct/total — scan-local) and
+    top-2-gram fraction (most frequent word bigram's share of all bigrams).
+    Docs dominated by one repeated phrase are boilerplate/spam and get
+    flagged before training.
+
+    Scale shape: the bigram mode is NOT computed with a per-doc
+    quadratic HOF scan — bigrams are exploded once and aggregated twice
+    on doc_id-prefixed keys (both partial-aggregable, linear in corpus
+    token count); the scan-local fractions ride along as grouping keys,
+    so there is no join back to the corpus.  `explode_outer` keeps
+    zero-bigram docs (< 2 tokens) in the output with frac 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokenize(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.when(
+            F.size(toks) > 0,
+            F.round(
+                1.0
+                - F.size(F.array_distinct(toks)).cast("double")
+                / F.size(toks),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+        X.ngrams(toks, 2).alias("bigrams"),
+    )
+    grams = base.select(
+        "doc_id",
+        "n_tok",
+        "dup_token_frac",
+        F.explode_outer("bigrams").alias("g"),
+    )
+    per_gram = grams.groupBy("doc_id", "n_tok", "dup_token_frac", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_gram.groupBy("doc_id", "n_tok", "dup_token_frac").agg(
+        F.max(F.when(F.col("g").isNotNull(), F.col("c"))).alias("top_c"),
+        F.sum(F.when(F.col("g").isNotNull(), F.col("c"))).alias("tot_c"),
+    )
+    top_frac = F.when(
+        F.coalesce(F.col("tot_c"), F.lit(0)) > 0,
+        F.round(F.col("top_c").cast("double") / F.col("tot_c"), 6),
+    ).otherwise(F.lit(0.0))
+    return per_doc.select(
+        "doc_id",
+        "n_tok",
+        "dup_token_frac",
+        top_frac.alias("top_bigram_frac"),
+        (
+            (F.col("dup_token_frac") > 0.8) | (top_frac > 0.18)
+        ).alias("is_repetitive"),
+    )
