@@ -634,3 +634,82 @@ def hard_negatives(
         .drop("__rn", "__raw", "__qvec", emb_col)
         .withColumnRenamed("__qid", query_id_col)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    drop semantic duplicates WITHIN each cluster — pairs whose cosine
+    exceeds ``tau`` — keeping, per the paper, the member with the LOWEST
+    similarity to its own centroid (the "edge" example carries the most
+    marginal information; the near-centroid copies are redundant).
+
+    Returns every assignable corpus row with its cluster id, centroid
+    similarity (6dp, output-only rounding), and a ``kept`` flag.  The
+    removal rule is per-pair and deterministic: ``x`` is dropped iff
+    some same-cluster ``y`` has ``cos(x, y) > tau`` and a strictly
+    better keep-priority (lower raw centroid-sim, then lower id) — no
+    union-find, no iteration, identical in any engine.
+
+    Scale shape: this is the published algorithm's cost model — the
+    pairwise stage runs per cluster, so work is Σ|cluster|², bounded by
+    (N/K)·N when K grows with the corpus; never an all-pairs N².  The
+    assignment reuses the partial-agg argmax (no window over the
+    corpus); both sides of the pair join arrive hash-partitioned on
+    ``cid`` — one exchange feeds the self-join.
+    """
+    scored = (
+        corpus.select(F.col(id_col), F.col(emb_col))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("__cos", cosine_similarity(F.col(emb_col), F.col("cv")))
+        .where(F.col("__cos").isNotNull() & (~F.isnan("__cos")))
+    )
+    assigned = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__cos").alias("c"),
+                    (-F.col("cid")).alias("nc"),
+                    F.col("cid").alias("cid"),
+                )
+            ).alias("__b"),
+            F.first(F.col(emb_col)).alias("__e"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__b.cid").alias("cid"),
+            F.col("__b.c").alias("__csim"),
+            "__e",
+        )
+    )
+    x = assigned.alias("x")
+    y = assigned.alias("y")
+    xid, yid = F.col(f"x.{id_col}"), F.col(f"y.{id_col}")
+    beaten = (F.col("y.__csim") < F.col("x.__csim")) | (
+        (F.col("y.__csim") == F.col("x.__csim")) & (yid < xid)
+    )
+    removed = (
+        x.join(y, (F.col("x.cid") == F.col("y.cid")) & (xid != yid))
+        .where(
+            (cosine_similarity(F.col("x.__e"), F.col("y.__e")) > F.lit(float(tau)))
+            & beaten
+        )
+        .select(xid.alias(id_col))
+        .distinct()
+        .withColumn("__rm", F.lit(True))
+    )
+    return (
+        assigned.join(removed, id_col, "left")
+        .select(
+            F.col(id_col),
+            "cid",
+            F.round(F.col("__csim"), 6).alias("cent_sim"),
+            (~F.coalesce(F.col("__rm"), F.lit(False))).alias("kept"),
+        )
+    )

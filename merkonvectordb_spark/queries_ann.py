@@ -702,3 +702,65 @@ def q_label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = emb.where(l2_norm(F.col("embedding")) > 0)
     out = centroid_outliers(emb, "label", "vec_id", k=5)
     return out.select("label", "vec_id", "cos_to_centroid")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication via k-means clusters + within-cluster
+# cosine pruning.  The oracle replays the full pipeline: seed centroids,
+# one Lloyd iteration (6dp means), argmax assignment, the per-pair
+# removal rule on raw scores.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.95
+
+_SEMDEDUP_ORACLE = f"""
+WITH {_EMBED_CORPUS_CTE},
+edim AS (
+  SELECT id AS vec_id, emb FROM ce
+  WHERE sqrt(list_dot_product(emb, emb)) > 0
+),
+cents0 AS (SELECT vec_id AS cid, emb AS cv FROM edim WHERE vec_id < {A.IVF_K}),
+a1 AS {_assign_cte("edim", "cents0")},
+{_lloyd_cte("a1", 1)},
+assign AS (
+  SELECT vec_id, cid, sim FROM (
+    SELECT e.vec_id, c.cid,
+           {_COS_RAW.format(a="e.emb", b="c.cv")} AS sim,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_RAW.format(a="e.emb", b="c.cv")} DESC, c.cid ASC) AS rn
+    FROM edim e CROSS JOIN cents1 c) WHERE rn = 1
+),
+removed AS (
+  SELECT DISTINCT x.vec_id
+  FROM assign x
+  JOIN assign y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+  JOIN edim ex ON ex.vec_id = x.vec_id
+  JOIN edim ey ON ey.vec_id = y.vec_id
+  WHERE {_COS_RAW.format(a="ex.emb", b="ey.emb")} > {_SEMDEDUP_TAU}
+    AND (y.sim < x.sim OR (y.sim = x.sim AND y.vec_id < x.vec_id))
+)
+SELECT a.vec_id AS id, a.cid, round(a.sim, 6) AS cent_sim,
+       (r.vec_id IS NULL) AS kept
+FROM assign a LEFT JOIN removed r ON r.vec_id = a.vec_id
+""".strip()
+
+
+@register("semantic_dedup", _SEMDEDUP_ORACLE)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the planted-near-dup corpus: seed centroids (first
+    16 ids), ONE Lloyd refinement, argmax assignment, then within-cluster
+    cosine pruning at tau=0.95 keeping the lowest-centroid-sim member.
+    The 20 planted mutants (cos ≈ 0.9999 to their source) nearly all
+    land in their source's cluster and lose exactly one member per pair;
+    a pair straddling a cluster boundary survives whole — the published
+    algorithm's recall trade, not a bug."""
+    corpus = embed_corpus(spark, sf_dir)
+    cents0 = corpus.where(F.col("id") < A.IVF_K).select(
+        F.col("id").alias("cid"), F.col("emb").alias("cv")
+    )
+    refined = A.kmeans_refine(corpus, cents0, "id", "emb", iterations=1)
+    refined = refined.localCheckpoint()
+    return A.semantic_dedup(
+        corpus, refined, tau=_SEMDEDUP_TAU, id_col="id", emb_col="emb"
+    )

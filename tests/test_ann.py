@@ -408,3 +408,57 @@ def test_grouped_centroids_and_outliers(spark):
     out = centroid_outliers(df, "g", "id", k=1).collect()
     worst = {r.g: r.id for r in out}
     assert worst["x"] == 3 and worst["y"] == 4
+
+
+def test_semantic_dedup_cluster_pruning(clustered):
+    from merkonvectordb_spark.operators.ann import kmeans_refine, semantic_dedup
+
+    # seed one member per true cluster, one Lloyd pass to settle
+    seeds = clustered.where(F.col("vec_id") % 6 == 0).select(
+        (F.col("vec_id") / 6).cast("long").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    cents = kmeans_refine(clustered, seeds, iterations=1).localCheckpoint()
+
+    # tau above any cosine: nothing is a duplicate, everything survives
+    all_kept = semantic_dedup(clustered, cents, tau=1.01)
+    assert all_kept.where(~F.col("kept")).count() == 0
+    assert all_kept.count() == 120
+
+    out = semantic_dedup(clustered, cents, tau=0.9).cache()
+    per = out.groupBy("cid").agg(
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rows = per.collect()
+    # every cluster keeps at least one member; tight 4-degree clusters
+    # at tau=0.9 prune most of each
+    assert all(r.n_kept >= 1 for r in rows)
+    assert out.where(F.col("kept")).count() < 120
+
+    # the per-cluster best-priority member (lowest cent_sim, then lowest
+    # id) can never be beaten, hence is always kept
+    best = (
+        out.groupBy("cid")
+        .agg(F.min(F.struct("cent_sim", F.col("vec_id").alias("v"))).alias("b"))
+        .select("cid", F.col("b.v").alias("vec_id"))
+    )
+    best_kept = out.join(best, ["cid", "vec_id"]).where(~F.col("kept"))
+    assert best_kept.count() == 0
+
+
+def test_semantic_dedup_exact_twin_tiebreak(clustered):
+    from merkonvectordb_spark.operators.ann import semantic_dedup
+
+    twin = clustered.where(F.col("vec_id") == 0).select(
+        F.lit(999).cast("long").alias("vec_id"), "embedding"
+    )
+    corpus = clustered.unionByName(twin)
+    cents = clustered.where(F.col("vec_id") % 6 == 0).select(
+        (F.col("vec_id") / 6).cast("long").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    out = semantic_dedup(corpus, cents, tau=0.999)
+    got = {r.vec_id: r.kept for r in out.where(F.col("vec_id").isin(0, 999)).collect()}
+    # identical vectors: identical cent_sim, so the id tie-break keeps 0
+    assert got[0] is True and got[999] is False
