@@ -212,3 +212,118 @@ def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt="mx",
     )
     return kept.select("doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + per-domain cap (Common Crawl-style curation).
+# The fixture has no URL column, so one is DERIVED deterministically
+# from (source, doc_id) with the SAME expression in both engines —
+# messy on purpose (scheme case, www, two-level TLD, query/fragment,
+# trailing slash) so the normalizer earns its keep.
+# ---------------------------------------------------------------------------
+
+_URL_RAW_SQL = """
+(CASE WHEN doc_id % 3 = 0 THEN 'HTTP://WWW.' ELSE 'https://' END
+ || source
+ || CASE doc_id % 3 WHEN 0 THEN '.example.com'
+                    WHEN 1 THEN '.example.org'
+                    ELSE '.example.co.uk' END
+ || '/p/' || CAST(doc_id AS VARCHAR)
+ || CASE WHEN doc_id % 5 = 0 THEN '/?utm=x#top'
+         WHEN doc_id % 7 = 0 THEN '/'
+         ELSE '' END)
+""".strip()
+
+_DOMAIN_CAP = 5
+
+_URL_CAP_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents
+),
+norm AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(url), '^https?://', ''),
+               '^www\\.', ''),
+             '[?#].*$', ''),
+           '/+$', '') AS nurl
+  FROM raw
+),
+host AS (
+  SELECT doc_id, nurl, regexp_extract(nurl, '^([^/]+)', 1) AS h FROM norm
+),
+dom AS (
+  SELECT doc_id, nurl,
+         CASE WHEN (h LIKE '%.co.uk' OR h LIKE '%.com.au' OR h LIKE '%.co.jp'
+                    OR h LIKE '%.com.br' OR h LIKE '%.co.in')
+                   AND len(string_split(h, '.')) >= 3
+              THEN array_to_string(string_split(h, '.')[-3:], '.')
+              ELSE array_to_string(string_split(h, '.')[-2:], '.') END AS domain
+  FROM host
+),
+capped AS (
+  SELECT doc_id, domain, nurl,
+         row_number() OVER (PARTITION BY domain ORDER BY doc_id ASC) AS rn
+  FROM dom
+)
+SELECT doc_id, domain, nurl AS url_norm, rn
+FROM capped WHERE rn <= {_DOMAIN_CAP}
+""".strip()
+
+
+@register("url_domain_cap", _URL_CAP_ORACLE)
+def q_url_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain document cap: canonicalize the URL
+    (functions.url — scan-local expressions), extract the pay-level
+    domain (two-level-suffix aware), keep the first N docs per domain
+    in crawl order.  Spark plans the cap as WindowGroupLimit with a
+    partial pass below the exchange, so each map task forwards at most
+    N rows per domain — the shuffle carries ≈ domains·N·partitions
+    rows, not the corpus.  The canonical 'no domain dominates the
+    corpus' curation step."""
+    from pyspark.sql import Window
+
+    from merkonvectordb_spark.functions.url import (
+        normalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".example.com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(".example.org"))
+        .otherwise(F.lit(".example.co.uk"))
+    )
+    tail = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/?utm=x#top"))
+        .when(F.col("doc_id") % 7 == 0, F.lit("/"))
+        .otherwise(F.lit(""))
+    )
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("HTTP://WWW.")).otherwise(
+                F.lit("https://")
+            ),
+            F.col("source"),
+            tld,
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+            tail,
+        ).alias("url"),
+    )
+    norm = raw.select("doc_id", normalize_url(F.col("url")).alias("nurl"))
+    dom = norm.select(
+        "doc_id",
+        "nurl",
+        registered_domain(url_host(F.col("nurl"))).alias("domain"),
+    )
+    w = Window.partitionBy("domain").orderBy(F.asc("doc_id"))
+    return (
+        dom.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _DOMAIN_CAP)
+        .select("doc_id", "domain", F.col("nurl").alias("url_norm"), "rn")
+    )
