@@ -662,3 +662,59 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dup_token_frac") > 0.8) | (top_frac > 0.18)
         ).alias("is_repetitive"),
     )
+
+
+@register(
+    "bpe_merge_pairs",
+    r"""
+WITH words AS (
+  SELECT u.w AS w, count(*) AS freq
+  FROM documents,
+       UNNEST(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                          x -> x <> '')) AS u(w)
+  GROUP BY u.w
+),
+pairs AS (
+  SELECT u.p AS pair, sum(freq) AS cnt
+  FROM words,
+       UNNEST(list_transform(range(1, greatest(length(w), 1)),
+                             i -> substring(w, i, 2))) AS u(p)
+  GROUP BY u.p
+)
+SELECT pair, CAST(cnt AS BIGINT) AS cnt
+FROM pairs ORDER BY cnt DESC, pair ASC LIMIT 20
+""".strip(),
+)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer training (Sennrich et al. 2016):
+    count adjacent symbol pairs across the corpus and surface the top
+    merge candidates.
+
+    Scale shape — the standard vocab-first trick: the corpus collapses
+    to a (word, freq) vocabulary FIRST (one partial-aggregable groupBy;
+    vocab is Heaps-law sublinear in corpus size), and pair extraction
+    runs over the vocabulary weighted by freq — per merge iteration the
+    work is vocab·word_len, never another corpus scan.  Pair counting
+    is a second partial-agg groupBy; the top-20 is a 20-row heap
+    (TakeOrderedAndProject), nothing sorts globally."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(X.tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = F.col("w")
+    pairs_arr = F.when(
+        F.length(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(w) - 1),
+            lambda i: w.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        words.select(F.explode(pairs_arr).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )
