@@ -328,3 +328,65 @@ def mixture_sample(
         * F.lit(denom).cast(wide)
     )
     return joined.where(keep).drop("__s", "__mass")
+
+
+def prepare_training_shards(
+    docs: DataFrame,
+    quality_min: float = 0.5,
+    splits: dict[str, int] | None = None,
+    window: int = 64,
+    stride: int = 48,
+    budget: int = 256,
+    seqs_per_shard: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """The end-to-end corpus→shards pipeline a pretraining run actually
+    executes, composed from this package's operators:
+
+    1. quality gate (scan-local score ≥ ``quality_min``);
+    2. exact-dedup survivors (min-id per content fingerprint);
+    3. deterministic train/val/test assignment (content-addressed hash —
+       a document's chunks inherit its split by construction);
+    4. context-window chunking (``window`` tokens every ``stride``);
+    5. concat-and-split packing into ``budget``-token sequences, PER
+       SPLIT (sequence numbering restarts per split — val sequences
+       can't straddle into train);
+    6. shard assignment: ``shard_id = seq_id // seqs_per_shard`` — the
+       file-granularity a dataloader consumes.
+
+    Every stage is deterministic and content-addressed: reruns,
+    repartitioning, and cluster resizes reproduce byte-identical shard
+    assignments, which is what makes checkpoint-resume across pipeline
+    re-executions safe.
+
+    Scale shape: stages 1-4 are scan-local projections/filters plus one
+    fingerprint window; packing is the range-partitioned two-pass prefix
+    sum — invoked once per split (splits are a handful by construction,
+    so the loop is O(3) driver round-trips, not a per-key pattern).
+    """
+    from merkonvectordb_spark.functions.text import quality_score
+    from merkonvectordb_spark.operators.dedup import keep_survivors
+
+    if seqs_per_shard <= 0:
+        raise ValueError("seqs_per_shard must be positive")
+    splits = splits or {"train": 90, "val": 5, "test": 5}
+    gated = docs.where(quality_score(F.col(text_col)) >= F.lit(quality_min))
+    surv = keep_survivors(gated, text_col, id_col)
+    assigned = hash_split(surv, id_col, splits, salt=salt)
+    chunks = chunk_tokens(
+        assigned.select(id_col, "split", text_col), text_col, window, stride
+    ).drop(text_col)
+    packed = None
+    for name in splits:
+        part = pack_sequences(
+            chunks.where(F.col("split") == name),
+            (id_col, "chunk_idx"),
+            "chunk_tokens",
+            budget=budget,
+        )
+        packed = part if packed is None else packed.unionByName(part)
+    return packed.withColumn(
+        "shard_id", (F.col("seq_id") / seqs_per_shard).cast("bigint")
+    )

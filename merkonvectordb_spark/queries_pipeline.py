@@ -327,3 +327,92 @@ def q_url_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _DOMAIN_CAP)
         .select("doc_id", "domain", F.col("nurl").alias("url_norm"), "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# the composed corpus→shards pipeline, oracled end-to-end: quality gate,
+# exact-dedup survivors, hash split, chunking, per-split packing, shard
+# ids — one row-level hash over the whole five-stage composition.
+# ---------------------------------------------------------------------------
+
+
+def _training_shards_oracle() -> str:
+    from merkonvectordb_spark.queries_text import _FP_SQL, _quality_sql
+
+    return f"""
+WITH gated AS (
+  SELECT doc_id, text FROM documents
+  WHERE {_quality_sql("text")} >= 0.5
+),
+fp AS (
+  SELECT doc_id, text,
+         row_number() OVER (
+           PARTITION BY {_FP_SQL.format(c="text")}
+           ORDER BY doc_id ASC) AS rn
+  FROM gated
+),
+surv AS (SELECT doc_id, text FROM fp WHERE rn = 1),
+sp AS (
+  SELECT doc_id, text,
+         CASE WHEN b < 90 THEN 'train'
+              WHEN b < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, text,
+           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 100 AS b
+    FROM surv)
+),
+base AS (
+  SELECT doc_id, split, string_split_regex(trim(text), '\\s+') AS t
+  FROM sp WHERE length(trim(text)) > 0
+),
+st AS (
+  SELECT doc_id, split, t, unnest(range(0, greatest(len(t), 1), 48)) AS s
+  FROM base
+),
+chunks AS (
+  SELECT doc_id, split, CAST(s // 48 AS BIGINT) AS chunk_idx,
+         CAST(least(64, len(t) - s) AS BIGINT) AS chunk_tokens
+  FROM st
+),
+cum AS (
+  SELECT *,
+         sum(chunk_tokens) OVER (
+           PARTITION BY split ORDER BY doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - chunk_tokens AS gstart
+  FROM chunks
+)
+SELECT doc_id, split, chunk_idx, chunk_tokens,
+       CAST(gstart // 256 AS BIGINT) AS seq_id,
+       CAST(gstart % 256 AS BIGINT) AS seq_offset,
+       ((gstart + chunk_tokens - 1) // 256) > (gstart // 256) AS straddles,
+       CAST((gstart // 256) // 16 AS BIGINT) AS shard_id
+FROM cum
+""".strip()
+
+
+@register("training_shards", _training_shards_oracle())
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`operators.pipeline.prepare_training_shards` end-to-end: the
+    oracle replays all five stages (quality ≥ 0.5, fingerprint
+    survivors, 90/5/5 hash split, 64/48 chunking, per-split 256-token
+    packing, 16-seq shards) in one SQL composition — proving the
+    composed pipeline, not just each operator alone."""
+    from merkonvectordb_spark.operators.pipeline import (
+        prepare_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = prepare_training_shards(docs)
+    return out.select(
+        "doc_id",
+        "split",
+        "chunk_idx",
+        F.col("chunk_tokens").cast("bigint").alias("chunk_tokens"),
+        "seq_id",
+        "seq_offset",
+        "straddles",
+        "shard_id",
+    )

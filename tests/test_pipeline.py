@@ -195,3 +195,38 @@ def test_chunking_short_and_empty_docs(spark):
     assert rows[0].doc_id == 1 and rows[0].chunk_tokens == 3
     with pytest.raises(ValueError):
         chunk_tokens(df, "text", window=4, stride=8)
+
+
+def test_training_shards_invariants(spark):
+    from merkonvectordb_spark.operators.pipeline import prepare_training_shards
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    out = prepare_training_shards(docs).cache()
+    rows = out.collect()
+    assert rows, "pipeline produced no chunks"
+
+    # sequence numbering restarts per split: every split starts at seq 0
+    # and its seq_offsets are consistent with a contiguous token stream
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r.split, []).append(r)
+    for split, rs in by_split.items():
+        rs.sort(key=lambda r: (r.doc_id, r.chunk_idx))
+        assert rs[0].seq_id == 0 and rs[0].seq_offset == 0
+        run = 0
+        for r in rs:
+            assert r.seq_id * 256 + r.seq_offset == run
+            assert r.shard_id == r.seq_id // 16
+            run += r.chunk_tokens
+
+    # content-addressed: a shuffled/repartitioned rerun is byte-identical
+    again = prepare_training_shards(docs.repartition(7)).collect()
+    key = lambda r: (r.split, r.doc_id, r.chunk_idx)
+    assert sorted(map(tuple, again), key=str) == sorted(map(tuple, rows), key=str)
+
+    # a document's chunks never span splits
+    spans = out.groupBy("doc_id").agg(F.countDistinct("split").alias("n"))
+    assert spans.where(F.col("n") > 1).count() == 0
