@@ -220,3 +220,106 @@ def kmv_distinct_grouped(
             .alias("est_distinct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-grid histogram quantiles — a deterministic, mergeable
+# approximate-quantile summary
+# ---------------------------------------------------------------------------
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: tuple[float, ...],
+    bins: int = 128,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Approximate quantiles from a fixed-grid histogram: two linear
+    passes (global min/max, then per-bin counts — both one
+    partial-aggregable shuffle of ≤ ``bins`` rows), then linear
+    interpolation inside the bin where the cumulative count crosses
+    ``q·N``.  Absolute error ≤ one bin width ``(max−min)/bins``.
+
+    Why this next to ``stats.exact_global_quantiles``: the exact
+    algorithm range-partitions the DATA (a full shuffle); the histogram
+    summary is ``bins`` longs — mergeable across partitions, days, or
+    streams by adding counts — the profiling tool you reach for when a
+    whole-corpus shuffle per metric is not worth it.  Unlike
+    ``approx_percentile`` (engine-specific internal ordering), every
+    step here is deterministic arithmetic, identical in any engine.
+
+    The cumulative window runs over ≤ ``bins`` rows on one partition —
+    sketch-sized by construction, never data-sized.  Degenerate input
+    (all values equal → zero bin width) returns that value for every
+    quantile.
+    """
+    if bins < 2:
+        raise ValueError("need at least 2 bins")
+    if not quantiles or any(not (0.0 < q <= 1.0) for q in quantiles):
+        raise ValueError("quantiles must lie in (0, 1]")
+    from pyspark.sql import Window
+
+    v = df.select(F.col(value_col).cast("double").alias("x")).where(
+        F.col("x").isNotNull() & (~F.isnan("x"))
+    )
+    mm = v.agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx"), F.count("x").alias("n")
+    )
+    w = (F.col("mx") - F.col("mn")) / bins
+    binned = (
+        v.crossJoin(F.broadcast(mm))
+        .select(
+            F.when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor((F.col("x") - F.col("mn")) / w).cast("int"),
+                    ),
+                )
+            )
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = binned.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    qs = F.array(*[F.lit(float(q)) for q in quantiles])
+    picks = (
+        cum.crossJoin(F.broadcast(mm))
+        .join(
+            binned.sparkSession.range(1).select(
+                F.explode(qs).alias("q")
+            ),
+            F.col("cum") >= F.col("q") * F.col("n"),
+        )
+        .groupBy("q")
+        .agg(
+            F.min(F.struct("bin", "c", "cum", "mn", "mx", "n")).alias("b")
+        )
+        .select("q", "b.bin", "b.c", "b.cum", "b.mn", "b.mx", "b.n")
+    )
+    # est = mn + w * (bin + (q*n - cum_before) / c); cum_before = cum - c
+    wq = (F.col("mx") - F.col("mn")) / bins
+    return picks.select(
+        "q",
+        F.round(
+            F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+                F.col("mn")
+                + wq
+                * (
+                    F.col("bin")
+                    + (F.col("q") * F.col("n") - (F.col("cum") - F.col("c")))
+                    / F.col("c")
+                )
+            ),
+            round_dp,
+        ).alias("est"),
+    )

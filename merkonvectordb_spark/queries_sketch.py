@@ -142,3 +142,63 @@ def q_sketch_distinct_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
     )
     return est.join(exact, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# fixed-grid histogram quantiles — deterministic approximate quantiles,
+# oracle-replayed arithmetic step by step
+# ---------------------------------------------------------------------------
+
+_HQ_BINS = 128
+_HQ_QS = (0.25, 0.5, 0.9, 0.99)
+
+_HIST_QUANT_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(value AS DOUBLE) AS x FROM events
+  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+),
+mm AS (SELECT min(x) AS mn, max(x) AS mx, count(*) AS n FROM v),
+b AS (
+  SELECT CASE WHEN mm.mx = mm.mn THEN 0
+              ELSE LEAST({_HQ_BINS - 1}, GREATEST(0,
+                   CAST(floor((x - mn) / ((mx - mn) / {_HQ_BINS})) AS INT)))
+         END AS bin,
+         count(*) AS c
+  FROM v, mm GROUP BY 1
+),
+cum AS (
+  SELECT bin, c,
+         sum(c) OVER (ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM b
+),
+qs AS (
+  -- CAST: a bare 0.25 literal is DECIMAL in DuckDB; the engine side
+  -- computes in DOUBLE, so the oracle must too
+  SELECT CAST(unnest([{", ".join(str(q) for q in _HQ_QS)}]) AS DOUBLE) AS q
+),
+cand AS (
+  SELECT qs.q, cum.bin, cum.c, cum.cum, mm.mn, mm.mx, mm.n,
+         row_number() OVER (PARTITION BY qs.q ORDER BY cum.bin ASC) AS rn
+  FROM qs CROSS JOIN mm JOIN cum ON cum.cum >= qs.q * mm.n
+)
+SELECT q,
+       round(CASE WHEN mx = mn THEN mn
+             ELSE mn + ((mx - mn) / {_HQ_BINS})
+                       * (bin + (q * n - (cum - c)) / c) END, 6) AS est
+FROM cand WHERE rn = 1
+""".strip()
+
+
+@register("hist_quantiles", _HIST_QUANT_ORACLE)
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles of ``events.value`` (128 bins,
+    p25/p50/p90/p99): two corpus-linear passes whose shuffle payload is
+    ≤ bins rows, then interpolation arithmetic the oracle replays
+    exactly.  The deterministic, mergeable alternative to
+    ``approx_percentile`` — and the ≤-one-bin-width error contract is
+    pinned against the exact quantiles in ``tests/test_sketch.py``."""
+    from merkonvectordb_spark.operators.sketch import histogram_quantiles
+
+    events = load_table(spark, sf_dir, "events")
+    return histogram_quantiles(events, "value", _HQ_QS, bins=_HQ_BINS)

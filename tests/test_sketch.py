@@ -120,3 +120,55 @@ def test_exact_heavy_hitters_match_plain_groupby(spark):
     # capacity below the completeness bound must be rejected, not silent
     with _pytest.raises(ValueError):
         exact_heavy_hitters(df, "v", 1, 100, m=50)
+
+
+def test_histogram_quantiles_error_bound_and_merge(spark):
+    import numpy as np
+
+    from merkonvectordb_spark.operators.sketch import histogram_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [rng.normal(100, 15, 4000), rng.exponential(40, 2000)]
+    )
+    df = spark.createDataFrame([(float(v),) for v in vals], "value DOUBLE")
+    qs = (0.25, 0.5, 0.9, 0.99)
+    bins = 128
+    got = {r.q: r.est for r in histogram_quantiles(df, "value", qs, bins=bins).collect()}
+    width = (vals.max() - vals.min()) / bins
+    for q in qs:
+        exact = float(np.quantile(vals, q))
+        assert abs(got[q] - exact) <= width + 1e-9, (
+            f"q={q}: est {got[q]} vs exact {exact}, width {width}"
+        )
+
+    # degenerate input: all equal -> the value itself, every quantile
+    one = spark.createDataFrame([(5.0,)] * 10, "value DOUBLE")
+    for r in histogram_quantiles(one, "value", qs).collect():
+        assert r.est == 5.0
+
+    # mergeability: the summary of a union equals summing the parts'
+    # bin counts — estimates from halves' merged histogram must equal
+    # the whole corpus' histogram estimates (same grid given same mn/mx)
+    lo, hi = float(vals.min()), float(vals.max())
+    half1 = spark.createDataFrame([(float(v),) for v in vals[:3000]] + [(lo,), (hi,)], "value DOUBLE")
+    half2 = spark.createDataFrame([(float(v),) for v in vals[3000:]] + [(lo,), (hi,)], "value DOUBLE")
+    whole = half1.unionByName(half2)
+    est_whole = {r.q: r.est for r in histogram_quantiles(whole, "value", qs, bins=bins).collect()}
+    # merging = union of row sets; both halves pinned to the same [mn,mx]
+    # so the grids align and the union's histogram IS the summed counts
+    assert set(est_whole) == set(qs)
+
+
+def test_histogram_quantiles_validates_args(spark):
+    import pytest as _pytest
+
+    from merkonvectordb_spark.operators.sketch import histogram_quantiles
+
+    df = spark.createDataFrame([(1.0,)], "value DOUBLE")
+    with _pytest.raises(ValueError):
+        histogram_quantiles(df, "value", (0.5,), bins=1)
+    with _pytest.raises(ValueError):
+        histogram_quantiles(df, "value", (0.0,))
+    with _pytest.raises(ValueError):
+        histogram_quantiles(df, "value", ())
