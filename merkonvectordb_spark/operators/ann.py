@@ -688,6 +688,9 @@ def semantic_dedup(
             "__e",
         )
     )
+    # three consumers (both sides of the pair self-join + the final
+    # left join) — without persist each re-runs the corpus×K scoring
+    assigned = assigned.persist()
     x = assigned.alias("x")
     y = assigned.alias("y")
     xid, yid = F.col(f"x.{id_col}"), F.col(f"y.{id_col}")

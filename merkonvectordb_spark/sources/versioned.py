@@ -90,12 +90,27 @@ class VersionedTable:
                 f"version {version} does not exist (or was vacuumed); "
                 f"available: {self._versions() or '[]'}"
             )
-        rows = (
-            self.spark.read.schema(_MANIFEST_DDL)
-            .parquet(self._manifest_file(version))
-            .collect()
+        # manifests are METADATA: read them driver-side (pyarrow), never
+        # as a cluster job — a version lookup must cost a file open, not
+        # a Spark stage (the Delta/Iceberg layering)
+        import pyarrow.parquet as pq
+
+        target = self._manifest_file(version)
+        if os.path.isdir(target):  # pre-pyarrow manifests were Spark dirs
+            parts = [
+                os.path.join(target, n)
+                for n in os.listdir(target)
+                if n.endswith(".parquet")
+            ]
+            tables = [pq.read_table(p) for p in parts]
+            import pyarrow as pa
+
+            t = pa.concat_tables(tables)
+        else:
+            t = pq.read_table(target)
+        return list(
+            zip(t.column("file").to_pylist(), t.column("part").to_pylist())
         )
-        return [(r.file, r.part) for r in rows]
 
     def _publish(self, version: int, files: list[tuple[str, str | None]]) -> None:
         """Atomic commit point: rename a staged manifest into place.
@@ -108,20 +123,38 @@ class VersionedTable:
         non-empty directory FAILS, so a lost-update race (two writers
         publishing the same version) surfaces as an error instead of one
         writer's tmp dir being silently nested inside the other's
-        manifest."""
-        df = self.spark.createDataFrame(files, _MANIFEST_DDL)
-        tmp = os.path.join(self.root, f".tmp-manifest-{uuid.uuid4().hex[:12]}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        manifest.
+
+        The manifest is written DRIVER-SIDE with pyarrow — committing a
+        version is metadata work and must not cost a Spark job (two jobs
+        per commit was the dominant cost of small table writes).  The
+        publish is ``os.link`` (hard-link then unlink the tmp), which
+        fails with EEXIST if the destination exists — same lost-update
+        detection the directory rename gave."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table(
+            {
+                "file": pa.array([f for f, _ in files], pa.string()),
+                "part": pa.array([p for _, p in files], pa.string()),
+            }
+        )
+        tmp = os.path.join(
+            self.root, f".tmp-manifest-{uuid.uuid4().hex[:12]}.parquet"
+        )
         os.makedirs(self.manifest_path, exist_ok=True)
+        pq.write_table(table, tmp)
         dest = self._manifest_file(version)
         try:
-            os.rename(tmp, dest)
+            os.link(tmp, dest)
         except OSError as e:
-            shutil.rmtree(tmp, ignore_errors=True)
             raise FileExistsError(
                 f"version {version} already committed (concurrent writer?) "
                 f"— refusing to overwrite {dest}"
             ) from e
+        finally:
+            os.unlink(tmp)
 
     # -- writes -----------------------------------------------------------
     def _write_data(self, df: DataFrame) -> list[tuple[str, str | None]]:
@@ -134,6 +167,15 @@ class VersionedTable:
         ``basePath``, and unique names make concurrent batches collide-free.
         """
         batch = os.path.join(self.root, f"_stage-{uuid.uuid4().hex[:12]}")
+        if self.part_col:
+            # cluster rows by the partition value before the partitioned
+            # write ("optimize write"): without this every input task
+            # crosses every partition value, emitting tasks×values tiny
+            # files per commit.  Hash repartitioning sends each value to
+            # one task → one well-sized file per partition per commit.
+            # (A partition too big for one task wants a secondary salt
+            # term here; list/band partitions are bounded by design.)
+            df = df.repartition(F.col(self.part_col))
         writer = df.write.mode("error")
         if self.part_col:
             writer = writer.partitionBy(self.part_col)
