@@ -705,3 +705,201 @@ def decontaminate(
         )
         .select("train_id", "eval_id", "shared_ngrams", "containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection / removal (substring dedup)
+# ---------------------------------------------------------------------------
+
+DUPSPAN_N = 8  # span granularity in tokens (Lee et al. use 50 BPE tokens)
+
+
+def span_gram_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = DUPSPAN_N
+) -> DataFrame:
+    """One row per token-``n``-gram OCCURRENCE: (id, pos, gh).
+
+    ``pos`` is the 1-based token index where the gram starts; ``gh`` is
+    the 60-bit md5-fold of the gram string (same cross-engine codec as
+    the MinHash base hash).  Collisions between distinct grams are
+    possible but deterministic and mirrored in the oracle; at 60 bits
+    they are ~absent below 2^30 distinct grams per corpus shard.
+
+    Scale: output size = token count (linear); the gram hash is computed
+    scan-locally — no shuffle happens here.
+    """
+    grams = word_shingles(F.col(text_col), n)
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                grams,
+                lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("pos0", "gh"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "gh")
+
+
+def _span_runs(marked: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Maximal consecutive runs (gaps-and-islands) of marked gram
+    positions per document → (id, run_grams, start_pos, end_pos) where
+    [start_pos, end_pos] is the covered TOKEN interval."""
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    isl = marked.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w_doc)
+    )
+    return isl.groupBy(id_col, "grp").agg(
+        F.count(F.lit(1)).alias("run_grams"),
+        F.min("pos").alias("start_pos"),
+        (F.max("pos") + F.lit(n - 1)).alias("end_pos"),
+    )
+
+
+def _interval_union(runs: DataFrame, id_col: str) -> DataFrame:
+    """Union-of-intervals token coverage per id (classic running-max
+    island merge; runs per doc are few, the window input is tiny)."""
+    w = Window.partitionBy(id_col).orderBy("start_pos")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    u = (
+        runs.withColumn("prev_end", F.max("end_pos").over(w_prev))
+        .withColumn(
+            "new_flag",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("start_pos") > F.col("prev_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("cover_grp", F.sum("new_flag").over(w))
+    )
+    cov = u.groupBy(id_col, "cover_grp").agg(
+        (F.max("end_pos") - F.min("start_pos") + 1).alias("cov_tokens")
+    )
+    return cov.groupBy(id_col).agg(
+        F.sum("cov_tokens").cast("bigint").alias("dup_tokens")
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DUPSPAN_N,
+) -> DataFrame:
+    """Per-document exact duplicated-span statistics (substring-dedup
+    screening, Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better").
+
+    A token ``n``-gram occurrence is *duplicated* when its gram value
+    occurs ≥2 times anywhere in the corpus (cross- or within-document).
+    Consecutive duplicated positions merge into maximal runs; run token
+    intervals are union-merged for exact coverage.  All outputs are
+    integers — hash-stable across engines.
+
+    Columns: id, n_tokens, n_dup_grams, n_runs, max_run_tokens,
+    dup_tokens (union token coverage).
+
+    Scale: ONE corpus-wide shuffle on the gram hash (the occurrence-count
+    window) — partition sizes equal gram occurrence counts, so a pathological
+    boilerplate span is a skewed key (AQE skew handling applies); every
+    later stage is per-document (second shuffle on id, then reused).
+    No all-pairs stage exists at any point.
+    """
+    from merkonvectordb_spark.functions.text import token_count
+
+    g = span_gram_rows(df, id_col, text_col, n)
+    w_g = Window.partitionBy("gh")
+    marked = g.withColumn("occ", F.count(F.lit(1)).over(w_g)).where(
+        F.col("occ") > 1
+    )
+    runs = _span_runs(marked, id_col, n)
+    per_doc = runs.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.sum("run_grams").cast("bigint").alias("n_dup_grams"),
+        (F.max(F.col("end_pos") - F.col("start_pos")) + 1)
+        .cast("bigint")
+        .alias("max_run_tokens"),
+    )
+    cov = _interval_union(runs, id_col)
+    base = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .join(cov, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("n_runs", F.lit(0)).alias("n_runs"),
+            F.coalesce("max_run_tokens", F.lit(0)).alias("max_run_tokens"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DUPSPAN_N,
+) -> DataFrame:
+    """Drop every duplicated span's NON-FIRST occurrences from the text
+    (corpus-first occurrence = min (id, pos) per gram — kept).
+
+    A token is removed iff it lies inside the union coverage of
+    *redundant* gram runs (occurrences ranked >1).  Output:
+    id, n_tokens_before, n_tokens_after, text_dedup (surviving tokens
+    re-joined in order; '' when fully covered).
+
+    Scale: same two-shuffle shape as ``duplicated_span_stats`` plus one
+    explode of covered positions (≤ token count — linear) and the final
+    per-document reassembly groupBy.
+    """
+    from merkonvectordb_spark.functions.text import tokenize
+
+    g = span_gram_rows(df, id_col, text_col, n)
+    w_g = Window.partitionBy("gh")
+    w_rank = Window.partitionBy("gh").orderBy(id_col, "pos")
+    redundant = (
+        g.withColumn("occ", F.count(F.lit(1)).over(w_g))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .where((F.col("occ") > 1) & (F.col("rk") > 1))
+    )
+    runs = _span_runs(redundant, id_col, n)
+    covered = runs.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("start_pos"), F.col("end_pos"))
+        ).alias("pos"),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos0", "tok"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    re = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    from merkonvectordb_spark.functions.text import token_count
+
+    base = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens_before"),
+    )
+    return base.join(re, id_col, "left").select(
+        id_col,
+        "n_tokens_before",
+        F.coalesce("n_tokens_after", F.lit(0)).alias("n_tokens_after"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
