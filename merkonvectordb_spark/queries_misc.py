@@ -667,3 +667,45 @@ def q_source_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "geo_mean_chars"
         ),
     )
+
+
+@register(
+    "bloom_semi_join",
+    """
+SELECT l_orderkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+)
+GROUP BY l_orderkey
+""".strip(),
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime join pruning (operators.bloom): lineitem is
+    pre-filtered SCAN-LOCALLY by a 64 Kbit bloom built from the
+    high-value order keys, then exactly semi-joined — so the exchange
+    carries only probable matches, yet the result is EXACTLY the plain
+    semi-join (which is the oracle).  The 100 TB case: the build side is
+    too big to broadcast raw, but its bit-set summary is 8 KB.
+    Sums are integer cents (order-free across partitionings)."""
+    from merkonvectordb_spark.operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 400000
+    )
+    return (
+        bloom_semi_join(li, orders, "l_orderkey", "o_orderkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
