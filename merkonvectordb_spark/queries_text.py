@@ -723,3 +723,102 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# term-association mining: pointwise mutual information over doc-level
+# co-occurrence
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 25
+_PMI_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok FROM toks GROUP BY tok),
+pairs AS (
+  SELECT a.tok AS term_a, b.tok AS term_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+  HAVING count(*) >= {mc}
+)
+SELECT term_a, term_b, n_ab, fa.n_tok AS n_a, fb.n_tok AS n_b,
+       round(ln(CAST(n_ab AS DOUBLE) * n.n_docs
+                / (CAST(fa.n_tok AS DOUBLE) * fb.n_tok)), 6) AS pmi
+FROM pairs
+JOIN dfreq fa ON fa.tok = term_a
+JOIN dfreq fb ON fb.tok = term_b
+CROSS JOIN n
+ORDER BY pmi DESC, term_a, term_b
+LIMIT 20
+""".strip().format(mc=_PMI_MIN_COUNT)
+
+
+@register("term_pmi_topk", _PMI_ORACLE)
+def q_term_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 term pairs by document-level pointwise mutual information.
+
+    PMI = ln(n_ab·N / (n_a·n_b)) over doc-presence counts — all inputs
+    are integers aggregated associatively, the single float op is a
+    scan-local ln on a ratio of integers (order-free, hash-stable).
+
+    Scale shape: presence rows are |docs|·|doc vocab| (linear); the
+    per-doc self-join makes ≤|doc vocab|² pairs per document — bounded
+    by capping the vocabulary (min-count prefilter would broadcast at
+    real scale), never by corpus size.  Top-k is a heap
+    (TakeOrderedAndProject), not a global sort.
+    """
+    from merkonvectordb_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok")
+    )
+    n_docs = toks.select("doc_id").distinct().count()
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("term_a"), F.col("b.tok").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _PMI_MIN_COUNT)
+    )
+    fa = dfreq.select(
+        F.col("tok").alias("term_a"), F.col("n_tok").alias("n_a")
+    )
+    fb = dfreq.select(
+        F.col("tok").alias("term_b"), F.col("n_tok").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "term_a")
+        .join(F.broadcast(fb), "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.lit(float(n_docs))
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "term_a", "term_b")
+        .limit(20)
+    )
