@@ -323,3 +323,86 @@ def histogram_quantiles(
             round_dp,
         ).alias("est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: bounded-memory point-frequency estimation
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def cms_cell(col: Column, row: int, width: int = CMS_WIDTH) -> Column:
+    """Deterministic counter column for hash row ``row``: the md5-fold of
+    the salted value string, reduced mod ``width`` — identical in DuckDB."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{row}:"), col.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    column: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """The sketch: ≤ depth·width rows (row_id, col_id, cnt).
+
+    One pass, one aggregation — the shuffled state is the d×w counter
+    grid, independent of input size.  Sketches MERGE by summing matching
+    cells (counters are additive), which makes the summary streamable
+    and shard-parallel: build per shard, union, re-aggregate.
+
+    Estimate for value v: min over rows of cnt[row, h_row(v)] — an upper
+    bound on the true count, within εN (ε = e/width) with probability
+    1-δ (δ = e^-depth) [Cormode & Muthukrishnan 2005].
+    """
+    c = F.col(column)
+    cells = df.select(
+        F.posexplode(
+            F.array(*[cms_cell(c, r, width) for r in range(depth)])
+        ).alias("row_id", "col_id")
+    )
+    return cells.groupBy("row_id", "col_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-frequency estimates for every probe value: join each probe's
+    depth cells against the sketch (broadcast — the sketch is ≤ d·w
+    rows), take the min counter.  Missing cells are zero (value never
+    seen)."""
+    p = probes.select(
+        F.col(probe_col).alias("probe"),
+        F.posexplode(
+            F.array(
+                *[cms_cell(F.col(probe_col), r, width) for r in range(depth)]
+            )
+        ).alias("row_id", "col_id"),
+    )
+    return (
+        p.join(F.broadcast(sketch), ["row_id", "col_id"], "left")
+        .groupBy("probe")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_count")
+        )
+    )

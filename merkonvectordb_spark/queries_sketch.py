@@ -202,3 +202,77 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return histogram_quantiles(events, "value", _HQ_QS, bins=_HQ_BINS)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: bounded-memory point-frequency estimation
+# ---------------------------------------------------------------------------
+
+from merkonvectordb_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH  # noqa: E402
+
+_CMS_FOLD = (
+    "list_reduce(list_transform(regexp_split_to_array(substr(md5({e}), 1, 15),"
+    " ''), ch -> CAST(strpos('0123456789abcdef', ch) AS BIGINT) - 1),"
+    " (acc, d) -> acc * 16 + d)"
+)
+
+
+def _cms_cell_sql(val_expr: str) -> str:
+    e = f"'cms' || CAST(r AS VARCHAR) || ':' || CAST({val_expr} AS VARCHAR)"
+    return f"{_CMS_FOLD.format(e=e)} % {CMS_WIDTH}"
+
+
+_CMS_ROWS = "[" + ", ".join(str(r) for r in range(CMS_DEPTH)) + "]"
+
+_CMS_ORACLE = f"""
+WITH cells AS (
+  SELECT r AS row_id, {_cms_cell_sql("user_id")} AS col_id
+  FROM events, unnest({_CMS_ROWS}) AS t(r)
+),
+sketch AS (
+  SELECT row_id, col_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY row_id, col_id
+),
+probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 25),
+pcells AS (
+  SELECT user_id AS probe, r AS row_id, {_cms_cell_sql("user_id")} AS col_id
+  FROM probes, unnest({_CMS_ROWS}) AS t(r)
+),
+est AS (
+  SELECT probe, CAST(min(COALESCE(s.cnt, 0)) AS BIGINT) AS est_count
+  FROM pcells LEFT JOIN sketch s USING (row_id, col_id)
+  GROUP BY probe
+),
+truth AS (
+  SELECT user_id AS probe, CAST(count(*) AS BIGINT) AS true_count
+  FROM events GROUP BY user_id
+)
+SELECT e.probe, e.est_count, COALESCE(t.true_count, 0) AS true_count
+FROM est e LEFT JOIN truth t USING (probe)
+""".strip()
+
+
+@register("cms_freq_estimate", _CMS_ORACLE)
+def q_cms_freq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point-frequency estimates for 25 probe users, exact
+    counts alongside.  The sketch is a d×w counter grid (4×64 = 256
+    rows) — the shuffled state is INDEPENDENT of input size, counters
+    merge by addition (shard-parallel / streamable), and the estimate
+    ≥ truth always (upper-bound property; both columns under the
+    oracle hash prove the estimator and its bias).  The deliberately
+    narrow width forces real collisions so the min-over-rows branch is
+    exercised, not just the exact path."""
+    from merkonvectordb_spark.operators.sketch import cms_build, cms_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    sketch = cms_build(events, "user_id")
+    probes = events.where(F.col("user_id") < 25).select("user_id").distinct()
+    est = cms_estimate(sketch, probes, "user_id")
+    truth = events.groupBy(F.col("user_id").alias("probe")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    return est.join(truth, "probe", "left").select(
+        "probe",
+        "est_count",
+        F.coalesce("true_count", F.lit(0)).alias("true_count"),
+    )

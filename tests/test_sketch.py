@@ -172,3 +172,54 @@ def test_histogram_quantiles_validates_args(spark):
         histogram_quantiles(df, "value", (0.0,))
     with _pytest.raises(ValueError):
         histogram_quantiles(df, "value", ())
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _cms_counts(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "k long")
+
+
+def test_cms_upper_bounds_truth(spark):
+    from merkonvectordb_spark.operators.sketch import cms_build, cms_estimate
+
+    vals = [i % 50 for i in range(2000)]  # 50 keys × 40 each
+    df = _cms_counts(spark, vals)
+    sketch = cms_build(df, "k")
+    probes = df.select("k").distinct()
+    est = {r["probe"]: r["est_count"] for r in cms_estimate(sketch, probes, "k").collect()}
+    assert len(est) == 50
+    assert all(v >= 40 for v in est.values())  # never under-counts
+
+
+def test_cms_unseen_value_is_zero_or_collision(spark):
+    from merkonvectordb_spark.operators.sketch import cms_build, cms_estimate
+
+    df = _cms_counts(spark, [1, 1, 2])
+    sketch = cms_build(df, "k")
+    probes = _cms_counts(spark, [99]).select("k")
+    est = cms_estimate(sketch, probes, "k").collect()[0]["est_count"]
+    # tiny input, wide-enough grid: no collisions possible beyond the 2 keys
+    assert est == 0
+
+
+def test_cms_merge_is_cell_addition(spark):
+    from pyspark.sql import functions as F
+
+    from merkonvectordb_spark.operators.sketch import cms_build
+
+    a = _cms_counts(spark, [i % 10 for i in range(500)])
+    b = _cms_counts(spark, [i % 7 for i in range(300)])
+    merged = (
+        cms_build(a, "k")
+        .unionByName(cms_build(b, "k"))
+        .groupBy("row_id", "col_id")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    whole = cms_build(a.unionByName(b), "k")
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, whole.collect()))
+    assert got == want
