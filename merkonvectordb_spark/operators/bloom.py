@@ -13,8 +13,9 @@ Spark's own AQE injects runtime bloom filters for some shapes
 (`spark.sql.optimizer.runtime.bloomFilter.enabled`); this operator makes
 the pattern explicit, deterministic, and available to any plan.
 
-Hashing is the repo's cross-engine md5-fold codec, so a DuckDB oracle
-could replay the bit-set bit-for-bit if needed.
+Hashing is seeded xxhash64 (a JVM codegen intrinsic): because the bloom
+is transparent to the result, the oracle never replays it, so the hash
+only needs to be cheap and deterministic — not cross-engine.
 """
 
 from __future__ import annotations
@@ -27,43 +28,43 @@ BLOOM_K = 3  # hash count; FP rate ≈ (1 - e^{-kn/m})^k
 
 
 def _bit_positions(key: Column, m_bits: int, k: int) -> list[Column]:
-    """k deterministic bit positions for a key (salted md5-folds)."""
-    return [
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"bloom{i}:"), key.cast("string"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % m_bits
-        )
-        for i in range(k)
-    ]
+    """k deterministic bit positions for a key (seeded xxhash64).
+
+    xxhash64 is a JVM codegen intrinsic — ~20× cheaper per row than an
+    md5 fold, which matters because the FACT side evaluates k of these
+    per row.  No cross-engine parity is needed: the bloom is transparent
+    (the exact semi-join that follows makes the result independent of
+    the hash), so the oracle never replays it."""
+    return [F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits)) for i in range(k)]
 
 
 def build_bloom(
     dim: DataFrame,
     key_col: str,
-    m_bits: int = BLOOM_M_BITS,
+    m_bits: int | None = None,
     k: int = BLOOM_K,
 ) -> list[int]:
     """One aggregation pass over the build side → the filter's long words
     (length m_bits/64; missing words are zero).
 
-    The driver materializes only m_bits/64 longs (8 KB at the default) —
-    NOT the keys.  At 100 TB the build side streams through a partial
+    ``m_bits=None`` auto-sizes to ≥16 bits per build-side row (next
+    power of two, floor 64 Kbit, cap 16 Mbit = 2 MB of plan literal) —
+    an overloaded bloom silently degrades to "pass everything", so
+    sizing from the actual key count is part of the operator, not a
+    tuning knob.  The driver materializes only m_bits/64 longs — NOT
+    the keys.  At 100 TB the build side streams through a partial
     ``bit_or`` aggregate; the shuffled state is ≤ m/64 rows per
     partition, independent of build-side row count.
     """
+    nn = dim.where(F.col(key_col).isNotNull())
+    if m_bits is None:
+        n = nn.count()
+        m_bits = BLOOM_M_BITS
+        while m_bits < 16 * max(n, 1) and m_bits < (1 << 24):
+            m_bits *= 2
     n_words = m_bits // 64
     bits = _bit_positions(F.col(key_col), m_bits, k)
-    rows = dim.where(F.col(key_col).isNotNull()).select(
-        F.explode(F.array(*bits)).alias("bit")
-    )
+    rows = nn.select(F.explode(F.array(*bits)).alias("bit"))
     agg = (
         rows.select(
             (F.col("bit") / 64).cast("int").alias("w"),
@@ -85,18 +86,25 @@ def bloom_filter_rows(
     df: DataFrame,
     key_col: str,
     words: list[int],
-    m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
 ) -> DataFrame:
     """Scan-local Bloom membership pre-filter (keeps probable members).
 
-    The word array is embedded in the plan as a literal (≈8 KB at the
-    default sizing) — the test evaluates per row with no shuffle and no
-    Python.  ``shiftrightunsigned`` only accepts a column shift amount
-    through SQL, hence the expr-built bit test over aliased columns.
+    ``m_bits`` is implied by the word list (64·len).  The word array is
+    embedded via ONE parsed SQL ``array(...)`` literal: ``F.lit(list)``
+    pays a py4j round-trip per element (~4 s at 8k words) and
+    ``F.array(*lits)`` builds a k-thousand-child Python expression tree
+    — the parser ingests the same array from a single string in
+    milliseconds and constant-folds it once.  The test itself is pure
+    codegen: xxhash64 + element_at + shift, no shuffle, no Python.
+    ``shiftrightunsigned`` only accepts a column shift amount through
+    SQL, hence the expr-built bit test over aliased columns.
     """
+    m_bits = 64 * len(words)
     key = F.col(key_col)
-    arr = F.array(*[F.lit(w).cast("bigint") for w in words])
+    arr = F.expr(
+        "array(" + ",".join(f"{int(w)}L" for w in words) + ")"
+    )
     bound = df.withColumn("__bloom_arr", arr)
     pred = key.isNotNull()
     for i, bp in enumerate(_bit_positions(key, m_bits, k)):
@@ -123,18 +131,18 @@ def bloom_semi_join(
     dim: DataFrame,
     fact_key: str,
     dim_key: str,
-    m_bits: int = BLOOM_M_BITS,
+    m_bits: int | None = None,
     k: int = BLOOM_K,
 ) -> DataFrame:
     """Semi-join ``fact`` to ``dim`` keys with a Bloom pre-filter.
 
     Exactly equivalent to ``fact SEMI JOIN dim`` (the exact join runs
     after the filter and kills false positives); the filter's job is to
-    shrink the fact side's exchange input scan-locally.  With default
-    sizing (64 Kbit, k=3) and a 4k-key build side the FP rate is ~0.1%.
+    shrink the fact side's exchange input scan-locally.  Auto-sizing
+    (≥16 bits/key, k=3) keeps the FP rate ≲1%.
     """
     words = build_bloom(dim, dim_key, m_bits, k)
-    filtered = bloom_filter_rows(fact, fact_key, words, m_bits, k)
+    filtered = bloom_filter_rows(fact, fact_key, words, k)
     dim_keys = dim.select(F.col(dim_key).alias(fact_key)).where(
         F.col(fact_key).isNotNull()
     )
