@@ -725,21 +725,37 @@ def span_gram_rows(
     possible but deterministic and mirrored in the oracle; at 60 bits
     they are ~absent below 2^30 distinct grams per corpus shard.
 
-    Scale: output size = token count (linear); the gram hash is computed
-    scan-locally — no shuffle happens here.
+    Formulation: posexplode tokens, then build each gram with n-1
+    ``lead`` steps over a per-document window.  The HOF alternative
+    (``transform`` over ``word_shingles``) re-evaluates the tokenizer
+    split PER ARRAY ELEMENT (lambda subexpressions are not hoisted),
+    which is O(tokens²) per document — measured 10× slower.  The window
+    costs one (id, pos) shuffle, but the callers' next stage re-shuffles
+    by gram hash anyway; total rows stay linear in token count.
     """
-    grams = word_shingles(F.col(text_col), n)
-    return df.select(
+    from merkonvectordb_spark.functions.text import tokenize
+
+    toks = df.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                grams,
-                lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
-                    "bigint"
-                ),
-            )
-        ).alias("pos0", "gh"),
-    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "gh")
+        F.posexplode(tokenize(F.col(text_col))).alias("pos0", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos0")
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", i).over(w) for i in range(1, n)]
+    )
+    n_toks = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    return (
+        toks.withColumn("__gram", gram)
+        .withColumn("__nt", n_toks)
+        .where(F.col("pos0") + n <= F.col("__nt"))
+        .select(
+            id_col,
+            (F.col("pos0") + 1).alias("pos"),
+            F.conv(F.substring(F.md5(F.col("__gram")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("gh"),
+        )
+    )
 
 
 def _span_runs(marked: DataFrame, id_col: str, n: int) -> DataFrame:
