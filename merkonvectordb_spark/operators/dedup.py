@@ -95,17 +95,26 @@ def shingle_base_hashes(shingles: Column) -> Column:
 
 def minhash_signature(base_hashes: Column) -> Column:
     """NUM_HASHES-long MinHash signature: sig_i = min over shingles of
-    (a_i·x + b_i) mod P."""
+    (a_i·x + b_i) mod P.
+
+    ``base_hashes`` is bound once through a lambda variable — the 16
+    signature arms otherwise each embed (and re-evaluate) the md5-fold
+    transform feeding them."""
+
     def _hash_fn(a: int, b: int):
         # closure, not lambda-with-defaults: PySpark reads the lambda's
         # arity to build the higher-order function
         return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
 
-    sigs = [
-        F.array_min(F.transform(base_hashes, _hash_fn(a, b)))
-        for a, b in zip(MINHASH_A, MINHASH_B)
-    ]
-    return F.array(*sigs)
+    def _sig(bases: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(F.transform(bases, _hash_fn(a, b)))
+                for a, b in zip(MINHASH_A, MINHASH_B)
+            ]
+        )
+
+    return F.element_at(F.transform(F.array(base_hashes), _sig), 1)
 
 
 def lsh_band_keys(sig: Column) -> Column:
