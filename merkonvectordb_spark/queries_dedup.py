@@ -80,8 +80,11 @@ _BAND_STRUCTS_SQL = "[" + ", ".join(
     for b in range(D.LSH_BANDS)
 ) + "]"
 
-_NEAR_DEDUP_ORACLE = f"""
-WITH RECURSIVE {_NEAR_CORPUS_CTE},
+# CTE block shared by dedup_near and dedup_quality_survivors: corpus →
+# shingles → signatures → bands → verified edges → recursive-CTE
+# components → per-doc group labels (CTE name: final)
+_NEAR_DEDUP_CTES = f"""
+{_NEAR_CORPUS_CTE},
 shingled AS (
   SELECT doc_id, {_SHINGLES_SQL} AS sh FROM corpus
 ),
@@ -123,6 +126,10 @@ final AS (
   SELECT c.doc_id, COALESCE(l.group_id, c.doc_id) AS group_id
   FROM corpus c LEFT JOIN labels l USING (doc_id)
 )
+""".strip()
+
+_NEAR_DEDUP_ORACLE = f"""
+WITH RECURSIVE {_NEAR_DEDUP_CTES}
 SELECT doc_id, group_id,
        count(*) OVER (PARTITION BY group_id) AS group_sz
 FROM final
@@ -425,4 +432,72 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = docs.where(F.col("doc_id") >= _DECON_EVAL_MAX)
     return D.decontaminate(
         tr, ev, n=D.SHINGLE_N, min_hits=_DECON_MIN_HITS
+    )
+
+
+# ---------------------------------------------------------------------------
+# best-of-cluster survivor selection: near-dup groups keep their
+# highest-QUALITY member (what production pipelines actually retain),
+# not the min-id placeholder.
+# ---------------------------------------------------------------------------
+
+
+def _quality_survivors_oracle() -> str:
+    from merkonvectordb_spark.queries_text import _quality_sql
+
+    return f"""
+WITH RECURSIVE {_NEAR_DEDUP_CTES},
+sized AS (
+  SELECT doc_id, group_id,
+         count(*) OVER (PARTITION BY group_id) AS group_sz
+  FROM final
+),
+scored AS (
+  SELECT s.doc_id, s.group_id, s.group_sz,
+         {_quality_sql("c.text")} AS quality
+  FROM sized s JOIN corpus c USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, group_id, group_sz, quality,
+         row_number() OVER (PARTITION BY group_id
+                            ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, group_id, CAST(group_sz AS BIGINT) AS group_sz,
+       round(quality, 6) AS quality,
+       CAST(rn = 1 AS BOOLEAN) AS kept
+FROM ranked
+""".strip()
+
+
+@register("dedup_quality_survivors", _quality_survivors_oracle())
+def q_dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering + best-of-cluster retention: each MinHash/LSH
+    component keeps its highest-quality member (ties → lowest doc_id);
+    every doc is returned with its group, size, quality, and kept flag.
+
+    Ranking compares RAW quality doubles — both engines evaluate the
+    same closed-form score from the same text, so the order (and the
+    hash) agrees; rounding is output-only.  The per-group window input
+    is group-sized, never corpus-sized in one partition.
+    """
+    from pyspark.sql import Window
+
+    from merkonvectordb_spark.functions.text import quality_score
+
+    corpus = near_corpus(spark, sf_dir)
+    groups = D.near_dedup(corpus, "doc_id", "text", 0.6)
+    scored = corpus.select(
+        "doc_id", quality_score(F.col("text")).alias("__q")
+    )
+    j = groups.join(scored, "doc_id")
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("__q"), F.asc("doc_id")
+    )
+    return j.withColumn("__rn", F.row_number().over(w)).select(
+        "doc_id",
+        "group_id",
+        F.col("group_sz").cast("bigint").alias("group_sz"),
+        F.round("__q", 6).alias("quality"),
+        (F.col("__rn") == 1).alias("kept"),
     )
