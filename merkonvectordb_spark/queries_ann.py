@@ -764,3 +764,98 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.semantic_dedup(
         corpus, refined, tau=_SEMDEDUP_TAU, id_col="id", emb_col="emb"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + ADC: codebook, codes, table lookups, re-rank —
+# the full PQ pipeline replayed in SQL.
+# ---------------------------------------------------------------------------
+
+_PQ_DSUB = A.DIM // A.PQ_M
+
+_PQ_ORACLE = f"""
+WITH edim AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE len(embedding) = {A.DIM}
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS j, emb
+  FROM (SELECT vec_id, emb FROM edim ORDER BY vec_id LIMIT {A.PQ_K})
+),
+ms AS (SELECT unnest(generate_series(0, {A.PQ_M - 1})) AS m),
+cb AS (
+  SELECT m, j, emb[(m*{_PQ_DSUB})+1 : (m+1)*{_PQ_DSUB}] AS c
+  FROM seeds CROSS JOIN ms
+),
+dists AS (
+  SELECT v.vec_id, cb.m, cb.j,
+         list_dot_product(
+           list_transform(generate_series(1, {_PQ_DSUB}),
+                          t -> v.emb[cb.m*{_PQ_DSUB}+t] - cb.c[t]),
+           list_transform(generate_series(1, {_PQ_DSUB}),
+                          t -> v.emb[cb.m*{_PQ_DSUB}+t] - cb.c[t])) AS dist
+  FROM edim v CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist ASC, j ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM edim WHERE vec_id < 5),
+qtab AS (
+  SELECT q.query_id, cb.m, cb.j,
+         list_dot_product(q.qv[(cb.m*{_PQ_DSUB})+1 : (cb.m+1)*{_PQ_DSUB}],
+                          cb.c) AS w
+  FROM q CROSS JOIN cb
+),
+approx AS (
+  SELECT qt.query_id, cd.vec_id,
+         list_sum(list(qt.w ORDER BY qt.m)) AS araw
+  FROM codes cd JOIN qtab qt ON qt.m = cd.m AND qt.j = cd.code
+  GROUP BY qt.query_id, cd.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY araw DESC, vec_id ASC) AS arn
+    FROM approx) WHERE arn <= {3 * A.PQ_REFINE}
+),
+rescored AS (
+  SELECT c.query_id, c.vec_id, e.label,
+         {_COS_RAW.format(a="e.emb", b="q.qv")} AS raw
+  FROM cand c
+  JOIN edim e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+  WHERE sqrt(list_dot_product(e.emb, e.emb)) > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, vec_id ASC) AS rn
+  FROM rescored WHERE raw >= 0.0
+)
+SELECT query_id, vec_id, label, round(raw, 6) AS score
+FROM ranked WHERE rn <= 3
+""".strip()
+
+
+@register("knn_batch_pq", _PQ_ORACLE)
+def q_knn_batch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch top-3 via product quantization + ADC (Jégou et al. 2011):
+    8 subspaces × 16 seeded centroids; corpus vectors become 8 codes
+    (argmin squared-L2 per subspace); each query's approximate score is
+    8 table lookups summed in subspace order; top k·4 exact re-rank.
+    The byte-AND-flop compression point of the ANN family — the oracle
+    replays codebook, encoding, lookup tables, and both rankings."""
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.size("embedding") == A.DIM
+    )
+    qset = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = A.knn_batch_pq(
+        emb, qset, k=3, refine=A.PQ_REFINE, min_score=0.0,
+        extra_cols=("label",),
+    )
+    return out.select("query_id", "vec_id", "label", "score")

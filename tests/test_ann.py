@@ -462,3 +462,71 @@ def test_semantic_dedup_exact_twin_tiebreak(clustered):
     got = {r.vec_id: r.kept for r in out.where(F.col("vec_id").isin(0, 999)).collect()}
     # identical vectors: identical cent_sim, so the id tie-break keeps 0
     assert got[0] is True and got[999] is False
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ/ADC)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_shape_and_range(clustered):
+    from merkonvectordb_spark.operators.ann import (
+        PQ_K,
+        PQ_M,
+        pq_codebook,
+        pq_codes,
+    )
+
+    cb = pq_codebook(clustered)
+    assert len(cb) == PQ_M and len(cb[0]) == PQ_K
+    rows = clustered.select(
+        pq_codes(F.col("embedding"), cb).alias("codes")
+    ).collect()
+    for r in rows:
+        assert len(r.codes) == PQ_M
+        assert all(1 <= c <= PQ_K for c in r.codes)
+
+
+def test_pq_full_refine_equals_exact(clustered):
+    from merkonvectordb_spark.operators.ann import knn_batch_pq
+
+    qset = clustered.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id, r.score)
+        for r in knn_batch(clustered, qset, k=3, min_score=0.0).select(
+            "query_id", "vec_id", "score"
+        ).collect()
+    }
+    pq = {
+        (r.query_id, r.vec_id, r.score)
+        for r in knn_batch_pq(
+            clustered, qset, k=3, refine=1000, min_score=0.0
+        ).select("query_id", "vec_id", "score").collect()
+    }
+    assert pq == exact
+
+
+def test_pq_recall_at_default_refine(clustered):
+    """ADC with the seeded codebook on clustered data: recall@3 of the
+    default-refine search should be high — the approx ranking only has
+    to surface the true neighbors into the k·refine pool."""
+    from merkonvectordb_spark.operators.ann import knn_batch_pq
+
+    qset = clustered.where(F.col("vec_id") % 6 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in knn_batch(clustered, qset, k=3, min_score=0.0).select(
+            "query_id", "vec_id"
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in knn_batch_pq(clustered, qset, k=3, min_score=0.0).select(
+            "query_id", "vec_id"
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.7
