@@ -92,6 +92,9 @@ ALLOW: dict[tuple[str, str], str] = {
     ("knn_batch_sq8", "nested_loop"):
         "per-dimension min/max codebook stats (1 row) broadcast for "
         "quantize/dequantize",
+    ("knn_batch_pq", "nested_loop"):
+        "fixed query batch (Q=5) with its 128-entry ADC tables "
+        "broadcast against the coded corpus — |corpus|×Q, Q constant",
     ("unigram_lm_score", "nested_loop"):
         "corpus token-total scalar (1 row) for the LM denominator; the "
         "vocabulary itself joins on token, never broadcasts",
