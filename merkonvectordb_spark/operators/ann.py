@@ -891,3 +891,91 @@ def knn_batch_pq(
         .drop("__rn", "__raw", "__qvec", emb_col)
         .withColumnRenamed("__qid", query_id_col)
     )
+
+
+def knn_batch_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: DataFrame,
+    cb: list[list[list[float]]] | None = None,
+    n_probe: int = IVF_N_PROBE,
+    refine: int = PQ_REFINE,
+    min_score: float = 0.0,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """IVF-PQ: BOTH scale levers composed — IVF list pruning cuts the
+    ROWS touched to ~n_probe/K of the corpus, PQ/ADC cuts the BYTES and
+    FLOPs per touched row to M lookups; the survivors exact-cosine
+    re-rank.  This is the FAISS ``IVFx,PQy`` index as a dataflow: at
+    100 TB the coded+assigned corpus is the materialized index
+    (M bytes + a list id per vector), and a query reads only its probed
+    lists' codes.
+    """
+    if cb is None:
+        cb = pq_codebook(corpus, id_col, emb_col)
+    m = len(cb)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    corpus = corpus.repartition(par)
+    assign = ivf_assign(corpus, centroids, id_col, emb_col, 1)
+    coded = corpus.select(
+        id_col,
+        emb_col,
+        *extra_cols,
+        pq_codes(F.col(emb_col), cb).alias("__codes"),
+    ).join(assign, id_col)
+    probes = ivf_assign(
+        queries.select(F.col(query_id_col), F.col(emb_col)),
+        centroids,
+        query_id_col,
+        emb_col,
+        n_probe,
+    ).withColumnRenamed(query_id_col, "__qid")
+    qmeta = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.transform(F.col(emb_col), lambda x: x.cast("double")).alias(
+                "__qvec"
+            ),
+            pq_query_tables(F.col(emb_col), cb).alias("__qtab"),
+        )
+    )
+    cand = probes.join(coded, "cid").join(qmeta, "__qid")
+    approx = cand.withColumn(
+        "__araw",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, mm: acc
+            + F.element_at(
+                F.element_at(F.col("__qtab"), (mm + 1).cast("int")),
+                F.element_at(F.col("__codes"), (mm + 1).cast("int")).cast(
+                    "int"
+                ),
+            ),
+        ),
+    )
+    aw = Window.partitionBy("__qid").orderBy(F.desc("__araw"), F.asc(id_col))
+    pool = (
+        approx.withColumn("__arn", F.row_number().over(aw))
+        .where(F.col("__arn") <= k * refine)
+        .drop("__arn", "__araw", "__codes", "__qtab", "cid")
+    )
+    rescored = pool.withColumn(
+        "__raw", cosine_similarity(F.col(emb_col), F.col("__qvec"))
+    ).where(
+        F.col("__raw").isNotNull()
+        & (~F.isnan("__raw"))
+        & (F.col("__raw") >= F.lit(float(min_score)))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("__raw"), F.asc(id_col))
+    return (
+        rescored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .withColumn("score", F.round(F.col("__raw"), 6))
+        .drop("__rn", "__raw", "__qvec", emb_col)
+        .withColumnRenamed("__qid", query_id_col)
+    )

@@ -859,3 +859,127 @@ def q_knn_batch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra_cols=("label",),
     )
     return out.select("query_id", "vec_id", "label", "score")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: list pruning AND code compression composed (FAISS IVFx,PQy)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_ORACLE = f"""
+WITH edim AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE len(embedding) = {A.DIM}
+    AND sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) > 0
+),
+cents AS (SELECT vec_id AS cid, emb AS cv FROM edim WHERE vec_id < {A.IVF_K}),
+cscore AS (
+  SELECT e.vec_id, c.cid,
+         {_COS_RAW.format(a="e.emb", b="c.cv")} AS cos
+  FROM edim e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cid ASC) AS rn
+    FROM cscore) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cid ASC) AS rn
+    FROM cscore WHERE vec_id < 5) WHERE rn <= {A.IVF_N_PROBE}
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS j, emb
+  FROM (SELECT vec_id, emb FROM edim ORDER BY vec_id LIMIT {A.PQ_K})
+),
+ms AS (SELECT unnest(generate_series(0, {A.PQ_M - 1})) AS m),
+cb AS (
+  SELECT m, j, emb[(m*{_PQ_DSUB})+1 : (m+1)*{_PQ_DSUB}] AS c
+  FROM seeds CROSS JOIN ms
+),
+dists AS (
+  SELECT v.vec_id, cb.m, cb.j,
+         list_dot_product(
+           list_transform(generate_series(1, {_PQ_DSUB}),
+                          t -> v.emb[cb.m*{_PQ_DSUB}+t] - cb.c[t]),
+           list_transform(generate_series(1, {_PQ_DSUB}),
+                          t -> v.emb[cb.m*{_PQ_DSUB}+t] - cb.c[t])) AS dist
+  FROM edim v CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist ASC, j ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM edim WHERE vec_id < 5),
+qtab AS (
+  SELECT q.query_id, cb.m, cb.j,
+         list_dot_product(q.qv[(cb.m*{_PQ_DSUB})+1 : (cb.m+1)*{_PQ_DSUB}],
+                          cb.c) AS w
+  FROM q CROSS JOIN cb
+),
+candidates AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a ON a.cid = p.cid
+),
+approx AS (
+  SELECT qt.query_id, cd.vec_id,
+         list_sum(list(qt.w ORDER BY qt.m)) AS araw
+  FROM candidates cn
+  JOIN codes cd ON cd.vec_id = cn.vec_id
+  JOIN qtab qt ON qt.query_id = cn.query_id
+             AND qt.m = cd.m AND qt.j = cd.code
+  GROUP BY qt.query_id, cd.vec_id
+),
+pool AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY araw DESC, vec_id ASC) AS arn
+    FROM approx) WHERE arn <= {3 * A.PQ_REFINE}
+),
+rescored AS (
+  SELECT c.query_id, c.vec_id, e.label,
+         {_COS_RAW.format(a="e.emb", b="q.qv")} AS raw
+  FROM pool c
+  JOIN edim e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY raw DESC, vec_id ASC) AS rn
+  FROM rescored WHERE raw >= 0.0
+)
+SELECT query_id, vec_id, label, round(raw, 6) AS score
+FROM ranked WHERE rn <= 3
+""".strip()
+
+
+@register("knn_batch_ivfpq", _IVFPQ_ORACLE)
+def q_knn_batch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ batch top-3: the coded corpus lives in IVF lists (a
+    materialized index would be M code bytes + a list id per vector);
+    each query probes 4 of 16 lists and ADC-scores ONLY those lists'
+    codes — rows AND bytes cut together — before the exact re-rank.
+    The oracle replays assignment, probing, codebook, encoding, table
+    lookups, and both rankings."""
+    from merkonvectordb_spark.functions.vector import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        (F.size("embedding") == A.DIM) & (l2_norm(F.col("embedding")) > 0)
+    )
+    cents = emb.where(F.col("vec_id") < A.IVF_K).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    qset = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = A.knn_batch_ivfpq(
+        emb, qset, k=3, centroids=cents, n_probe=A.IVF_N_PROBE,
+        refine=A.PQ_REFINE, min_score=0.0, extra_cols=("label",),
+    )
+    return out.select("query_id", "vec_id", "label", "score")

@@ -530,3 +530,43 @@ def test_pq_recall_at_default_refine(clustered):
         ).collect()
     }
     assert len(got & exact) / len(exact) >= 0.7
+
+
+def test_ivfpq_recall_and_subset_of_probed_lists(clustered):
+    """IVF-PQ returns only vectors from probed lists, with decent recall
+    on clustered data (query's own cluster is always probed first)."""
+    from merkonvectordb_spark.operators.ann import (
+        IVF_N_PROBE,
+        ivf_assign,
+        knn_batch_ivfpq,
+    )
+
+    cents = clustered.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    qset = clustered.where(F.col("vec_id") % 6 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = knn_batch_ivfpq(
+        clustered, qset, k=3, centroids=cents, min_score=0.0
+    ).collect()
+    # membership: every hit must come from one of the query's probed lists
+    assign = {
+        r.vec_id: r.cid
+        for r in ivf_assign(clustered, cents, "vec_id").collect()
+    }
+    probed = {}
+    for r in ivf_assign(qset, cents, "query_id", n_best=IVF_N_PROBE).collect():
+        probed.setdefault(r.query_id, set()).add(r.cid)
+    for r in got:
+        assert assign[r.vec_id] in probed[r.query_id]
+    # recall vs exact
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in knn_batch(clustered, qset, k=3, min_score=0.0).select(
+            "query_id", "vec_id"
+        ).collect()
+    }
+    hits = {(r.query_id, r.vec_id) for r in got}
+    assert len(hits & exact) / len(exact) >= 0.6

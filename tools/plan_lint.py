@@ -95,6 +95,9 @@ ALLOW: dict[tuple[str, str], str] = {
     ("knn_batch_pq", "nested_loop"):
         "fixed query batch (Q=5) with its 128-entry ADC tables "
         "broadcast against the coded corpus — |corpus|×Q, Q constant",
+    ("knn_batch_ivfpq", "nested_loop"):
+        "fixed-K centroid set broadcast for assignment/probing (same "
+        "shape as knn_batch_ivf)",
     ("unigram_lm_score", "nested_loop"):
         "corpus token-total scalar (1 row) for the LM denominator; the "
         "vocabulary itself joins on token, never broadcasts",
