@@ -709,3 +709,109 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# data profiling (ANALYZE-style): per-column stats in ONE scan
+# ---------------------------------------------------------------------------
+
+_PROFILE_NUM = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_PROFILE_STR = ["l_returnflag", "l_linestatus"]
+_PROFILE_TS = ["l_shipdate"]
+
+
+def _profile_arm_sql(c: str, kind: str) -> str:
+    if kind == "num":
+        mn = f"round(CAST(min({c}) AS DOUBLE), 6)"
+        mx = f"round(CAST(max({c}) AS DOUBLE), 6)"
+        ms = "CAST(NULL AS VARCHAR)"
+        xs = "CAST(NULL AS VARCHAR)"
+    elif kind == "str":
+        mn = "CAST(NULL AS DOUBLE)"
+        mx = "CAST(NULL AS DOUBLE)"
+        ms = f"min({c})"
+        xs = f"max({c})"
+    else:  # timestamp, second precision both engines
+        mn = "CAST(NULL AS DOUBLE)"
+        mx = "CAST(NULL AS DOUBLE)"
+        ms = f"strftime(min({c}), '%Y-%m-%d %H:%M:%S')"
+        xs = f"strftime(max({c}), '%Y-%m-%d %H:%M:%S')"
+    return (
+        f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,"
+        f" CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,"
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+        f" {mn} AS min_num, {mx} AS max_num,"
+        f" {ms} AS min_str, {xs} AS max_str"
+        f" FROM lineitem"
+    )
+
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    [_profile_arm_sql(c, "num") for c in _PROFILE_NUM]
+    + [_profile_arm_sql(c, "str") for c in _PROFILE_STR]
+    + [_profile_arm_sql(c, "ts") for c in _PROFILE_TS]
+)
+
+
+@register("lineitem_profile", _PROFILE_ORACLE)
+def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile: one row per column with null count,
+    exact distinct count, and type-appropriate min/max (numerics as
+    rounded doubles, strings raw, timestamps at second precision —
+    engine-portable renderings only).
+
+    ONE scan: all 11 columns' aggregates run in a single aggregation
+    (the multi-distinct plans as an Expand — 11× rows through the
+    partial agg, still one pass over the data; at 100 TB swap the exact
+    distincts for the mergeable KMV sketch in ``operators.sketch``).
+    The single-row aggregate then unpivots driver-side-free via stack().
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for c in _PROFILE_NUM + _PROFILE_STR + _PROFILE_TS:
+        aggs.append(F.count(F.col(c)).cast("bigint").alias(f"__nn_{c}"))
+        aggs.append(
+            F.countDistinct(F.col(c)).cast("bigint").alias(f"__nd_{c}")
+        )
+    for c in _PROFILE_NUM:
+        aggs.append(
+            F.round(F.min(F.col(c)).cast("double"), 6).alias(f"__mn_{c}")
+        )
+        aggs.append(
+            F.round(F.max(F.col(c)).cast("double"), 6).alias(f"__mx_{c}")
+        )
+    for c in _PROFILE_STR:
+        aggs.append(F.min(F.col(c)).alias(f"__mn_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"__mx_{c}"))
+    for c in _PROFILE_TS:
+        aggs.append(
+            F.date_format(F.min(F.col(c)), "yyyy-MM-dd HH:mm:ss").alias(
+                f"__mn_{c}"
+            )
+        )
+        aggs.append(
+            F.date_format(F.max(F.col(c)), "yyyy-MM-dd HH:mm:ss").alias(
+                f"__mx_{c}"
+            )
+        )
+    one = li.agg(*aggs)
+    arms = []
+    for c in _PROFILE_NUM:
+        arms.append(
+            f"('{c}', __n, __n - __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c},"
+            f" CAST(NULL AS STRING), CAST(NULL AS STRING))"
+        )
+    for c in _PROFILE_STR + _PROFILE_TS:
+        arms.append(
+            f"('{c}', __n, __n - __nn_{c}, __nd_{c},"
+            f" CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),"
+            f" __mn_{c}, __mx_{c})"
+        )
+    stack = (
+        f"stack({len(arms)}, "
+        + ", ".join(a[1:-1] for a in arms)
+        + ") AS (column_name, n_rows, n_nulls, n_distinct,"
+        " min_num, max_num, min_str, max_str)"
+    )
+    return one.select(F.expr(stack))
