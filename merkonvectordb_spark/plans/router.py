@@ -30,7 +30,7 @@ from merkonvectordb_spark.operators.search import knn_batch
 
 @dataclass(frozen=True)
 class RouteDecision:
-    strategy: str  # "brute" | "sq8" | "ann"
+    strategy: str  # "brute" | "sq8" | "ann" | "ivfpq"
     est_rows: int
     est_flops: float
     budget: float
@@ -65,11 +65,15 @@ def route_knn_batch(
     brute_kwargs: dict | None = None,
     ann_kwargs: dict | None = None,
     sq8_kwargs: dict | None = None,
+    ivfpq_kwargs: dict | None = None,
 ) -> tuple[RouteDecision, DataFrame]:
     """Pick a physical strategy for a batched similarity search.
 
-    Two independent resources, three strategies:
+    Two independent resources, four strategies:
 
+    * BOTH budgets blown → IVF-PQ (``knn_batch_ivfpq``: list pruning
+      cuts rows, codes cut bytes) — requires ``ivfpq_kwargs`` to carry
+      ``centroids``; without them the flops bound wins and LSH routes.
     * ``flops`` = rows × n_queries × dim multiply-adds — the COMPUTE
       dimension.  Over ``flop_budget`` only candidate pruning helps →
       LSH (``knn_batch_ann``: corpus touched at candidate rows only).
@@ -92,6 +96,21 @@ def route_knn_batch(
     )
     flops = float(rows) * float(max(0, n_queries)) * float(dim)
     scan_bytes = float(rows) * float(row_bytes)
+    if (
+        allow_approx
+        and flops > flop_budget
+        and scan_bytes > byte_budget
+        and (ivfpq_kwargs or {}).get("centroids") is not None
+    ):
+        from merkonvectordb_spark.operators.ann import knn_batch_ivfpq
+
+        decision = RouteDecision(
+            "ivfpq", rows, flops, flop_budget,
+            scan_bytes, byte_budget, "flops+bytes",
+        )
+        return decision, knn_batch_ivfpq(
+            corpus, queries, k, **(ivfpq_kwargs or {})
+        )
     if allow_approx and flops > flop_budget:
         decision = RouteDecision(
             "ann", rows, flops, flop_budget,

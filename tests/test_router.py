@@ -83,3 +83,32 @@ def test_router_picks_sq8_when_io_bound(spark):
     out = routed.collect()
     assert len(out) > 0
     assert {r.query_id for r in out} <= {0, 1, 2}
+
+
+def test_router_picks_ivfpq_when_both_bounds_fire(spark):
+    emb, qset = _fixtures(spark)
+    from merkonvectordb_spark.operators.ann import IVF_K
+
+    valid = emb.where(F.size("embedding") == 64)
+    cents = valid.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    decision, routed = route_knn_batch(
+        emb, qset, k=3, dim=64, n_queries=3,
+        flop_budget=1.0, byte_budget=1.0,  # both blown
+        ivfpq_kwargs={"centroids": cents},
+    )
+    assert decision.strategy == "ivfpq"
+    assert decision.binding_resource == "flops+bytes"
+    assert len(routed.collect()) > 0
+
+
+def test_router_falls_back_to_ann_without_centroids(spark):
+    emb, qset = _fixtures(spark)
+    decision, _ = route_knn_batch(
+        emb, qset, k=3, dim=64, n_queries=3,
+        flop_budget=1.0, byte_budget=1.0,
+    )
+    # no IVF-PQ index material supplied → candidate pruning still routes
+    assert decision.strategy == "ann"
