@@ -184,3 +184,50 @@ def test_streaming_foreachbatch_into_versioned_table(spark, tmp_path):
     assert vt.current_version() == 2
     assert {r.event_id for r in vt.read().collect()} == {1, 2, 3}
     assert {r.event_id for r in vt.read(1).collect()} == {1, 2}
+
+
+def test_table_diff_kinds(spark, tmp_path):
+    from merkonvectordb_spark.sources.versioned import (
+        VersionedTable,
+        table_diff,
+    )
+
+    t = VersionedTable(
+        spark, str(tmp_path / "vt_diff"), "k LONG, v STRING"
+    )
+    v1 = t.replace(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k LONG, v STRING"
+        )
+    )
+    v2 = t.replace(
+        spark.createDataFrame(
+            [(2, "B"), (3, "c"), (4, "d")], "k LONG, v STRING"
+        )
+    )
+    got = {
+        r.k: (r._change_type, r.old, r.new)
+        for r in table_diff(t, ["k"], v1, v2).collect()
+    }
+    assert set(got) == {1, 2, 4}  # 3 unchanged → absent
+    assert got[1][0] == "delete" and got[1][2] is None
+    assert got[2][0] == "update" and got[2][1].v == "b" and got[2][2].v == "B"
+    assert got[4][0] == "insert" and got[4][1] is None
+
+
+def test_table_diff_default_to_latest_and_null_safety(spark, tmp_path):
+    from merkonvectordb_spark.sources.versioned import (
+        VersionedTable,
+        table_diff,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "vt_diff2"), "k LONG, v STRING")
+    v1 = t.replace(
+        spark.createDataFrame([(1, None), (2, "x")], "k LONG, v STRING")
+    )
+    t.replace(
+        spark.createDataFrame([(1, None), (2, None)], "k LONG, v STRING")
+    )
+    got = {r.k: r._change_type for r in table_diff(t, ["k"], v1).collect()}
+    # k=1: NULL == NULL under null-safe compare → unchanged, absent
+    assert got == {2: "update"}
