@@ -759,54 +759,60 @@ def pq_codebook(
     ]
 
 
-def _pq_sub(emb: Column, mm: int, dsub: int) -> Column:
-    """Subvector m of an embedding, cast to DOUBLE."""
-    return F.transform(
-        F.slice(emb, mm * dsub + 1, dsub), lambda x: x.cast("double")
-    )
+def _sql_arr(vals: list[float]) -> str:
+    return "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
 
 
-def pq_codes(emb: Column, cb: list[list[list[float]]]) -> Column:
+def pq_codes(emb_col: str, cb: list[list[list[float]]]) -> Column:
     """Per-subspace nearest-centroid codes (1-based, ARRAY<BIGINT>).
 
     argmin = first index attaining the minimal squared L2 distance
     (``array_position`` of ``array_min`` — ties resolve to the lowest
-    j, mirrored by the oracle's (dist, j) row_number).  All arithmetic
-    is the same sequential-fold double chain the cosine parity rests
-    on."""
+    j, mirrored by the oracle's (dist, j) row_number).  The fold
+    ``acc + z·z`` over the subvector difference is the same sequential
+    double chain the cosine parity rests on.
+
+    The whole expression is built as ONE parsed SQL string: the
+    Column-API construction (128 ``lit``/``zip_with``/``aggregate``
+    arms) costs ~7 s of py4j round-trips at plan-build time; the parser
+    ingests the same tree in milliseconds.  Per-m distance arrays bind
+    once through a lambda variable (single-element transform wrap)."""
     dsub = len(cb[0][0])
-
-    def _dist(mm: int, cj: list[float]) -> Column:
-        d = F.zip_with(
-            _pq_sub(emb, mm, dsub),
-            vector_literal(cj),
-            lambda x, y: x - y,
-        )
-        return dot_product(d, d)
-
-    code_arms = []
+    e = f"`{emb_col}`"
+    arms = []
     for mm, cm in enumerate(cb):
-        darr = F.array(*[_dist(mm, cj) for cj in cm])
-        code_arms.append(F.array_position(darr, F.array_min(darr)))
-    return F.array(*code_arms)
+        off = mm * dsub + 1
+        dists = ",".join(
+            f"aggregate(zip_with(slice({e}, {off}, {dsub}), {_sql_arr(cj)},"
+            " (x, y) -> CAST(x AS DOUBLE) - y),"
+            " CAST(0.0 AS DOUBLE), (acc, z) -> acc + z * z)"
+            for cj in cm
+        )
+        arms.append(
+            f"element_at(transform(array(array({dists})),"
+            " da -> array_position(da, array_min(da))), 1)"
+        )
+    return F.expr("array(" + ",".join(arms) + ")")
 
 
-def pq_query_tables(q: Column, cb: list[list[list[float]]]) -> Column:
+def pq_query_tables(emb_col: str, cb: list[list[list[float]]]) -> Column:
     """ADC lookup tables for one query: ``tab[m][j] = <q_m, c_mj>``
     (ARRAY<ARRAY<DOUBLE>>, m·ksub entries — computed once per query
-    row, broadcast with it)."""
+    row, broadcast with it).  Parsed-SQL construction for the same
+    plan-build-cost reason as ``pq_codes``."""
     dsub = len(cb[0][0])
-    return F.array(
-        *[
-            F.array(
-                *[
-                    dot_product(_pq_sub(q, mm, dsub), vector_literal(cj))
-                    for cj in cm
-                ]
-            )
-            for mm, cm in enumerate(cb)
-        ]
-    )
+    e = f"`{emb_col}`"
+    tabs = []
+    for mm, cm in enumerate(cb):
+        off = mm * dsub + 1
+        dots = ",".join(
+            f"aggregate(zip_with(slice({e}, {off}, {dsub}), {_sql_arr(cj)},"
+            " (x, y) -> CAST(x AS DOUBLE) * y),"
+            " CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+            for cj in cm
+        )
+        tabs.append(f"array({dots})")
+    return F.expr("array(" + ",".join(tabs) + ")")
 
 
 def knn_batch_pq(
@@ -844,7 +850,7 @@ def knn_batch_pq(
             id_col,
             emb_col,
             *extra_cols,
-            pq_codes(F.col(emb_col), cb).alias("__codes"),
+            pq_codes(emb_col, cb).alias("__codes"),
         )
     )
     qtabs = F.broadcast(
@@ -853,7 +859,7 @@ def knn_batch_pq(
             F.transform(F.col(emb_col), lambda x: x.cast("double")).alias(
                 "__qvec"
             ),
-            pq_query_tables(F.col(emb_col), cb).alias("__qtab"),
+            pq_query_tables(emb_col, cb).alias("__qtab"),
         )
     )
     approx = coded.join(qtabs).withColumn(
@@ -925,7 +931,7 @@ def knn_batch_ivfpq(
         id_col,
         emb_col,
         *extra_cols,
-        pq_codes(F.col(emb_col), cb).alias("__codes"),
+        pq_codes(emb_col, cb).alias("__codes"),
     ).join(assign, id_col)
     probes = ivf_assign(
         queries.select(F.col(query_id_col), F.col(emb_col)),
@@ -940,7 +946,7 @@ def knn_batch_ivfpq(
             F.transform(F.col(emb_col), lambda x: x.cast("double")).alias(
                 "__qvec"
             ),
-            pq_query_tables(F.col(emb_col), cb).alias("__qtab"),
+            pq_query_tables(emb_col, cb).alias("__qtab"),
         )
     )
     cand = probes.join(coded, "cid").join(qmeta, "__qid")

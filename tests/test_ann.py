@@ -480,7 +480,7 @@ def test_pq_codes_shape_and_range(clustered):
     cb = pq_codebook(clustered)
     assert len(cb) == PQ_M and len(cb[0]) == PQ_K
     rows = clustered.select(
-        pq_codes(F.col("embedding"), cb).alias("codes")
+        pq_codes("embedding", cb).alias("codes")
     ).collect()
     for r in rows:
         assert len(r.codes) == PQ_M
