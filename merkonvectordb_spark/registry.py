@@ -28,6 +28,10 @@ _PRIORITY: list[str] = []
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        # a silent overwrite once cost a registered query (a rewrite
+        # re-used its name); collisions are always bugs — fail loudly
+        if name in _QUERIES:
+            raise ValueError(f"query {name!r} registered twice")
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
