@@ -326,3 +326,62 @@ def q_events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_user").cast("bigint").alias("min_user"),
         F.col("max_user").cast("bigint").alias("max_user"),
     )
+
+
+@register(
+    "events_transition_matrix",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+totals AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM pairs
+  GROUP BY from_type
+)
+SELECT p.from_type, p.to_type, p.n,
+       round(CAST(p.n AS DOUBLE) / t.n_from, 6) AS prob
+FROM pairs p JOIN totals t USING (from_type)
+""".strip(),
+)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the first-order Markov transition matrix over each
+    user's time-ordered event sequence (lead window keyed by user —
+    per-user partitions, corpus-linear; (event_id) breaks timestamp
+    ties deterministically).  Counts are integers; the probability is
+    one scan-local divide of two integers — order-free.  At 100 TB the
+    matrix is |event_type|² rows — output stays dimension-sized."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    pairs = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("n_from")
+    )
+    return pairs.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias(
+            "prob"
+        ),
+    )
