@@ -276,3 +276,137 @@ def q_cms_freq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_count",
         F.coalesce("true_count", F.lit(0)).alias("true_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV join-cardinality estimation: |A ∩ B| from two mergeable sketches
+# ---------------------------------------------------------------------------
+
+_JC_PRICE = 200000
+_JC_HASH = (
+    "CAST(('0x' || substring(md5(CAST({c} AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+_JC_ORACLE = f"""
+WITH sa AS (
+  SELECT DISTINCT {_JC_HASH.format(c="l_orderkey")} AS h
+  FROM lineitem WHERE l_orderkey IS NOT NULL
+  ORDER BY h LIMIT {_K}
+),
+sb AS (
+  SELECT DISTINCT {_JC_HASH.format(c="o_orderkey")} AS h
+  FROM orders WHERE o_totalprice > {_JC_PRICE} AND o_orderkey IS NOT NULL
+  ORDER BY h LIMIT {_K}
+),
+merged AS (
+  SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+  ORDER BY h LIMIT {_K}
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_x,
+         CASE WHEN count(*) < {_K} THEN CAST(count(*) AS DOUBLE)
+              ELSE {float(_K - 1)} * 1152921504606846976.0
+                   / CAST(max(h) AS DOUBLE) END AS est_union
+  FROM merged
+),
+nb AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_both FROM merged m
+  WHERE EXISTS (SELECT 1 FROM sa WHERE sa.h = m.h)
+    AND EXISTS (SELECT 1 FROM sb WHERE sb.h = m.h)
+),
+exact_i AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_inter
+  FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                       WHERE o_totalprice > {_JC_PRICE})
+),
+exact_u AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_union FROM (
+    SELECT l_orderkey AS k FROM lineitem
+    UNION
+    SELECT o_orderkey FROM orders WHERE o_totalprice > {_JC_PRICE})
+)
+SELECT s.n_x, b.n_both,
+       round(s.est_union, 6) AS est_union,
+       round(CAST(b.n_both AS DOUBLE) * s.est_union / s.n_x, 6)
+         AS est_inter,
+       i.exact_inter, u.exact_union
+FROM stats s CROSS JOIN nb b CROSS JOIN exact_i i CROSS JOIN exact_u u
+""".strip()
+
+
+@register("kmv_join_cardinality", _JC_ORACLE)
+def q_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two KMV sketches — the
+    optimizer-statistics use of mergeable sketches: estimate
+    |keys(lineitem) ∩ keys(high-value orders)| WITHOUT running the
+    join.  X = bottom-k of the union (sketch merge); any X member that
+    belongs to a side is necessarily in that side's bottom-k, so
+    membership tests are ≤k-row semi-joins; est_inter =
+    (|X∩A∩B|/|X|)·est_union.  Exact counts ride along so the oracle
+    hash records the estimator's accuracy.  At 100 TB both sketches
+    come from shard-parallel partial aggs; this query's heavy exact
+    branch exists only for verification."""
+    from merkonvectordb_spark.operators.sketch import (
+        kmv_bottom_k,
+        kmv_merge,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > _JC_PRICE
+    )
+    sa = kmv_bottom_k(li, "l_orderkey", _K).persist()
+    sb = kmv_bottom_k(od, "o_orderkey", _K).persist()
+    merged = kmv_merge(sa, sb, k=_K).persist()
+    stats = merged.agg(
+        F.count("h").cast("bigint").alias("n_x"),
+        F.when(
+            F.count("h") < _K, F.count("h").cast("double")
+        )
+        .otherwise(
+            F.lit(float(_K - 1))
+            * F.lit(1152921504606846976.0)
+            / F.max("h").cast("double")
+        )
+        .alias("est_union"),
+    )
+    both = (
+        merged.join(sa, "h", "semi")
+        .join(sb, "h", "semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    exact_i = (
+        li.join(
+            od.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "semi",
+        )
+        .agg(
+            F.countDistinct("l_orderkey").cast("bigint").alias("exact_inter")
+        )
+    )
+    exact_u = (
+        li.select(F.col("l_orderkey").alias("k"))
+        .unionByName(od.select(F.col("o_orderkey").alias("k")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_union"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(both))
+        .crossJoin(F.broadcast(exact_i))
+        .crossJoin(F.broadcast(exact_u))
+        .select(
+            "n_x",
+            "n_both",
+            F.round("est_union", 6).alias("est_union"),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("est_union")
+                / F.col("n_x"),
+                6,
+            ).alias("est_inter"),
+            "exact_inter",
+            "exact_union",
+        )
+    )

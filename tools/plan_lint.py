@@ -98,6 +98,9 @@ ALLOW: dict[tuple[str, str], str] = {
     ("knn_batch_ivfpq", "nested_loop"):
         "fixed-K centroid set broadcast for assignment/probing (same "
         "shape as knn_batch_ivf)",
+    ("kmv_join_cardinality", "nested_loop"):
+        "four one-row frames (sketch stats, membership count, exact "
+        "counts) crossJoined into the single output row",
     ("unigram_lm_score", "nested_loop"):
         "corpus token-total scalar (1 row) for the LM denominator; the "
         "vocabulary itself joins on token, never broadcasts",
