@@ -44,6 +44,11 @@ def test_oracles_reference_only_preregistered_views():
         # CTE names defined inside the query are fine; just check the
         # obvious FROM <bare_name> tables that aren't CTEs or subqueries
         ctes = set(re.findall(r"(\w+)\s*(?:\([^()]*\))?\s+AS\s*\(", sql))
-        tables = set(re.findall(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)\b", sql))
+        tables = set()
+        for m in re.finditer(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)\b", sql):
+            rest = sql[m.end():].lstrip()
+            if rest.startswith(")"):
+                continue  # extract(hour FROM ts) — not a relation
+            tables.add(m.group(1))
         unknown = tables - allowed - ctes - {"unnest", "generate_series"}
         assert not unknown, f"{name}: unknown relations {sorted(unknown)}"
