@@ -231,3 +231,42 @@ def test_table_diff_default_to_latest_and_null_safety(spark, tmp_path):
     got = {r.k: r._change_type for r in table_diff(t, ["k"], v1).collect()}
     # k=1: NULL == NULL under null-safe compare → unchanged, absent
     assert got == {2: "update"}
+
+
+def test_table_diff_applies_back_to_the_new_snapshot(spark, tmp_path):
+    """Invariant: old + diff = new (apply deletes/updates/inserts to the
+    old snapshot reproduces the new one) — the CDC consumer contract."""
+    from pyspark.sql import functions as F
+
+    from merkonvectordb_spark.sources.versioned import (
+        VersionedTable,
+        table_diff,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "vt_diff3"), "k LONG, v STRING")
+    v1 = t.replace(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "k LONG, v STRING"
+        )
+    )
+    v2 = t.replace(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(5, 15)]      # 0-4 deleted
+            + [(i, f"V{i}") for i in range(15, 20)]   # 15-19 updated
+            + [(i, f"v{i}") for i in range(30, 33)],  # inserted
+            "k LONG, v STRING",
+        )
+    )
+    d = table_diff(t, ["k"], v1, v2)
+    old = t.read(v1)
+    touched = d.select("k")
+    survivors = old.join(touched, "k", "left_anti")
+    incoming = (
+        d.where(F.col("_change_type").isin("insert", "update"))
+        .select("k", F.col("new.v").alias("v"))
+    )
+    applied = sorted(
+        map(tuple, survivors.unionByName(incoming).collect())
+    )
+    want = sorted(map(tuple, t.read(v2).collect()))
+    assert applied == want
