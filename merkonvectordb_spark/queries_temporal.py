@@ -411,3 +411,78 @@ def q_events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lvl(minute, "minute").unionByName(lvl(hour, "hour"))
         .unionByName(lvl(day, "day"))
     )
+
+
+@register(
+    "events_value_trend",
+    """
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+t0 AS (SELECT min(sec) AS m FROM base),
+c AS (SELECT event_type, sec - t0.m AS x, cents AS y FROM base CROSS JOIN t0),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM c GROUP BY event_type
+)
+SELECT event_type, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+         AS slope_cents_per_sec,
+       round((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                * sx) / n, 6) AS intercept_cents
+FROM s
+""".strip(),
+)
+def q_events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed least-squares: per-event-type value trend from
+    the closed-form normal equations over INTEGER sums (seconds since
+    corpus start × value cents — all five sums fit BIGINT exactly at
+    the data's ranges, so the aggregation is associative and
+    order-free; floats appear only in the final slope/intercept
+    arithmetic, identical IEEE expressions in both engines).  The
+    scale shape is one partial-aggregated groupBy — regression at
+    100 TB costs exactly one aggregation pass."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    t0 = base.agg(F.min("sec").alias("m"))
+    c = base.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        (F.col("sec") - F.col("m")).alias("x"),
+        F.col("cents").alias("y"),
+    )
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx") - sxd * F.col("sx")
+    )
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col(
+        "n"
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_cents_per_sec"),
+        F.round(intercept, 6).alias("intercept_cents"),
+    )

@@ -98,6 +98,9 @@ ALLOW: dict[tuple[str, str], str] = {
     ("knn_batch_ivfpq", "nested_loop"):
         "fixed-K centroid set broadcast for assignment/probing (same "
         "shape as knn_batch_ivf)",
+    ("events_value_trend", "nested_loop"):
+        "corpus-start scalar (min epoch, 1 row) crossJoined for the "
+        "centered regression sums",
     ("kmv_join_cardinality", "nested_loop"):
         "four one-row frames (sketch stats, membership count, exact "
         "counts) crossJoined into the single output row",
