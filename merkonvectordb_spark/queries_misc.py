@@ -831,3 +831,91 @@ def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name", "n_rows", "n_nulls", "n_distinct",
         "min_num", "max_num", "min_str", "max_str",
     )
+
+
+# ---------------------------------------------------------------------------
+# exact correlation matrix from integer moment sums
+# ---------------------------------------------------------------------------
+
+# integer codings chosen so every moment sum fits BIGINT exactly at the
+# data's ranges (dollars not cents for price: its square must survive
+# a 600k-row sum)
+_CORR_COLS = {
+    "qty": "CAST(l_quantity AS BIGINT)",
+    "price_usd": "CAST(floor(l_extendedprice) AS BIGINT)",
+    "disc_pct": "CAST(round(l_discount * 100) AS BIGINT)",
+    "tax_pct": "CAST(round(l_tax * 100) AS BIGINT)",
+}
+_CORR_PAIRS = [
+    ("qty", "price_usd"), ("qty", "disc_pct"), ("qty", "tax_pct"),
+    ("price_usd", "disc_pct"), ("price_usd", "tax_pct"),
+    ("disc_pct", "tax_pct"),
+]
+
+
+def _corr_oracle() -> str:
+    coded = ", ".join(f"{e} AS {n}" for n, e in _CORR_COLS.items())
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"CAST(sum({c}) AS BIGINT) AS s_{c}")
+        sums.append(f"CAST(sum({c} * {c}) AS BIGINT) AS s_{c}_{c}")
+    for a, b in _CORR_PAIRS:
+        sums.append(f"CAST(sum({a} * {b}) AS BIGINT) AS s_{a}_{b}")
+    arms = []
+    for a, b in _CORR_PAIRS:
+        num = f"(CAST(n AS DOUBLE) * s_{a}_{b} - CAST(s_{a} AS DOUBLE) * s_{b})"
+        da = f"(CAST(n AS DOUBLE) * s_{a}_{a} - CAST(s_{a} AS DOUBLE) * s_{a})"
+        db = f"(CAST(n AS DOUBLE) * s_{b}_{b} - CAST(s_{b} AS DOUBLE) * s_{b})"
+        arms.append(
+            f"SELECT '{a}~{b}' AS pair, n,"
+            f" round({num} / sqrt({da} * {db}), 6) AS corr FROM s"
+        )
+    return (
+        f"WITH coded AS (SELECT {coded} FROM lineitem),\n"
+        f"s AS (SELECT {', '.join(sums)} FROM coded)\n"
+        + "\nUNION ALL\n".join(arms)
+    )
+
+
+@register("lineitem_correlations", _corr_oracle())
+def q_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlations for all 6 column pairs from ONE aggregation
+    pass of integer moment sums (codings keep every sum inside BIGINT —
+    associative, order-free); floats enter only in the closed-form
+    final arithmetic, identical in both engines.  The built-in
+    ``corr()`` aggregate is float-accumulating (order-dependent); this
+    is the hash-stable formulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    coded = li.select(
+        *[F.expr(e).alias(n) for n, e in _CORR_COLS.items()]
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(F.col(c)).cast("bigint").alias(f"s_{c}"))
+        aggs.append(
+            F.sum(F.col(c) * F.col(c)).cast("bigint").alias(f"s_{c}_{c}")
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum(F.col(a) * F.col(b)).cast("bigint").alias(f"s_{a}_{b}")
+        )
+    s = coded.agg(*aggs)
+    out = None
+    for a, b in _CORR_PAIRS:
+        nd = F.col("n").cast("double")
+        num = nd * F.col(f"s_{a}_{b}") - F.col(f"s_{a}").cast(
+            "double"
+        ) * F.col(f"s_{b}")
+        da = nd * F.col(f"s_{a}_{a}") - F.col(f"s_{a}").cast(
+            "double"
+        ) * F.col(f"s_{a}")
+        db = nd * F.col(f"s_{b}_{b}") - F.col(f"s_{b}").cast(
+            "double"
+        ) * F.col(f"s_{b}")
+        row = s.select(
+            F.lit(f"{a}~{b}").alias("pair"),
+            "n",
+            F.round(num / F.sqrt(da * db), 6).alias("corr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
