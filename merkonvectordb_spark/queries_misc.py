@@ -919,3 +919,69 @@ def q_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# join-key skew report: the pre-join diagnosis that picks salting/AQE
+# ---------------------------------------------------------------------------
+
+_SKEW_KEYS = [
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+    ("events", "event_type"),
+]
+
+
+def _skew_arm_sql(table: str, col: str) -> str:
+    return f"""
+SELECT '{table}.{col}' AS key_name,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(c) AS BIGINT) AS max_key_rows,
+       round(CAST(max(c) AS DOUBLE) * count(*) / sum(c), 6)
+         AS skew_factor
+FROM (SELECT count(*) AS c FROM {table}
+      WHERE {col} IS NOT NULL GROUP BY {col})
+""".strip()
+
+
+@register(
+    "key_skew_report",
+    "\nUNION ALL\n".join(_skew_arm_sql(t, c) for t, c in _SKEW_KEYS),
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: per candidate key, the row count, key
+    count, heaviest key's rows, and the skew factor (max/mean key
+    size).  A factor near 1 = uniform (hash join fine); a large factor
+    = a straggler partition at shuffle time → route through
+    ``operators.skew.salted_join`` or AQE skew handling.  One
+    partial-aggregated groupBy per key — the report costs one pass per
+    candidate, integers except the final scan-local ratio."""
+    out = None
+    for table, col in _SKEW_KEYS:
+        df = load_table(spark, sf_dir, table)
+        per_key = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        row = per_key.agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_key_rows"),
+            F.round(
+                F.max("c").cast("double")
+                * F.count(F.lit(1))
+                / F.sum("c"),
+                6,
+            ).alias("skew_factor"),
+        ).select(
+            F.lit(f"{table}.{col}").alias("key_name"),
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            "skew_factor",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
