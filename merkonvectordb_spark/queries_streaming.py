@@ -405,3 +405,86 @@ def q_streaming_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(exact)).select(
         F.lit("user_id").alias("col_name"), "est_distinct", "exact_distinct"
     )
+
+
+@register(
+    "streaming_cms_freq",
+    """
+WITH cells AS (
+  SELECT r AS row_id,
+         list_reduce(list_transform(regexp_split_to_array(
+           substr(md5('cms' || CAST(r AS VARCHAR) || ':'
+                      || CAST(user_id AS VARCHAR)), 1, 15), ''),
+           ch -> CAST(strpos('0123456789abcdef', ch) AS BIGINT) - 1),
+           (acc, d) -> acc * 16 + d) % 64 AS col_id
+  FROM events, unnest([0, 1, 2, 3]) AS t(r)
+),
+sketch AS (
+  SELECT row_id, col_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY row_id, col_id
+),
+probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+pcells AS (
+  SELECT user_id AS probe, r AS row_id,
+         list_reduce(list_transform(regexp_split_to_array(
+           substr(md5('cms' || CAST(r AS VARCHAR) || ':'
+                      || CAST(user_id AS VARCHAR)), 1, 15), ''),
+           ch -> CAST(strpos('0123456789abcdef', ch) AS BIGINT) - 1),
+           (acc, d) -> acc * 16 + d) % 64 AS col_id
+  FROM probes, unnest([0, 1, 2, 3]) AS t(r)
+)
+SELECT probe, CAST(min(COALESCE(s.cnt, 0)) AS BIGINT) AS est_count
+FROM pcells LEFT JOIN sketch s USING (row_id, col_id)
+GROUP BY probe
+""".strip(),
+)
+def q_streaming_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental count-min maintenance: each micro-batch builds its
+    d×w counter grid on the executors, and the driver folds the grids
+    by CELL ADDITION — state is ≤ d·w longs regardless of stream
+    length.  The oracle builds the sketch over the whole table in one
+    shot; the hash match proves fold-over-micro-batches ≡ one-shot
+    (counter merge is exact, not approximate — the approximation lives
+    only in the grid width)."""
+    from collections import defaultdict
+
+    from merkonvectordb_spark.operators.sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_build,
+        cms_estimate,
+    )
+
+    work = tempfile.mkdtemp(prefix="strm_cms_")
+    src = _staged_events_split(sf_dir, work, n_files=4)
+    ev = stream_events(spark, src, max_files_per_trigger=1)
+
+    state: dict[tuple[int, int], int] = defaultdict(int)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        for r in cms_build(batch_df, "user_id").collect():
+            state[(r.row_id, r.col_id)] += r.cnt
+
+    q = (
+        ev.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    sketch = spark.createDataFrame(
+        [(rc[0], rc[1], n) for rc, n in sorted(state.items())],
+        "row_id INT, col_id LONG, cnt LONG",
+    )
+    from merkonvectordb_spark.schema import load_table
+
+    probes = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 10)
+        .select("user_id")
+        .distinct()
+    )
+    return cms_estimate(
+        sketch, probes, "user_id", CMS_DEPTH, CMS_WIDTH
+    )
