@@ -201,3 +201,49 @@ def test_apply_changes_equals_sequential_replay(spark, n_keys, n_changes, seed):
         else:
             state[k] = (seq, v)
     assert got == state
+
+
+@settings(**_SETTINGS)
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+    extra=st.lists(st.integers(10_001, 20_000), max_size=60, unique=True),
+)
+def test_bloom_never_drops_a_true_member(spark, keys, extra):
+    """Bloom pre-filter property: every build-side key survives the
+    membership test (no false negatives), whatever the key set."""
+    from merkonvectordb_spark.operators.bloom import (
+        bloom_filter_rows,
+        build_bloom,
+    )
+
+    dim = spark.createDataFrame([(k,) for k in keys], "dkey long")
+    fact = spark.createDataFrame(
+        [(k,) for k in keys + extra], "key long"
+    )
+    words = build_bloom(dim, "dkey")
+    passed = {
+        r.key for r in bloom_filter_rows(fact, "key", words).collect()
+    }
+    assert set(keys) <= passed
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(st.integers(0, 50), min_size=1, max_size=200),
+)
+def test_cms_estimate_upper_bounds_every_count(spark, vals):
+    """Count-min property: est(v) ≥ true count(v) for every value."""
+    from collections import Counter
+
+    from merkonvectordb_spark.operators.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    sketch = cms_build(df, "k")
+    probes = df.select("k").distinct()
+    est = {
+        r.probe: r.est_count
+        for r in cms_estimate(sketch, probes, "k").collect()
+    }
+    truth = Counter(vals)
+    for v, n in truth.items():
+        assert est[v] >= n
