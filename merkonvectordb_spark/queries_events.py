@@ -385,3 +385,62 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prob"
         ),
     )
+
+
+@register(
+    "matview_incremental_refresh",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mx_cents
+FROM events GROUP BY event_type
+""".strip(),
+)
+def q_matview_incremental_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Materialized-view maintenance end-to-end: full refresh on half
+    the events (even event_ids), then an INCREMENTAL refresh folding
+    the odd half into the persisted state — the oracle is the one-shot
+    aggregate over everything, so the hash proves chain ≡ one-shot
+    through a real versioned-store round-trip.  Sums are integer cents
+    (associative — the merged state is bit-equal under any split)."""
+    import shutil
+    import tempfile
+
+    from merkonvectordb_spark.operators.matview import MaterializedView
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    aggs = {
+        "n": ("count", "cents"),
+        "sum_cents": ("sum", "cents"),
+        "mx_cents": ("max", "cents"),
+    }
+    root = tempfile.mkdtemp(prefix="mv_events_")
+    try:
+        mv = MaterializedView(
+            spark,
+            root,
+            "event_type STRING, n LONG, sum_cents LONG, mx_cents LONG",
+            ["event_type"],
+            aggs,
+        )
+        mv.refresh_full(events.where(F.col("event_id") % 2 == 0))
+        mv.refresh_incremental(events.where(F.col("event_id") % 2 == 1))
+        out = mv.read().select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("sum_cents").cast("bigint").alias("sum_cents"),
+            F.col("mx_cents").cast("bigint").alias("mx_cents"),
+        )
+        return spark.createDataFrame(
+            out.collect(),
+            "event_type STRING, n LONG, sum_cents LONG, mx_cents LONG",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
