@@ -1,0 +1,98 @@
+"""Scaling probe: time representative queries across sf0.001/0.01/0.1
+and report the log-log growth exponent (slope of time vs scale factor).
+
+A query whose plan is corpus-linear should show slope ≤ ~1 once the
+per-query constant (scheduler latency, plan build) stops dominating;
+a slope ≫ 1 exposes a stage that grows super-linearly (the thing that
+kills a 100 TB run).  Small-SF timings are constant-dominated, so the
+exponent uses the two LARGEST scale factors; the smallest column is
+shown for context.
+
+Usage: python tools/scale_probe.py [query ...]   (default: headline set)
+Writes a markdown table to stdout; exit code is always 0 (this is a
+diagnostic, not a gate — the gate on plan shape is tools/plan_lint.py).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SFS = [
+    ("/root/testdata/sf0.001", 0.001),
+    ("/root/testdata/sf0.01", 0.01),
+    ("/root/testdata/sf0.1", 0.1),
+]
+
+# one representative per major plan family
+DEFAULT = [
+    "tpch_q1",            # scan + partial agg
+    "tpch_q9",            # multi-join
+    "knn_topk",           # scan + heap top-k
+    "knn_batch_ann",      # LSH bucket join
+    "dedup_near",         # shingle/minhash/band/CC
+    "dup_span_stats",     # gram window + islands
+    "text_search_bm25",   # postings + broadcast stats
+    "events_sessionize",  # per-user session windows
+    "global_quantiles",   # range-partition order stats
+    "seq_packing",        # distributed prefix sum
+    "bloom_semi_join",    # runtime-filtered semi-join
+    "events_value_trend", # moment-sum aggregation
+]
+
+
+def main() -> int:
+    names = sys.argv[1:] or DEFAULT
+
+    import __spark_entry__ as entrymod
+    from merkonvectordb_spark import get_spark
+
+    spark = get_spark("scale_probe", shuffle_partitions=32)
+    qs = entrymod.queries()
+    # warm codegen/parquet paths
+    qs["tpch_q1"](spark, SFS[-1][0]).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    rows = []
+    for name in names:
+        fn = qs.get(name)
+        if fn is None:
+            print(f"unknown query: {name}", file=sys.stderr)
+            continue
+        times = []
+        for sf_dir, _sf in SFS:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            times.append(best)
+        # exponent from the top decade (0.01 -> 0.1)
+        slope = math.log(times[2] / times[1]) / math.log(10.0)
+        rows.append((name, times, slope))
+        print(
+            f"  {name}: "
+            + " ".join(f"{t:.2f}s" for t in times)
+            + f"  slope={slope:.2f}",
+            file=sys.stderr,
+        )
+
+    print("| query | sf0.001 | sf0.01 | sf0.1 | slope(0.01→0.1) |")
+    print("|---|---|---|---|---|")
+    for name, times, slope in rows:
+        print(
+            f"| {name} | {times[0]:.2f}s | {times[1]:.2f}s "
+            f"| {times[2]:.2f}s | {slope:.2f} |"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
