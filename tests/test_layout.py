@@ -58,3 +58,52 @@ def test_zorder_clusters_both_dimensions(spark):
     # z-order: BOTH dimensions stay within small hyper-rectangles
     assert _partition_spread(zord, "a", parts) < 100
     assert _partition_spread(zord, "b", parts) < 100
+
+
+def test_zorder_prunes_scan_on_either_dimension(spark, tmp_path):
+    """End-to-end parquet pruning, measured at the SCAN node: with a
+    single-dimension sort, a filter on the OTHER dimension reads the
+    whole table; the z-ordered layout bounds the scan for filters on
+    EITHER dimension.  (Pruning granularity here is the file — 16
+    range-partitioned files ≈ a 4×4 z-tile grid, so a 1-band box reads
+    ~half the tiles; finer row groups tighten it further.)"""
+    import os
+
+    from merkonvectordb_spark.operators.layout import zorder_key
+
+    n, parts = 40_000, 16
+    df = spark.range(n).select(
+        (F.col("id") % 200).alias("a"),
+        F.floor(F.col("id") / 200).alias("b"),
+    )
+    zp = os.path.join(str(tmp_path), "z")
+    pp = os.path.join(str(tmp_path), "p")
+    (
+        df.withColumn("__z", zorder_key([F.col("a"), F.col("b")], bits=8))
+        .repartitionByRange(parts, F.asc("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(zp)
+    )
+    (
+        df.repartitionByRange(parts, F.asc("a"))
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(pp)
+    )
+
+    def scanned(path, cond):
+        d = spark.read.parquet(path).where(cond)
+        d.collect()
+        leaf = (
+            d._jdf.queryExecution().executedPlan().collectLeaves().head()
+        )
+        return leaf.metrics().apply("numOutputRows").value()
+
+    box_a = F.col("a").between(50, 60)
+    box_b = F.col("b").between(50, 60)
+    z_worst = max(scanned(zp, box_a), scanned(zp, box_b))
+    p_worst = max(scanned(pp, box_a), scanned(pp, box_b))
+    assert p_worst == n  # the unsorted dimension forces a full scan
+    assert z_worst <= 0.75 * p_worst
