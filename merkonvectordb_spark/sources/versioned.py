@@ -113,7 +113,12 @@ class VersionedTable:
             zip(t.column("file").to_pylist(), t.column("part").to_pylist())
         )
 
-    def _publish(self, version: int, files: list[tuple[str, str | None]]) -> None:
+    def _publish(
+        self,
+        version: int,
+        files: list[tuple[str, str | None]],
+        txn: tuple[str, int] | None = None,
+    ) -> None:
         """Atomic commit point: rename a staged manifest into place.
 
         The staging dir lives OUTSIDE ``_manifest/`` — a crash between
@@ -141,6 +146,14 @@ class VersionedTable:
                 "part": pa.array([p for _, p in files], pa.string()),
             }
         )
+        if txn is not None:
+            # the txn watermark commits ATOMICALLY with the version: it
+            # rides in the manifest file's schema metadata, so a replayed
+            # streaming batch can be recognized (exactly-once appends)
+            app, batch = txn
+            table = table.replace_schema_metadata(
+                {"txn_app": str(app), "txn_batch": str(int(batch))}
+            )
         tmp = os.path.join(
             self.root, f".tmp-manifest-{uuid.uuid4().hex[:12]}.parquet"
         )
@@ -210,6 +223,42 @@ class VersionedTable:
         cur = self.current_version()
         files = self._live_files(cur) + self._write_data(df)
         self._publish(cur + 1, files)
+        return cur + 1
+
+    def last_committed_batch(self, app_id: str) -> int | None:
+        """Newest committed batch id for ``app_id`` (None if none).
+
+        Driver-side footer reads over the manifest log, newest first —
+        the common case (the previous commit was ours) costs one open.
+        """
+        import pyarrow.parquet as pq
+
+        for v in reversed(self._versions()):
+            target = self._manifest_file(v)
+            if os.path.isdir(target):  # legacy dir manifests carry no txn
+                continue
+            meta = pq.read_schema(target).metadata or {}
+            if meta.get(b"txn_app", b"").decode() == str(app_id):
+                return int(meta[b"txn_batch"].decode())
+        return None
+
+    def append_exactly_once(
+        self, df: DataFrame, app_id: str, batch_id: int
+    ) -> int:
+        """Idempotent streaming append (the Delta ``txnAppId`` contract):
+        a (app_id, batch_id) at or below the committed watermark is a
+        REPLAY — the call returns the current version without writing.
+        Use from ``foreachBatch``: Structured Streaming re-delivers a
+        batch after a failure, and this turns at-least-once delivery
+        into an exactly-once table state.  (A crash between the data
+        write and the manifest publish leaves orphaned files, never
+        duplicate rows — vacuum collects them.)"""
+        last = self.last_committed_batch(app_id)
+        if last is not None and int(batch_id) <= last:
+            return self.current_version()
+        cur = self.current_version()
+        files = self._live_files(cur) + self._write_data(df)
+        self._publish(cur + 1, files, txn=(str(app_id), int(batch_id)))
         return cur + 1
 
     def replace(self, df: DataFrame) -> int:

@@ -270,3 +270,70 @@ def test_table_diff_applies_back_to_the_new_snapshot(spark, tmp_path):
     )
     want = sorted(map(tuple, t.read(v2).collect()))
     assert applied == want
+
+
+def test_append_exactly_once_skips_replays(spark, tmp_path):
+    from merkonvectordb_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt_eo"), "k LONG")
+    b0 = spark.createDataFrame([(1,), (2,)], "k LONG")
+    b1 = spark.createDataFrame([(3,)], "k LONG")
+    v1 = t.append_exactly_once(b0, "appA", 0)
+    # exact replay of batch 0 (foreachBatch redelivery) → no-op
+    v_replay = t.append_exactly_once(b0, "appA", 0)
+    assert v_replay == v1
+    v2 = t.append_exactly_once(b1, "appA", 1)
+    assert v2 == v1 + 1
+    # stale batch id after progress → still a no-op
+    assert t.append_exactly_once(b0, "appA", 0) == v2
+    rows = sorted(r.k for r in t.read().collect())
+    assert rows == [1, 2, 3]
+    assert t.last_committed_batch("appA") == 1
+    assert t.last_committed_batch("other") is None
+
+
+def test_append_exactly_once_tracks_apps_independently(spark, tmp_path):
+    from merkonvectordb_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt_eo2"), "k LONG")
+    t.append_exactly_once(
+        spark.createDataFrame([(1,)], "k LONG"), "appA", 5
+    )
+    # a different app's batch 0 must NOT be considered a replay
+    t.append_exactly_once(
+        spark.createDataFrame([(2,)], "k LONG"), "appB", 0
+    )
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+    assert t.last_committed_batch("appA") == 5
+    assert t.last_committed_batch("appB") == 0
+
+
+def test_streaming_foreach_batch_exactly_once_end_to_end(spark, tmp_path):
+    """availableNow stream → foreachBatch append_exactly_once: the table
+    equals the full source even when a batch function is invoked twice
+    (simulated redelivery)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from merkonvectordb_spark.sources.versioned import VersionedTable
+
+    src = str(tmp_path / "src")
+    spark.range(0, 40).select(F.col("id")).coalesce(4).write.json(src)
+    t = VersionedTable(spark, str(tmp_path / "vt_eo3"), "id LONG")
+
+    def sink(batch_df, batch_id):
+        t.append_exactly_once(batch_df, "stream1", batch_id)
+        # simulate at-least-once redelivery of every batch
+        t.append_exactly_once(batch_df, "stream1", batch_id)
+
+    q = (
+        spark.readStream.schema("id LONG")
+        .json(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert sorted(r.id for r in t.read().collect()) == list(range(40))
