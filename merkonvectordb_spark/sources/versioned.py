@@ -289,12 +289,20 @@ class VersionedTable:
     # -- reads ------------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
         """The table as of ``version`` (default: latest).  Plans a scan
-        over exactly that version's file list — no directory listing."""
+        over exactly that version's file list — no directory listing.
+
+        ``mergeSchema`` is on: commits may ADD columns (schema
+        evolution) and earlier files' rows read back NULL in them —
+        Delta/Iceberg's additive-evolution contract.  The cost is a
+        footer read per live file at planning time; at very large file
+        counts a table format caches the merged schema in the manifest
+        (noted as the follow-up — the manifest already carries per-file
+        rows to hang it on)."""
         v = self.current_version() if version is None else version
         files = [f for f, _ in self._live_files(v)]
         if not files:
             return self.spark.createDataFrame([], self.schema_ddl)
-        reader = self.spark.read
+        reader = self.spark.read.option("mergeSchema", "true")
         if self.part_col:
             reader = reader.option("basePath", self.data_path)
         return reader.parquet(*files)

@@ -337,3 +337,23 @@ def test_streaming_foreach_batch_exactly_once_end_to_end(spark, tmp_path):
     )
     q.awaitTermination(300)
     assert sorted(r.id for r in t.read().collect()) == list(range(40))
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    """A later commit may add a column; earlier rows read back NULL in
+    it, and time travel still returns each version's own schema."""
+    from merkonvectordb_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt_evo"), "k LONG, v STRING")
+    v1 = t.append(
+        spark.createDataFrame([(1, "a")], "k LONG, v STRING")
+    )
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", "en")], "k LONG, v STRING, lang STRING"
+        )
+    )
+    cur = {r.k: (r.v, r.lang) for r in t.read().collect()}
+    assert cur == {1: ("a", None), 2: ("b", "en")}
+    old_cols = set(t.read(v1).columns)
+    assert old_cols == {"k", "v"}
