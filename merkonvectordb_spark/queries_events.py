@@ -444,3 +444,73 @@ def q_matview_incremental_refresh(
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "versioned_table_diff",
+    """
+WITH a AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_id % 5 <> 0
+),
+b AS (
+  SELECT event_id,
+         CAST(round(value * 100) AS BIGINT)
+           + CASE WHEN event_id % 7 = 0 THEN 100 ELSE 0 END AS cents
+  FROM events WHERE event_id % 3 <> 0
+)
+SELECT COALESCE(a.event_id, b.event_id) AS event_id,
+       CASE WHEN a.event_id IS NULL THEN 'insert'
+            WHEN b.event_id IS NULL THEN 'delete'
+            ELSE 'update' END AS _change_type,
+       a.cents AS old_cents, b.cents AS new_cents
+FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+WHERE a.event_id IS NULL OR b.event_id IS NULL
+   OR a.cents IS DISTINCT FROM b.cents
+""".strip(),
+)
+def q_versioned_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two REAL committed snapshots: commit
+    snapshot A, commit snapshot B (deletes via the %3 filter, inserts
+    via the %5 complement, updates via a +100-cent bump on %7), then
+    ``table_diff`` the two versions.  The oracle computes the expected
+    change set directly from the source, so the hash proves the
+    manifest-snapshot join classifies every key correctly."""
+    import shutil
+    import tempfile
+
+    from merkonvectordb_spark.sources.versioned import (
+        VersionedTable,
+        table_diff,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    a = ev.where(F.col("event_id") % 5 != 0)
+    b = ev.where(F.col("event_id") % 3 != 0).select(
+        "event_id",
+        (
+            F.col("cents")
+            + F.when(F.col("event_id") % 7 == 0, 100).otherwise(0)
+        ).alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="vt_cdf_")
+    try:
+        t = VersionedTable(spark, root, "event_id LONG, cents LONG")
+        v1 = t.replace(a)
+        v2 = t.replace(b)
+        d = table_diff(t, ["event_id"], v1, v2).select(
+            "event_id",
+            "_change_type",
+            F.col("old.cents").alias("old_cents"),
+            F.col("new.cents").alias("new_cents"),
+        )
+        return spark.createDataFrame(
+            d.collect(),
+            "event_id LONG, _change_type STRING,"
+            " old_cents LONG, new_cents LONG",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
