@@ -202,3 +202,131 @@ def q_doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rn") <= 3) & (F.col("doc") < 100))
         .select(F.col("doc").alias("doc_id"), "term", "tf", "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# late-interaction retrieval (ColBERT-style MaxSim) over deterministic
+# per-token vectors
+# ---------------------------------------------------------------------------
+
+_LI_DIM = 16
+_LI_TERMS = ("fast", "scan", "vector")
+
+
+def _li_vec_sql(tok_expr: str) -> str:
+    """16 doubles from one md5: byte i → (hexpair − 127.5)/127.5."""
+    comps = ", ".join(
+        "(CAST(list_reduce(list_transform(regexp_split_to_array("
+        f"substr(md5({tok_expr}), {2 * i + 1}, 2), ''),"
+        " ch -> CAST(strpos('0123456789abcdef', ch) AS BIGINT) - 1),"
+        " (acc, d) -> acc * 16 + d) AS DOUBLE) - 127.5) / 127.5"
+        for i in range(_LI_DIM)
+    )
+    return f"[{comps}]"
+
+
+_LI_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_LI_MAXES = ", ".join(
+    f"max(CASE WHEN qt = '{t}' THEN cs END) AS m{i}"
+    for i, t in enumerate(_LI_TERMS)
+)
+_LI_SCORE = " + ".join(f"m{i}" for i in range(len(_LI_TERMS)))
+
+_LI_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, {_li_vec_sql("tok")} AS tv FROM (SELECT DISTINCT tok FROM toks)
+),
+qterms AS (
+  SELECT qt, {_li_vec_sql("qt")} AS qv
+  FROM (SELECT unnest({list(_LI_TERMS)!r}) AS qt)
+),
+scored AS (
+  SELECT t.doc_id, q.qt,
+         {_LI_COS.format(a="v.tv", b="q.qv")} AS cs
+  FROM toks t JOIN vocab v USING (tok) CROSS JOIN qterms q
+),
+per_doc AS (
+  SELECT doc_id, {_LI_MAXES} FROM scored GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, ({_LI_SCORE}) AS raw,
+         row_number() OVER (ORDER BY ({_LI_SCORE}) DESC, doc_id ASC) AS rn
+  FROM per_doc
+)
+SELECT doc_id, round(raw, 6) AS maxsim FROM ranked WHERE rn <= 10
+""".strip()
+
+
+@register("late_interaction_maxsim", _LI_ORACLE)
+def q_late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (the ColBERT MaxSim scheme as a
+    dataflow): score(doc) = Σ over query terms of the MAX cosine between
+    the term's vector and any document token's vector.  Token vectors
+    here are deterministic md5-byte stand-ins (one md5 per DISTINCT
+    token — vocabulary-first, so the embedding cost is |vocab| not
+    |corpus tokens|); swap in real token embeddings at the ``vocab``
+    seam.  The per-term maxes land in separate columns of ONE
+    aggregation and the final score is a fixed-order expression sum —
+    no order-dependent float reduction anywhere.
+
+    Scale: distinct (doc, token) presence rows × |query terms| is the
+    widest stage — corpus-linear with a constant factor of the term
+    count; the per-doc aggregation partial-aggregates map-side.
+    """
+    from merkonvectordb_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok")
+    )
+
+    def vec(col: str) -> F.Column:
+        comps = ", ".join(
+            f"(cast(conv(substring(md5({col}), {2 * i + 1}, 2), 16, 10)"
+            " as double) - 127.5) / 127.5"
+            for i in range(_LI_DIM)
+        )
+        return F.expr(f"array({comps})")
+
+    vocab = toks.select("tok").distinct().select(
+        "tok", vec("tok").alias("tv")
+    )
+    qterms = spark.createDataFrame(
+        [(t,) for t in _LI_TERMS], "qt STRING"
+    ).select("qt", vec("qt").alias("qv"))
+    from merkonvectordb_spark.functions.vector import cosine_similarity
+
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(qterms))
+        .select(
+            "doc_id",
+            "qt",
+            cosine_similarity(F.col("tv"), F.col("qv")).alias("cs"),
+        )
+    )
+    maxes = [
+        F.max(F.when(F.col("qt") == t, F.col("cs"))).alias(f"m{i}")
+        for i, t in enumerate(_LI_TERMS)
+    ]
+    per_doc = scored.groupBy("doc_id").agg(*maxes)
+    raw = None
+    for i in range(len(_LI_TERMS)):
+        raw = F.col(f"m{i}") if raw is None else raw + F.col(f"m{i}")
+    # top-10 as a TakeOrderedAndProject heap — no global-sort window
+    return (
+        per_doc.withColumn("__raw", raw)
+        .orderBy(F.desc("__raw"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("__raw", 6).alias("maxsim"))
+    )

@@ -98,6 +98,9 @@ ALLOW: dict[tuple[str, str], str] = {
     ("knn_batch_ivfpq", "nested_loop"):
         "fixed-K centroid set broadcast for assignment/probing (same "
         "shape as knn_batch_ivf)",
+    ("late_interaction_maxsim", "nested_loop"):
+        "fixed query-term set (3 rows, with vectors) broadcast against "
+        "the token-presence rows — |tokens|×|terms|, terms constant",
     ("events_value_trend", "nested_loop"):
         "corpus-start scalar (min epoch, 1 row) crossJoined for the "
         "centered regression sums",
