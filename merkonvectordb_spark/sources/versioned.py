@@ -308,7 +308,12 @@ class VersionedTable:
         return reader.parquet(*files)
 
     # -- maintenance ------------------------------------------------------
-    def compact(self, max_files_per_partition: int = 1) -> int:
+    def compact(
+        self,
+        max_files_per_partition: int = 1,
+        zorder_cols: Sequence[str] | None = None,
+        zorder_bits: int = 16,
+    ) -> int:
         """Rewrite partitions whose live-file count exceeds
         ``max_files_per_partition`` into that many files; untouched
         partitions carry their files over by reference.  Appends (daily
@@ -316,6 +321,13 @@ class VersionedTable:
         file per partition — without compaction a year of appends makes
         every scan open 365× more files than its bytes justify, and at
         cloud-storage latencies file count IS the scan cost.
+
+        ``zorder_cols`` additionally sorts each rewritten partition by
+        the columns' Morton key (``operators.layout.zorder_key``) —
+        compaction is exactly when layout maintenance is free, since the
+        rows are being rewritten anyway; z-ordered row groups give
+        parquet min/max pruning on EVERY listed column (measured in
+        ``tests/test_layout.py``).
 
         Data identity is preserved (same rows, new physical layout), old
         versions still see the old files (vacuum reclaims them), and the
@@ -340,9 +352,21 @@ class VersionedTable:
                 # partition value is directory-encoded; re-materialize the
                 # column so _write_data routes rows back to cid=<p>/
                 df = df.withColumn(self.part_col, F.lit(p))
-            new_files.extend(
-                self._write_data(df.coalesce(max_files_per_partition))
-            )
+            df = df.coalesce(max_files_per_partition)
+            if zorder_cols:
+                from merkonvectordb_spark.operators.layout import zorder_key
+
+                df = (
+                    df.withColumn(
+                        "__zk",
+                        zorder_key(
+                            [F.col(c) for c in zorder_cols], bits=zorder_bits
+                        ),
+                    )
+                    .sortWithinPartitions("__zk")
+                    .drop("__zk")
+                )
+            new_files.extend(self._write_data(df))
         self._publish(cur + 1, kept + new_files)
         return cur + 1
 
