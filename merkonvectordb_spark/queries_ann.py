@@ -983,3 +983,81 @@ def q_knn_batch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         refine=A.PQ_REFINE, min_score=0.0, extra_cols=("label",),
     )
     return out.select("query_id", "vec_id", "label", "score")
+
+
+# ---------------------------------------------------------------------------
+# index quality evaluation: ANN recall against the exact ranking,
+# composed from the two already-verified pipelines
+# ---------------------------------------------------------------------------
+
+
+def _recall_oracle() -> str:
+    from merkonvectordb_spark.registry import oracle_sql as _osql
+
+    o = _osql()
+    # DuckDB permits a full WITH...SELECT as a CTE body (nested CTEs)
+    return f"""
+WITH ann AS (
+{o["knn_batch_ann"]}
+),
+exact AS (
+{o["knn_batch"]}
+),
+hits AS (
+  SELECT e.query_id,
+         CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+         CAST(count(*) AS BIGINT) AS k
+  FROM exact e
+  LEFT JOIN ann a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id
+)
+SELECT query_id, n_hit, k,
+       round(CAST(n_hit AS DOUBLE) / k, 6) AS recall
+FROM hits
+""".strip()
+
+
+@register("ann_recall_report", _recall_oracle())
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine evaluating its own index: per-query recall of the LSH
+    ANN top-3 against the exact top-3, computed in-engine (join of the
+    two result sets, integer hit counts, one scan-local divide).  The
+    oracle composes the two ALREADY-VERIFIED pipelines' SQL as CTEs —
+    index-quality reporting at 100 TB runs on a query sample exactly
+    like this, next to the production index."""
+    from merkonvectordb_spark.operators.search import knn_batch
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.size("embedding") == A.DIM
+    )
+    qset = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = A.knn_batch_ann(emb, qset, k=3, min_score=0.0).select(
+        "query_id", "vec_id"
+    )
+    exact = knn_batch(emb, qset, k=3, min_score=0.0).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        exact.join(
+            ann.withColumnRenamed("vec_id", "__hit"),
+            (exact["query_id"] == ann["query_id"])
+            & (exact["vec_id"] == F.col("__hit")),
+            "left",
+        )
+        .select(exact["query_id"], "vec_id", "__hit")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").cast("bigint").alias("n_hit"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+        )
+    )
+    return hits.select(
+        "query_id",
+        "n_hit",
+        "k",
+        F.round(F.col("n_hit").cast("double") / F.col("k"), 6).alias(
+            "recall"
+        ),
+    )
