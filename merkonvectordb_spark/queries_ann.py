@@ -1061,3 +1061,103 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding drift monitor: per-label centroid shift between two snapshots
+# ---------------------------------------------------------------------------
+
+_DRIFT_BUMP = 0.25  # planted shift on dim 1 of labels 0-1 in snapshot B
+
+
+def _drift_centroid_cte(tag: str, src: str) -> str:
+    return f"""
+m_{tag} AS (
+  SELECT label, i AS pos, round(avg(emb[i]), 6) AS v
+  FROM {src}, unnest(generate_series(1, {A.DIM})) AS t(i)
+  GROUP BY label, i
+),
+c_{tag} AS (
+  SELECT label, list(v ORDER BY pos) AS c FROM m_{tag} GROUP BY label
+)""".strip()
+
+
+_DRIFT_ORACLE = f"""
+WITH edim AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE len(embedding) = {A.DIM}
+),
+snap_b AS (
+  SELECT vec_id, label,
+         list_transform(generate_series(1, {A.DIM}),
+           i -> emb[i] + CASE WHEN label < 2 AND i = 1
+                              THEN {_DRIFT_BUMP} ELSE 0.0 END) AS emb
+  FROM edim
+),
+{_drift_centroid_cte("a", "edim")},
+{_drift_centroid_cte("b", "snap_b")}
+SELECT a.label,
+       round({_COS_RAW.format(a="a.c", b="b.c")}, 6) AS cos_drift,
+       round(sqrt(list_dot_product(
+         list_transform(generate_series(1, {A.DIM}), i -> a.c[i] - b.c[i]),
+         list_transform(generate_series(1, {A.DIM}), i -> a.c[i] - b.c[i]))),
+         6) AS l2_shift
+FROM c_a a JOIN c_b b USING (label)
+""".strip()
+
+
+@register("embedding_drift_report", _DRIFT_ORACLE)
+def q_embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-ML monitoring: per-label centroid drift between two
+    embedding snapshots (here: the corpus vs a planted +0.25 shift on
+    one dimension of labels 0-1).  Centroids are the 6dp positional
+    means (the `label_centroid_outliers` machinery); drift is reported
+    as centroid cosine AND L2 shift — both scan-local arithmetic over
+    the K×dim centroid rows.  At 100 TB each snapshot's centroid pass
+    is one partial-aggregated explode; the comparison is label-count
+    sized."""
+    from merkonvectordb_spark.operators.embedding_stats import (
+        grouped_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.size("embedding") == A.DIM
+    )
+    emb_d = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    bumped = emb_d.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + F.when(
+                (F.col("label") < 2) & (i == 0), F.lit(_DRIFT_BUMP)
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    ca = grouped_centroids(emb_d, "label").withColumnRenamed(
+        "centroid", "ca"
+    )
+    cb = grouped_centroids(bumped, "label").withColumnRenamed(
+        "centroid", "cb"
+    )
+    from merkonvectordb_spark.functions.vector import (
+        cosine_similarity,
+        dot_product,
+    )
+
+    j = ca.join(cb, "label")
+    diff = F.zip_with(F.col("ca"), F.col("cb"), lambda x, y: x - y)
+    return j.select(
+        "label",
+        F.round(
+            cosine_similarity(F.col("ca"), F.col("cb")), 6
+        ).alias("cos_drift"),
+        F.round(F.sqrt(dot_product(diff, diff)), 6).alias("l2_shift"),
+    )
