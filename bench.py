@@ -64,6 +64,10 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # a few queries persist() intermediates they cannot unpersist
+        # (lazy results); without this the sweep accumulates dead cache
+        # in executor storage memory across 130+ queries
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     sf = _sf_from_dir(sf_dir)

@@ -58,6 +58,8 @@ def registered_domain(host: Column) -> Column:
         lambda a, b: a | b,
         [host.endswith("." + s) for s in TWO_LEVEL_SUFFIXES],
     )
-    return F.when(
-        is_two_level & (F.size(labels) >= 3), last3
-    ).otherwise(last2)
+    return (
+        F.when(F.size(labels) < 2, host)  # dotless hosts ARE the domain
+        .when(is_two_level & (F.size(labels) >= 3), last3)
+        .otherwise(last2)
+    )

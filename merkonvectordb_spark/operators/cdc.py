@@ -50,4 +50,8 @@ def apply_changes(
     flat = latest.select(
         *keys, *[F.col(f"__p.{c}").alias(c) for c in payload]
     )
-    return flat.where(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+    # null-safe: a NULL op is "not a delete" (common CDC encodings only
+    # mark deletes) — a bare != would evaluate NULL and drop live keys
+    return flat.where(
+        ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+    ).drop(op_col)

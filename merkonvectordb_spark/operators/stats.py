@@ -145,14 +145,30 @@ def global_ntile(
     work = df
     keys: list[str] = []
     drop: list[str] = []
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("byte", "short", "integer", "long", "float", "double", "decimal")
+    }
     for i, (c, d) in enumerate(norm):
         if d == "desc":
-            # range partitioner here orders ascending only; negate once
-            # (numeric) so every key ranges ascending
+            # the range partitioner orders ascending only, so DESC is
+            # encoded as (null-flag ASC, negated value ASC): the flag
+            # reproduces SQL's DESC NULLS LAST (a bare -col would send
+            # NULLs to tile 1), and negation is only sound for numerics
+            # — reject anything else loudly instead of mis-sorting
+            if c not in numeric:
+                raise TypeError(
+                    f"desc ordering needs a numeric column, got {c!r}"
+                )
+            kn = f"__ordn{i}"
             k = f"__ord{i}"
-            work = work.withColumn(k, -F.col(c))
-            keys.append(k)
-            drop.append(k)
+            work = work.withColumn(
+                kn, F.col(c).isNull().cast("int")
+            ).withColumn(k, -F.col(c))
+            keys.extend([kn, k])
+            drop.extend([kn, k])
         else:
             keys.append(c)
 

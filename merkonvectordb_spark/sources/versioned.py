@@ -146,14 +146,22 @@ class VersionedTable:
                 "part": pa.array([p for _, p in files], pa.string()),
             }
         )
+        # txn watermarks commit ATOMICALLY with the version by riding in
+        # the manifest's schema metadata — and EVERY publish carries the
+        # full app→batch map forward from the previous version, so any
+        # single retained manifest is self-sufficient: vacuuming old
+        # manifests (or interleaving non-txn commits) can never lose a
+        # watermark and resurrect a replayed streaming batch
+        import json
+
+        txns = dict(self._txn_map(version - 1))
         if txn is not None:
-            # the txn watermark commits ATOMICALLY with the version: it
-            # rides in the manifest file's schema metadata, so a replayed
-            # streaming batch can be recognized (exactly-once appends)
             app, batch = txn
-            table = table.replace_schema_metadata(
-                {"txn_app": str(app), "txn_batch": str(int(batch))}
+            txns[str(app)] = max(
+                int(batch), txns.get(str(app), int(batch))
             )
+        if txns:
+            table = table.replace_schema_metadata({"txns": json.dumps(txns)})
         tmp = os.path.join(
             self.root, f".tmp-manifest-{uuid.uuid4().hex[:12]}.parquet"
         )
@@ -171,7 +179,9 @@ class VersionedTable:
             os.unlink(tmp)
 
     # -- writes -----------------------------------------------------------
-    def _write_data(self, df: DataFrame) -> list[tuple[str, str | None]]:
+    def _write_data(
+        self, df: DataFrame, cluster: bool = True
+    ) -> list[tuple[str, str | None]]:
         """Write ``df`` as new immutable files; return (path, part) rows.
 
         Files are written to a staging dir, then MOVED (never rewritten)
@@ -179,9 +189,15 @@ class VersionedTable:
         one flat k=v level under ``data/`` keeps Spark's partition
         discovery happy for any mix of manifest file lists under one
         ``basePath``, and unique names make concurrent batches collide-free.
+
+        ``cluster=False`` skips the pre-write repartition — for callers
+        (compaction) whose rows are already shaped: one partition value
+        per frame, file count and sort order deliberately chosen; the
+        default hash repartition would both collapse the file count and
+        shuffle away a z-order sort.
         """
         batch = os.path.join(self.root, f"_stage-{uuid.uuid4().hex[:12]}")
-        if self.part_col:
+        if self.part_col and cluster:
             # cluster rows by the partition value before the partitioned
             # write ("optimize write"): without this every input task
             # crosses every partition value, emitting tasks×values tiny
@@ -225,22 +241,34 @@ class VersionedTable:
         self._publish(cur + 1, files)
         return cur + 1
 
-    def last_committed_batch(self, app_id: str) -> int | None:
-        """Newest committed batch id for ``app_id`` (None if none).
+    def _txn_map(self, version: int) -> dict[str, int]:
+        """The app→batch watermark map committed at ``version`` (empty
+        for v0 / legacy manifests).  One driver-side footer read."""
+        import json
 
-        Driver-side footer reads over the manifest log, newest first —
-        the common case (the previous commit was ours) costs one open.
-        """
         import pyarrow.parquet as pq
 
-        for v in reversed(self._versions()):
-            target = self._manifest_file(v)
-            if os.path.isdir(target):  # legacy dir manifests carry no txn
-                continue
-            meta = pq.read_schema(target).metadata or {}
-            if meta.get(b"txn_app", b"").decode() == str(app_id):
-                return int(meta[b"txn_batch"].decode())
-        return None
+        if version <= 0 or version not in self._versions():
+            return {}
+        target = self._manifest_file(version)
+        if os.path.isdir(target):  # legacy dir manifests carry no txn
+            return {}
+        meta = pq.read_schema(target).metadata or {}
+        if b"txns" in meta:
+            return {
+                k: int(v) for k, v in json.loads(meta[b"txns"]).items()
+            }
+        if b"txn_app" in meta:  # pre-map single-watermark form
+            return {
+                meta[b"txn_app"].decode(): int(meta[b"txn_batch"].decode())
+            }
+        return {}
+
+    def last_committed_batch(self, app_id: str) -> int | None:
+        """Newest committed batch id for ``app_id`` (None if none) —
+        one footer read of the newest manifest, which carries the full
+        propagated watermark map."""
+        return self._txn_map(self.current_version()).get(str(app_id))
 
     def append_exactly_once(
         self, df: DataFrame, app_id: str, batch_id: int
@@ -347,7 +375,12 @@ class VersionedTable:
         kept = [(f, p) for f, p in live if p not in crowded]
         new_files: list[tuple[str, str | None]] = []
         for p in sorted(crowded, key=str):
-            df = self.spark.read.parquet(*by_part[p])
+            # mergeSchema: additive evolution means the crowded files may
+            # not share one footer schema — without the merge the rewrite
+            # would silently DROP any column absent from the sampled file
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                *by_part[p]
+            )
             if self.part_col and p is not None:
                 # partition value is directory-encoded; re-materialize the
                 # column so _write_data routes rows back to cid=<p>/
@@ -366,7 +399,7 @@ class VersionedTable:
                     .sortWithinPartitions("__zk")
                     .drop("__zk")
                 )
-            new_files.extend(self._write_data(df))
+            new_files.extend(self._write_data(df, cluster=False))
         self._publish(cur + 1, kept + new_files)
         return cur + 1
 
@@ -440,15 +473,33 @@ def table_diff(
     old = table.read(from_version)
     new = table.read(to_version)
     keys = list(key_cols)
+    # value columns = UNION of both snapshots' non-key columns: additive
+    # schema evolution means a column can exist on only one side, and a
+    # change confined to an evolved column must still surface as an
+    # update.  A side missing a column contributes typed NULLs.
+    types = {f.name: f.dataType for f in old.schema.fields}
+    types.update({f.name: f.dataType for f in new.schema.fields})
     val_cols = [c for c in old.columns if c not in keys]
-    o = old.select(
-        *[F.col(c).alias(f"__k{i}") for i, c in enumerate(keys)],
-        F.struct(*val_cols).alias("old"),
-    )
-    n = new.select(
-        *[F.col(c).alias(f"__k{i}") for i, c in enumerate(keys)],
-        F.struct(*val_cols).alias("new"),
-    )
+    val_cols += [
+        c for c in new.columns if c not in keys and c not in val_cols
+    ]
+
+    def _side(df: DataFrame, alias: str) -> DataFrame:
+        vals = [
+            (
+                F.col(c)
+                if c in df.columns
+                else F.lit(None).cast(types[c])
+            ).alias(c)
+            for c in val_cols
+        ]
+        return df.select(
+            *[F.col(c).alias(f"__k{i}") for i, c in enumerate(keys)],
+            F.struct(*vals).alias(alias),
+        )
+
+    o = _side(old, "old")
+    n = _side(new, "new")
     kref = [f"__k{i}" for i in range(len(keys))]
     j = o.join(n, kref, "full_outer")
     change = (

@@ -34,3 +34,16 @@ def test_apply_changes_is_one_aggregate_no_window(spark):
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial" in plan.lower()  # map-side partial aggregation
+
+
+def test_apply_changes_null_op_is_upsert(spark):
+    """Review finding: a NULL op (CDC encodings that only mark deletes)
+    must be treated as insert-or-update, not silently dropped."""
+    from merkonvectordb_spark.operators.cdc import apply_changes
+
+    log = spark.createDataFrame(
+        [(1, 1, None, "a"), (2, 1, "D", "b"), (2, 2, None, "b2")],
+        "k LONG, seq LONG, op STRING, v STRING",
+    )
+    got = {r.k: r.v for r in apply_changes(log, ["k"], "seq", "op").collect()}
+    assert got == {1: "a", 2: "b2"}

@@ -256,3 +256,25 @@ def test_sq8_single_exchange_bounded_topk(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan
     assert count_exchanges(df) == 1
+
+
+def test_global_ntile_desc_nulls_land_last(spark):
+    """Review finding: DESC must reproduce SQL's NULLS LAST (the bare
+    negation sent NULLs to tile 1), and non-numeric desc columns must
+    fail loudly."""
+    import pytest as _pytest
+
+    from merkonvectordb_spark.operators.stats import global_ntile
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, None), (4, 20.0)], "id LONG, q DOUBLE"
+    )
+    out = {
+        r.id: r.tile
+        for r in global_ntile(df, [("q", "desc"), ("id", "asc")], 2).collect()
+    }
+    assert out[3] == 2  # the NULL row is in the LAST tile
+    assert out[4] == 1  # the max lands first
+    sdf = spark.createDataFrame([(1, "x")], "id LONG, s STRING")
+    with _pytest.raises(TypeError):
+        global_ntile(sdf, [("s", "desc")], 2)

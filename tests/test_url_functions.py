@@ -60,3 +60,15 @@ def test_messy_variants_collapse_for_dedup(spark):
     df = spark.createDataFrame([(v,) for v in variants], "u STRING")
     n = df.select(normalize_url(F.col("u")).alias("n")).distinct().count()
     assert n == 1
+
+
+def test_registered_domain_single_label_host(spark):
+    """Review finding: dotless hosts (localhost, intranet names) must
+    return themselves, not '' (which collapsed unrelated hosts into one
+    cap bucket and diverged from the oracle's [-2:] slice)."""
+    from merkonvectordb_spark.functions.url import registered_domain
+
+    rows = spark.createDataFrame(
+        [("localhost",), ("intranet",), ("a.example.com",)], "h STRING"
+    ).select(registered_domain(F.col("h")).alias("d")).collect()
+    assert [r.d for r in rows] == ["localhost", "intranet", "example.com"]

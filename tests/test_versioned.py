@@ -388,3 +388,90 @@ def test_compact_with_zorder_layout(spark, tmp_path):
         .collect()
     ]
     assert zk == sorted(zk)
+
+
+def test_compact_preserves_evolved_columns(spark, tmp_path):
+    """Review finding: compacting files with heterogeneous (additively
+    evolved) schemas must mergeSchema — a single-footer read silently
+    dropped the evolved column and its data."""
+    from merkonvectordb_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt_ce"), "k LONG, a LONG")
+    t.append(spark.createDataFrame([(1, 10)], "k LONG, a LONG"))
+    t.append(
+        spark.createDataFrame([(2, 20, 99)], "k LONG, a LONG, c LONG")
+    )
+    for _ in range(6):  # the loss was nondeterministic via file order
+        t.compact(max_files_per_partition=1)
+        rows = {r.k: (r.a, r.c) for r in t.read().collect()}
+        assert rows == {1: (10, None), 2: (20, 99)}
+
+
+def test_compact_respects_file_count_on_partitioned_table(spark, tmp_path):
+    """Review finding: _write_data's pre-write hash repartition collapsed
+    compaction output to one file per partition regardless of
+    max_files_per_partition."""
+    import os
+
+    from merkonvectordb_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(
+        spark, str(tmp_path / "vt_cf"), "cid STRING, v LONG", part_col="cid"
+    )
+    for i in range(6):
+        t.append(
+            spark.createDataFrame([("a", i)], "cid STRING, v LONG")
+        )
+    t.compact(max_files_per_partition=2)
+    files = [f for f, p in t._live_files(t.current_version()) if p == "a"]
+    assert 1 <= len(files) <= 2
+    # identity preserved
+    assert sorted(r.v for r in t.read().collect()) == list(range(6))
+
+
+def test_exactly_once_watermark_survives_vacuum(spark, tmp_path):
+    """Review finding: the txn watermark must propagate through every
+    commit so vacuuming the manifest it rode in on cannot resurrect a
+    replayed batch."""
+    from merkonvectordb_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt_wv"), "k LONG")
+    t.append_exactly_once(
+        spark.createDataFrame([(1,)], "k LONG"), "app", 1
+    )
+    t.replace(t.read())  # non-txn commit on top
+    t.vacuum(retain_last=1)  # drops the manifest that carried the txn
+    v = t.current_version()
+    assert t.last_committed_batch("app") == 1
+    assert (
+        t.append_exactly_once(
+            spark.createDataFrame([(1,)], "k LONG"), "app", 1
+        )
+        == v
+    )  # replay: no-op
+    assert [r.k for r in t.read().collect()] == [1]
+
+
+def test_table_diff_sees_evolved_column_changes(spark, tmp_path):
+    """Review finding: a change confined to a schema-evolved column must
+    surface as an update (value structs take the UNION of columns)."""
+    from merkonvectordb_spark.sources.versioned import (
+        VersionedTable,
+        table_diff,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "vt_de"), "k LONG, a LONG")
+    v1 = t.replace(
+        spark.createDataFrame([(1, 10), (2, 20)], "k LONG, a LONG")
+    )
+    v2 = t.replace(
+        spark.createDataFrame(
+            [(1, 10, 5), (2, 20, None)], "k LONG, a LONG, c LONG"
+        )
+    )
+    got = {
+        r.k: (r._change_type, r.old.c, r.new.c)
+        for r in table_diff(t, ["k"], v1, v2).collect()
+    }
+    # k=1: only the evolved column changed (NULL→5) → update
+    assert got == {1: ("update", None, 5)}

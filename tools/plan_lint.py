@@ -117,9 +117,6 @@ PATTERNS = {
     "nested_loop": re.compile(r"BroadcastNestedLoopJoin"),
     "python_row_at_a_time": re.compile(r"BatchEvalPython"),
 }
-_WINDOW_RE = re.compile(
-    r"Window(?:GroupLimit)?\s+\[[^\]]*\],\s*\[([^\]]*)\]"
-)
 
 
 def single_partition_windows(plan: str) -> int:
