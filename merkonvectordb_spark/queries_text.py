@@ -822,3 +822,131 @@ def q_term_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "term_a", "term_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: the iterative merge loop (3 unrolled rounds)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_round_ctes(r: int) -> str:
+    """CTEs for round r: pair counts over s{r}, best pair b{r}, and the
+    merged corpus s{r+1}."""
+    pat = f"' ' || b{r}.l || ' ' || b{r}.r || ' '"
+    rep = f"' ' || b{r}.l || b{r}.r || ' '"
+    return f"""
+p{r} AS (
+  SELECT x.syms[i] AS l, x.syms[i+1] AS r,
+         CAST(sum(x.freq) AS BIGINT) AS cnt
+  FROM (SELECT regexp_split_to_array(trim(s), ' ') AS syms, freq
+        FROM s{r}) x,
+       unnest(generate_series(1, len(x.syms) - 1)) AS t(i)
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT l, r, cnt FROM p{r} ORDER BY cnt DESC, l, r LIMIT 1),
+s{r + 1} AS (
+  SELECT replace(replace(s{r}.s, {pat}, {rep}), {pat}, {rep}) AS s, freq
+  FROM s{r} CROSS JOIN b{r}
+)""".strip()
+
+
+_BPE_ROUND_SQL = ",\n".join(_bpe_round_ctes(r) for r in range(_BPE_ROUNDS))
+_BPE_UNION_SQL = " UNION ALL ".join(
+    f"SELECT {r} AS round, l, r AS right, l || r AS merged, cnt FROM b{r}"
+    for r in range(_BPE_ROUNDS)
+)
+
+_BPE_TRAIN_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY w),
+s0 AS (
+  SELECT ' ' || array_to_string(regexp_split_to_array(w, ''), ' ') || ' '
+           AS s, freq
+  FROM words
+),
+{_BPE_ROUND_SQL}
+SELECT * FROM (
+{_BPE_UNION_SQL}
+) ORDER BY round
+""".strip()
+
+
+@register("bpe_train_merges", _BPE_TRAIN_ORACLE)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016), three merge rounds
+    unrolled: per round, count adjacent symbol pairs over the
+    vocabulary (weighted by word frequency), pick the best pair
+    (count DESC, pair ASC), and merge it corpus-wide.
+
+    Merge application is string replace over space-separated symbol
+    strings, applied twice per round (left-to-right non-overlapping
+    replace consumes the shared separator, so a second pass catches the
+    stragglers in same-symbol runs) — byte-identical semantics in both
+    engines, which is what the hash verifies.
+
+    Scale shape: the corpus collapses to (word, freq) ONCE; every round
+    after that is vocabulary-sized (pairs groupBy + a 1-row argmax +
+    a scan-local replace) — the standard vocab-first BPE cost model.
+    The per-round best is a driver-collected single row (metadata), the
+    same class as IVF centroids."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(X.tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    cur = words.select(
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.split(F.col("w"), ""), " "),
+            F.lit(" "),
+        ).alias("s"),
+        "freq",
+    ).persist()
+
+    out_rows = []
+    for r in range(_BPE_ROUNDS):
+        syms = F.split(F.trim(F.col("s")), " ")
+        prs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("l"),
+                    F.element_at(syms, (i + 1).cast("int")).alias("r"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<l:string,r:string>>")
+        )
+        counts = (
+            cur.select(F.explode(prs).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = counts.orderBy(
+            F.desc("cnt"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()[0]
+        out_rows.append((r, best.l, best.r, best.l + best.r, best.cnt))
+        pat = f" {best.l} {best.r} "
+        rep = f" {best.l}{best.r} "
+        nxt = cur.select(
+            F.expr(
+                "replace(replace(s, '{0}', '{1}'), '{0}', '{1}')".format(
+                    pat, rep
+                )
+            ).alias("s"),
+            "freq",
+        ).persist()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        out_rows, "round INT, l STRING, right STRING, merged STRING, cnt LONG"
+    )
