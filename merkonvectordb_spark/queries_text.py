@@ -950,3 +950,95 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "round INT, l STRING, right STRING, merged STRING, cnt LONG"
     )
+
+
+_BPE_APPLY_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY w),
+s0 AS (
+  SELECT ' ' || array_to_string(regexp_split_to_array(w, ''), ' ') || ' '
+           AS s, freq
+  FROM words
+),
+{_BPE_ROUND_SQL}
+SELECT
+  (SELECT CAST(sum(freq) AS BIGINT) FROM words) AS n_words,
+  (SELECT CAST(sum(freq * len(regexp_split_to_array(trim(s), ' ')) ) AS BIGINT)
+   FROM s0) AS syms_before,
+  (SELECT CAST(sum(freq * len(regexp_split_to_array(trim(s), ' ')) ) AS BIGINT)
+   FROM s{_BPE_ROUNDS}) AS syms_after
+""".strip()
+
+
+@register("bpe_apply_report", _BPE_APPLY_ORACLE)
+def q_bpe_apply_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer APPLIED: corpus symbol counts before and
+    after the three learned merges (weighted by word frequency — the
+    vocabulary stands in for the corpus, so application costs
+    vocab·word_len, not a re-scan).  syms_after < syms_before is the
+    whole point of BPE; the exact integers are under the oracle hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(X.tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .persist()
+    )
+    cur = words.select(
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.split(F.col("w"), ""), " "),
+            F.lit(" "),
+        ).alias("s"),
+        "freq",
+    )
+    n_syms = F.sum(
+        F.col("freq") * F.size(F.split(F.trim(F.col("s")), " "))
+    ).cast("bigint")
+    before = cur.agg(n_syms.alias("syms_before"))
+    for r in range(_BPE_ROUNDS):
+        syms = F.split(F.trim(F.col("s")), " ")
+        prs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("l"),
+                    F.element_at(syms, (i + 1).cast("int")).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        counts = (
+            cur.select(F.explode(prs).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = counts.orderBy(
+            F.desc("cnt"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()[0]
+        pat = f" {best.l} {best.r} "
+        rep = f" {best.l}{best.r} "
+        cur = cur.select(
+            F.expr(
+                "replace(replace(s, '{0}', '{1}'), '{0}', '{1}')".format(
+                    pat, rep
+                )
+            ).alias("s"),
+            "freq",
+        )
+    after = cur.agg(n_syms.alias("syms_after"))
+    nw = words.agg(F.sum("freq").cast("bigint").alias("n_words"))
+    out = (
+        nw.crossJoin(F.broadcast(before))
+        .crossJoin(F.broadcast(after))
+        .select("n_words", "syms_before", "syms_after")
+    )
+    res = spark.createDataFrame(
+        out.collect(), "n_words LONG, syms_before LONG, syms_after LONG"
+    )
+    words.unpersist()
+    return res
