@@ -392,7 +392,7 @@ def q_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_union"))
     )
-    return (
+    out = (
         stats.crossJoin(F.broadcast(both))
         .crossJoin(F.broadcast(exact_i))
         .crossJoin(F.broadcast(exact_u))
@@ -409,4 +409,14 @@ def q_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_inter",
             "exact_union",
         )
+    )
+    # one row: collect eagerly so the persisted sketches can be released
+    # (a lazy return would pin them for the session's lifetime)
+    rows = out.collect()
+    for df in (sa, sb, merged):
+        df.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "n_x LONG, n_both LONG, est_union DOUBLE, est_inter DOUBLE,"
+        " exact_inter LONG, exact_union LONG",
     )
