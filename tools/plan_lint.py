@@ -98,6 +98,15 @@ ALLOW: dict[tuple[str, str], str] = {
     ("knn_batch_ivfpq", "nested_loop"):
         "fixed-K centroid set broadcast for assignment/probing (same "
         "shape as knn_batch_ivf)",
+    ("semantic_dedup", "nested_loop"):
+        "fixed-K centroid set broadcast for cluster assignment (same "
+        "shape as knn_batch_ivf)",
+    ("hist_quantiles", "nested_loop"):
+        "global min/max/count scalar (1 row) crossJoined for binning "
+        "and interpolation",
+    ("hist_quantiles", "single_partition_window"):
+        "cumulative count over the ≤128-bin histogram — sketch-sized "
+        "by construction, never data-sized",
     ("late_interaction_maxsim", "nested_loop"):
         "fixed query-term set (3 rows, with vectors) broadcast against "
         "the token-presence rows — |tokens|×|terms|, terms constant",
