@@ -26,9 +26,15 @@ TOKEN_REGEX = r"[a-z0-9]+|[^a-z0-9\s]"  # BPE-ish: word pieces or single punct
 
 
 def tokenize(text: Column) -> Column:
-    """Lowercased whitespace tokens (empty strings filtered)."""
+    """Lowercased whitespace tokens (empty strings filtered).
+
+    NULL text tokenizes to [] — without the coalesce, a NULL propagates
+    to a NULL array and ``size()`` then yields -1, poisoning every
+    downstream count.  (Raw SQL mirrors reading a NULL-bearing corpus
+    would need the same COALESCE; the fixtures carry no NULLs.)"""
     return F.filter(
-        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != F.lit("")
+        F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+"),
+        lambda t: t != F.lit(""),
     )
 
 

@@ -62,6 +62,10 @@ def build_bloom(
         m_bits = BLOOM_M_BITS
         while m_bits < 16 * max(n, 1) and m_bits < (1 << 24):
             m_bits *= 2
+    if m_bits <= 0 or m_bits % 64 != 0:
+        # bloom_filter_rows re-derives m as 64·len(words); a non-multiple
+        # would make build and probe disagree (and index out of range)
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
     n_words = m_bits // 64
     bits = _bit_positions(F.col(key_col), m_bits, k)
     rows = nn.select(F.explode(F.array(*bits)).alias("bit"))

@@ -78,6 +78,10 @@ def kmv_merge(*sketches: DataFrame, k: int) -> DataFrame:
     """Merge bottom-k sketches (e.g. built on disjoint shards): union
     the hash sets, dedupe, re-take the bottom k.  The result is the
     sketch of the union of the inputs — KMV's defining property."""
+    if k < 3:
+        raise ValueError("k must be >= 3 (estimator needs k-1 > 1)")
+    if not sketches:
+        raise ValueError("kmv_merge needs at least one sketch")
     it = iter(sketches)
     merged = next(it)
     for s in it:

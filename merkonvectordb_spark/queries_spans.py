@@ -64,10 +64,8 @@ def span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB mirrors of operators.dedup span helpers (same codec/windows)
 # ---------------------------------------------------------------------------
 
-_TOKS_SQL = (
-    r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),"
-    r" x -> x <> '')"
-)
+from merkonvectordb_spark.queries_dedup import _TOKS_SQL  # noqa: E402
+
 
 
 def _fold60(expr: str) -> str:

@@ -877,7 +877,67 @@ SELECT * FROM (
 """.strip()
 
 
+def _bpe_symbol_corpus(words):
+    """(s, freq): each word as a sentinel-spaced symbol string."""
+    return words.select(
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.split(F.col("w"), ""), " "),
+            F.lit(" "),
+        ).alias("s"),
+        "freq",
+    )
+
+
+def _bpe_run_rounds(cur, n_rounds):
+    """Run up to ``n_rounds`` merge rounds over a persisted (s, freq)
+    frame.  Returns (merges, final_frame): merges is a list of
+    (round, l, r, merged, cnt); stops early when no pair remains.
+
+    Symbols are bound as LITERAL columns (``F.replace``), never spliced
+    into a SQL string — a symbol containing a quote or backslash must
+    not be able to break or skew the plan.  Each round's frame persists
+    so round r never recomputes rounds 1..r-1.
+    """
+    cur = cur.persist()
+    merges = []
+    for r in range(n_rounds):
+        syms = F.split(F.trim(F.col("s")), " ")
+        prs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("l"),
+                    F.element_at(syms, (i + 1).cast("int")).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        counts = (
+            cur.select(F.explode(prs).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        top = counts.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(
+            1
+        ).collect()
+        if not top:  # nothing left to merge (single-symbol words only)
+            break
+        best = top[0]
+        merges.append((r, best.l, best.r, best.l + best.r, best.cnt))
+        pat = F.lit(f" {best.l} {best.r} ")
+        rep = F.lit(f" {best.l}{best.r} ")
+        nxt = cur.select(
+            F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"),
+            "freq",
+        ).persist()
+        cur.unpersist()
+        cur = nxt
+    return merges, cur
+
+
 @register("bpe_train_merges", _BPE_TRAIN_ORACLE)
+
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING (Sennrich et al. 2016), three merge rounds
     unrolled: per round, count adjacent symbol pairs over the
@@ -901,54 +961,12 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
-    cur = words.select(
-        F.concat(
-            F.lit(" "),
-            F.array_join(F.split(F.col("w"), ""), " "),
-            F.lit(" "),
-        ).alias("s"),
-        "freq",
-    ).persist()
-
-    out_rows = []
-    for r in range(_BPE_ROUNDS):
-        syms = F.split(F.trim(F.col("s")), " ")
-        prs = F.when(
-            F.size(syms) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(syms) - 1),
-                lambda i: F.struct(
-                    F.element_at(syms, i).alias("l"),
-                    F.element_at(syms, (i + 1).cast("int")).alias("r"),
-                ),
-            ),
-        ).otherwise(
-            F.array().cast("array<struct<l:string,r:string>>")
-        )
-        counts = (
-            cur.select(F.explode(prs).alias("p"), "freq")
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").cast("bigint").alias("cnt"))
-        )
-        best = counts.orderBy(
-            F.desc("cnt"), F.asc("l"), F.asc("r")
-        ).limit(1).collect()[0]
-        out_rows.append((r, best.l, best.r, best.l + best.r, best.cnt))
-        pat = f" {best.l} {best.r} "
-        rep = f" {best.l}{best.r} "
-        nxt = cur.select(
-            F.expr(
-                "replace(replace(s, '{0}', '{1}'), '{0}', '{1}')".format(
-                    pat, rep
-                )
-            ).alias("s"),
-            "freq",
-        ).persist()
-        cur.unpersist()
-        cur = nxt
-    cur.unpersist()
+    merges, final = _bpe_run_rounds(
+        _bpe_symbol_corpus(words), _BPE_ROUNDS
+    )
+    final.unpersist()
     return spark.createDataFrame(
-        out_rows, "round INT, l STRING, right STRING, merged STRING, cnt LONG"
+        merges, "round INT, l STRING, right STRING, merged STRING, cnt LONG"
     )
 
 
@@ -988,49 +1006,13 @@ def q_bpe_apply_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .persist()
     )
-    cur = words.select(
-        F.concat(
-            F.lit(" "),
-            F.array_join(F.split(F.col("w"), ""), " "),
-            F.lit(" "),
-        ).alias("s"),
-        "freq",
-    )
     n_syms = F.sum(
         F.col("freq") * F.size(F.split(F.trim(F.col("s")), " "))
     ).cast("bigint")
-    before = cur.agg(n_syms.alias("syms_before"))
-    for r in range(_BPE_ROUNDS):
-        syms = F.split(F.trim(F.col("s")), " ")
-        prs = F.when(
-            F.size(syms) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(syms) - 1),
-                lambda i: F.struct(
-                    F.element_at(syms, i).alias("l"),
-                    F.element_at(syms, (i + 1).cast("int")).alias("r"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
-        counts = (
-            cur.select(F.explode(prs).alias("p"), "freq")
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").cast("bigint").alias("cnt"))
-        )
-        best = counts.orderBy(
-            F.desc("cnt"), F.asc("l"), F.asc("r")
-        ).limit(1).collect()[0]
-        pat = f" {best.l} {best.r} "
-        rep = f" {best.l}{best.r} "
-        cur = cur.select(
-            F.expr(
-                "replace(replace(s, '{0}', '{1}'), '{0}', '{1}')".format(
-                    pat, rep
-                )
-            ).alias("s"),
-            "freq",
-        )
-    after = cur.agg(n_syms.alias("syms_after"))
+    start = _bpe_symbol_corpus(words)
+    before = start.agg(n_syms.alias("syms_before"))
+    _merges, final = _bpe_run_rounds(start, _BPE_ROUNDS)
+    after = final.agg(n_syms.alias("syms_after"))
     nw = words.agg(F.sum("freq").cast("bigint").alias("n_words"))
     out = (
         nw.crossJoin(F.broadcast(before))
@@ -1040,5 +1022,6 @@ def q_bpe_apply_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = spark.createDataFrame(
         out.collect(), "n_words LONG, syms_before LONG, syms_after LONG"
     )
+    final.unpersist()
     words.unpersist()
     return res
