@@ -306,14 +306,19 @@ def q_late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qt", vec("qt").alias("qv"))
     from merkonvectordb_spark.functions.vector import cosine_similarity
 
-    scored = (
-        toks.join(vocab, "tok")
-        .crossJoin(F.broadcast(qterms))
+    # sims depend only on (vocab token, query term): compute them on the
+    # VOCAB (|vocab|·|terms| rows), then join to the corpus presence rows
+    # — the 16-dim fold never runs per token occurrence
+    sims = (
+        vocab.crossJoin(F.broadcast(qterms))
         .select(
-            "doc_id",
+            "tok",
             "qt",
             cosine_similarity(F.col("tv"), F.col("qv")).alias("cs"),
         )
+    )
+    scored = toks.join(F.broadcast(sims), "tok").select(
+        "doc_id", "qt", "cs"
     )
     maxes = [
         F.max(F.when(F.col("qt") == t, F.col("cs"))).alias(f"m{i}")
