@@ -34,13 +34,16 @@ def exact_global_quantiles(
     col: str,
     qs: Sequence[float],
     num_partitions: int | None = None,
-) -> list[float]:
+    return_count: bool = False,
+) -> list[float] | tuple[list[float], int]:
     """PERCENTILE_CONT-interpolated exact global quantiles of ``col``.
 
-    Returns one float per entry of ``qs`` (each in [0, 1]).  NULLs are
-    excluded, matching SQL aggregate semantics.  Deterministic: the k-th
-    order statistic does not depend on where sampled range boundaries
-    land.
+    Returns one float per entry of ``qs`` (each in [0, 1]), or
+    ``(values, n)`` with ``return_count=True`` — the non-null count
+    falls out of the internal per-partition count pass, so callers that
+    need it must not pay a second table scan.  NULLs are excluded,
+    matching SQL aggregate semantics.  Deterministic: the k-th order
+    statistic does not depend on where sampled range boundaries land.
     """
     import pandas as pd
 
@@ -78,7 +81,8 @@ def exact_global_quantiles(
         offsets.append(total)
         total += counts[p]
     if total == 0:
-        return [float("nan")] * len(qs)
+        empty = [float("nan")] * len(qs)
+        return (empty, 0) if return_count else empty
 
     def locate(global_rank: int) -> tuple[int, int]:
         """0-based global rank → (pid, 1-based local rank)."""
@@ -107,7 +111,7 @@ def exact_global_quantiles(
         v_lo = wanted[locate(lo)]
         v_hi = wanted[locate(hi)]
         out.append(v_lo + (v_hi - v_lo) * w)
-    return out
+    return (out, total) if return_count else out
 
 
 def global_ntile(

@@ -220,7 +220,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         one("intersect", hi_q.intersect(en))
-        .unionByName(one("except", hi_q.exceptAll(en).distinct()))
+        .unionByName(one("except", hi_q.subtract(en)))
         .unionByName(one("union", hi_q.union(en).distinct()))
     )
 
@@ -472,10 +472,9 @@ def q_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from merkonvectordb_spark.operators.stats import exact_global_quantiles
 
     li = load_table(spark, sf_dir, "lineitem")
-    p50, p90, p99 = exact_global_quantiles(
-        li, "l_extendedprice", [0.5, 0.9, 0.99]
+    (p50, p90, p99), n = exact_global_quantiles(
+        li, "l_extendedprice", [0.5, 0.9, 0.99], return_count=True
     )
-    n = li.where(F.col("l_extendedprice").isNotNull()).count()
     return spark.createDataFrame(
         [(round(p50, 4), round(p90, 4), round(p99, 4), n)],
         "p50 DOUBLE, p90 DOUBLE, p99 DOUBLE, n LONG",

@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 from merkonvectordb_spark.queries_events import SESSION_GAP_SEC
 from merkonvectordb_spark.registry import register
 from merkonvectordb_spark.streaming import stream_events
-from merkonvectordb_spark.streaming.stateful import sessionize_stream
 
 
 def _staged_events_dir(sf_dir: str, work: str) -> str:
@@ -71,9 +70,17 @@ def _run_to_memory(
         )
         # the micro-batch thread reads the conf when it plans each batch,
         # so restore only after the stream has fully terminated
-        q.awaitTermination(300)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "streaming query did not finish within 600s — a partial "
+                "memory sink would be silently wrong"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # the sink holds the result in memory; the staged source copy and
+    # checkpoint are dead weight once the stream terminated
+    shutil.rmtree(work, ignore_errors=True)
     return spark.table(name)
 
 
@@ -391,7 +398,10 @@ def q_streaming_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming sketch fold did not finish in 600s")
+    shutil.rmtree(work, ignore_errors=True)
 
     sketch = spark.createDataFrame(
         [(h,) for h in sorted(state)[:k]], "h LONG"
@@ -471,7 +481,10 @@ def q_streaming_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming CMS fold did not finish in 600s")
+    shutil.rmtree(work, ignore_errors=True)
 
     sketch = spark.createDataFrame(
         [(rc[0], rc[1], n) for rc, n in sorted(state.items())],

@@ -45,6 +45,10 @@ def stream_events(
     < 9.2e15, while epoch-ns for any date after 1973 is > 1e17 — the two
     regimes are 10× apart, so the 1e17 cut is unambiguous.
     """
+    # same defensive conf load_table applies: an external harness's
+    # session may carry a non-UTC zone, shifting every rendered instant
+    # (these queries never touch load_table, so pin it here too)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = spark.readStream.schema(EVENTS_RAW_DDL)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
