@@ -82,10 +82,21 @@ def chunk_tokens(
         .withColumn("__toks", toks)
         .withColumn(
             "__start",
+            # last start = the first stride multiple whose window reaches
+            # the document end; going further emits tail chunks that are
+            # pure suffixes of the previous chunk (duplicated tokens)
             F.explode(
                 F.sequence(
                     F.lit(0),
-                    F.greatest(F.size("__toks") - 1, F.lit(0)),
+                    F.when(
+                        F.size("__toks") <= window, F.lit(0)
+                    ).otherwise(
+                        F.floor(
+                            (F.size("__toks") - window + stride - 1)
+                            / stride
+                        ).cast("int")
+                        * stride
+                    ),
                     F.lit(stride),
                 )
             ),
@@ -157,10 +168,13 @@ def global_exclusive_prefix_sum(
                 run = int(c.iloc[-1])
             yield pdf
 
-    # one partition-local scan produces the running sums; persist because
-    # both the offset collect and the caller consume it (perf law: 2+
-    # consumers without persist re-runs the lineage per consumer)
-    ranked = part.mapInPandas(_cum, schema).persist()
+    # one partition-local scan produces the running sums; localCheckpoint
+    # (eager) because both the offset collect and the caller consume it:
+    # it materializes once like persist, but the blocks free when the
+    # frame is garbage-collected instead of pinning the cache registry
+    # for the session's lifetime (this runs once per bulk upsert / per
+    # packed split)
+    ranked = part.mapInPandas(_cum, schema).localCheckpoint(eager=True)
     totals = {
         r["__pid"]: r["s"] or 0
         for r in ranked.groupBy("__pid")
@@ -375,9 +389,13 @@ def prepare_training_shards(
     gated = docs.where(quality_score(F.col(text_col)) >= F.lit(quality_min))
     surv = keep_survivors(gated, text_col, id_col)
     assigned = hash_split(surv, id_col, splits, salt=salt)
+    # the quality-gate → dedup-window → chunk lineage feeds one
+    # pack_sequences per split (each with its own driver collect):
+    # persist, or every split re-runs the corpus shuffle (2+-consumers
+    # law from this module's own docstring)
     chunks = chunk_tokens(
         assigned.select(id_col, "split", text_col), text_col, window, stride
-    ).drop(text_col)
+    ).drop(text_col).persist()
     packed = None
     for name in splits:
         part = pack_sequences(

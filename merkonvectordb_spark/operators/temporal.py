@@ -44,9 +44,11 @@ def asof_join(
     Returns every ``left`` row plus ``<col><suffix>`` for each requested
     right payload column and ``<right_ts><suffix>`` (NULL when no right
     row precedes).  Ties on the timestamp resolve right-row-visible
-    (a right row AT left_ts matches), and among equal right timestamps
-    the LAST in ``__seq`` order wins — pass a deduplicated right side
-    (unique key+ts) for engine-independent determinism.
+    (a right row AT left_ts matches); among DUPLICATE right (key, ts)
+    rows the winner is deterministic — the greatest payload in JSON
+    order (an explicit tie column in the merge window; without it the
+    carried value would depend on shuffle order).  Pass a deduplicated
+    right side when a domain-specific rule is wanted.
     """
     rt = right_ts + suffix
     payload = [rt, *[c + suffix for c in right_cols]]
@@ -54,6 +56,12 @@ def asof_join(
         *on,
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),  # right sorts BEFORE left at equal ts
+        F.to_json(
+            F.struct(
+                F.col(right_ts).alias(rt),
+                *[F.col(c).alias(c + suffix) for c in right_cols],
+            )
+        ).alias("__tie"),
         F.col(right_ts).alias(rt),
         *[F.col(c).alias(c + suffix) for c in right_cols],
     )
@@ -61,19 +69,22 @@ def asof_join(
         *left.columns,
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
+        F.lit("").alias("__tie"),
         *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in payload],
     )
     merged = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.asc("__t"), F.asc("__side"))
+        .orderBy(F.asc("__t"), F.asc("__side"), F.asc("__tie"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.select(
         *[c for c in merged.columns if c not in payload],
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
     )
-    return carried.where(F.col("__side") == 1).drop("__t", "__side")
+    return carried.where(F.col("__side") == 1).drop(
+        "__t", "__side", "__tie"
+    )
 
 
 def interval_join(
@@ -127,9 +138,11 @@ def scd2_history(
     log into validity intervals — one row per (key, attribute-run) with
     ``valid_from`` / ``valid_to`` (NULL = currently open).
 
-    Change detection is ``lag(attr) != attr`` over the per-key order;
-    interval close is ``lead(valid_from)`` over the surviving change
-    rows.  Both windows hash-partition on the key — Spark reuses the
+    Change detection is NULL-SAFE (``row_number = 1 OR NOT prev <=>
+    attr``): a transition INTO a NULL attribute is a run of its own — a
+    bare ``!=`` evaluates NULL there and silently extends the previous
+    value's validity.  Interval close is ``lead(valid_from)`` over the
+    surviving change rows.  Both windows hash-partition on the key — Spark reuses the
     single exchange for the two window stages, so the whole
     historization is ONE shuffle of the log, no self-joins.  Ties in
     the order must be broken by unique columns (pass them in
@@ -142,11 +155,12 @@ def scd2_history(
     w = Window.partitionBy(*keys).orderBy(*order)
     changed = (
         df.withColumn("__prev", F.lag(F.col(attr_col)).over(w))
+        .withColumn("__rn", F.row_number().over(w))
         .where(
-            F.col("__prev").isNull()
-            | (F.col("__prev") != F.col(attr_col))
+            (F.col("__rn") == 1)
+            | (~F.col("__prev").eqNullSafe(F.col(attr_col)))
         )
-        .drop("__prev")
+        .drop("__prev", "__rn")
     )
     w2 = Window.partitionBy(*keys).orderBy(*order)
     return changed.select(

@@ -73,8 +73,20 @@ def bm25_topk(
     """
     terms = sorted({t.lower() for t in query_terms if t})
     if not terms or k <= 0:
+        # the empty frame's doc column must carry the ACTUAL id type, or
+        # a caller unioning empty and non-empty rankings (rrf_fuse over
+        # a query mix) hits a schema mismatch
+        id_type = docs.schema[id_col].dataType
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
         return docs.sparkSession.createDataFrame(
-            [], "doc LONG, score DOUBLE"
+            [],
+            StructType(
+                [
+                    StructField("doc", id_type),
+                    StructField("score", DoubleType()),
+                ]
+            ),
         )
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -61,7 +61,7 @@ WITH base AS (
   WHERE length(trim(text)) > 0
 ),
 st AS (
-  SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 48)) AS s
+  SELECT doc_id, t, unnest(range(0, (CASE WHEN len(t) <= 64 THEN 0 ELSE ((len(t) - 64 + 47) // 48) * 48 END) + 1, 48)) AS s
   FROM base
 )
 SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx,
@@ -92,7 +92,7 @@ WITH base AS (
   WHERE length(trim(text)) > 0
 ),
 st AS (
-  SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 48)) AS s
+  SELECT doc_id, t, unnest(range(0, (CASE WHEN len(t) <= 64 THEN 0 ELSE ((len(t) - 64 + 47) // 48) * 48 END) + 1, 48)) AS s
   FROM base
 ),
 chunks AS (
@@ -368,7 +368,7 @@ base AS (
   FROM sp WHERE length(trim(text)) > 0
 ),
 st AS (
-  SELECT doc_id, split, t, unnest(range(0, greatest(len(t), 1), 48)) AS s
+  SELECT doc_id, split, t, unnest(range(0, (CASE WHEN len(t) <= 64 THEN 0 ELSE ((len(t) - 64 + 47) // 48) * 48 END) + 1, 48)) AS s
   FROM base
 ),
 chunks AS (

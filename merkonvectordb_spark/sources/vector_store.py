@@ -80,9 +80,17 @@ class VectorStore:
         return self.spark.read.schema(_REGISTRY_DDL).parquet(self.registry_path)
 
     # -- S2 save -----------------------------------------------------------
-    def _overwrite_partitions(self, new_rows: DataFrame) -> None:
+    def _overwrite_partitions(
+        self, new_rows: DataFrame, touched: Sequence[str] | None = None
+    ) -> None:
         """Dynamic partition overwrite: only collections present in
         ``new_rows`` are rewritten — the scale-safe 'Save' (S2).
+
+        ``touched`` lists the collections this write is ABOUT: dynamic
+        overwrite only replaces partitions that appear in the output, so
+        a touched collection whose new state is EMPTY (its last row was
+        deleted / expired) would otherwise silently keep its old files —
+        those partitions are dropped explicitly after the write.
 
         Range-partitioned on (collection, key), NOT hash-partitioned on
         collection alone: hash-by-collection funnels each collection
@@ -91,13 +99,28 @@ class VectorStore:
         big collection across many writers, keeps small collections to
         few files, and leaves the data key-clustered for read-side
         min/max pruning on point lookups."""
+        import shutil
+
         par = self.spark.sparkContext.defaultParallelism
+        new_rows = new_rows.persist()
         (
             new_rows.repartitionByRange(par, "collection", "key")
             .write.mode("overwrite")
             .partitionBy("collection")
             .parquet(self.vectors_path)
         )
+        if touched:
+            present = {
+                r["collection"]
+                for r in new_rows.select("collection").distinct().collect()
+            }
+            for c in touched:
+                if c not in present:
+                    shutil.rmtree(
+                        os.path.join(self.vectors_path, f"collection={c}"),
+                        ignore_errors=True,
+                    )
+        new_rows.unpersist()
 
     def _write_registry(self, reg: DataFrame) -> None:
         # registry is tiny (one row per collection): single file, full
@@ -195,7 +218,9 @@ class VectorStore:
         """W6 — one statement, not the reference's per-key Task.WhenAll
         (MerkonMemoryStore.cs:111-114)."""
         part = self.vectors().where(F.col("collection") == collection)
-        self._overwrite_partitions(ops.delete_keys(part, collection, keys))
+        self._overwrite_partitions(
+            ops.delete_keys(part, collection, keys), touched=[collection]
+        )
 
     def delete_collection(self, name: str) -> None:
         """W7: partition drop + registry removal — no data rewrite."""
@@ -210,7 +235,9 @@ class VectorStore:
     def delete_empty(self, collection: str) -> None:
         """W8 explicit empty-key purge (never a read side effect)."""
         part = self.vectors().where(F.col("collection") == collection)
-        self._overwrite_partitions(ops.delete_empty_keys(part, collection))
+        self._overwrite_partitions(
+            ops.delete_empty_keys(part, collection), touched=[collection]
+        )
 
     # -- maintenance -------------------------------------------------------
     def compact(
@@ -305,7 +332,7 @@ class VectorStore:
         # re-read the rewritten files (numerically same, semantically
         # wrong source)
         n_kept = kept.count()
-        self._overwrite_partitions(kept)
+        self._overwrite_partitions(kept, touched=hit)
         return n_before - n_kept
 
     # -- P1 / R1 / S3 reads ------------------------------------------------

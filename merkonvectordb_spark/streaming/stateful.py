@@ -53,24 +53,34 @@ def make_session_fn(gap_sec: int = 1800, event_time_timeout: bool = False):
             start = last = None
             cnt, vsum = 0, 0.0
         closed: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts, val in zip(pdf["ts"], pdf["value"]):
-                t = int(ts.value // 1_000)  # pandas ns → µs
-                if last is None:
-                    start, last, cnt, vsum = t, t, 1, float(val)
-                elif t - last > gap_us:
-                    closed.append((user_id, start, last, cnt, round(vsum, 2)))
-                    start, last, cnt, vsum = t, t, 1, float(val)
-                else:
-                    # late-but-within-gap events (t < last across micro-batch
-                    # boundaries) must never move the session end BACKWARDS —
-                    # that would shorten the session and set the event-time
-                    # timeout earlier than true-last + gap (premature flush)
-                    last = max(last, t)
-                    start = min(start, t)
-                    cnt += 1
-                    vsum += float(val)
+        # one sort over the WHOLE micro-batch group: the iterator yields
+        # Arrow chunks (~10k rows each), and sorting each chunk alone
+        # would let an out-of-order event that lands in a later chunk
+        # spuriously close/merge sessions across the chunk boundary
+        batch = list(pdfs)
+        pdf = (
+            pd.concat(batch, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            if batch
+            else pd.DataFrame(columns=["ts", "value"])
+        )
+        for ts, val in zip(pdf["ts"], pdf["value"]):
+            t = int(ts.value // 1_000)  # pandas ns → µs
+            if last is None:
+                start, last, cnt, vsum = t, t, 1, float(val)
+            elif t - last > gap_us:
+                closed.append((user_id, start, last, cnt, round(vsum, 2)))
+                start, last, cnt, vsum = t, t, 1, float(val)
+            else:
+                # late-but-within-gap events (t < last across micro-batch
+                # boundaries) must never move the session end BACKWARDS —
+                # that would shorten the session and set the event-time
+                # timeout earlier than true-last + gap (premature flush)
+                last = max(last, t)
+                start = min(start, t)
+                cnt += 1
+                vsum += float(val)
         if last is not None:
             state.update((start, last, cnt, vsum))
             if event_time_timeout:

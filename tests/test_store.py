@@ -76,10 +76,18 @@ def test_upsert_bulk_inserts_matches_window_path(spark, base):
     a = sorted((r.collection, r.key, r.ingest_seq) for r in small.collect())
     b = sorted((r.collection, r.key, r.ingest_seq) for r in bulk.collect())
     assert a == b
-    # the insert ranking went through the range-partitioned prefix sum
-    # (the remaining Window operators are the per-key partitioned ones)
+    # the insert ranking went through the distributed prefix sum: its
+    # localCheckpoint boundary appears as an ExistingRDD scan, and no
+    # single-partition (empty partition spec) Window ranks the batch
     plan = bulk._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange rangepartitioning" in plan
+    assert "Scan ExistingRDD" in plan
+    import re as _re
+
+    for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        seg = m.group(1)
+        assert not (" ASC" in seg or " DESC" in seg), (
+            "single-partition window ranks the bulk insert batch"
+        )
 
 
 def test_upsert_idempotent(spark, base):
@@ -321,3 +329,37 @@ def test_vacuum_expires_only_old_rows(spark, tmp_path):
     assert left == {"new1", "new2", "nots"}  # NULL ts never expires
     # steady state: nothing expired, nothing rewritten, zero removed
     assert store.vacuum(dt.datetime(2022, 1, 1)) == 0
+
+
+def test_delete_last_row_empties_collection(spark, tmp_path):
+    """Review finding (confirmed): dynamic partition overwrite never
+    replaces a partition absent from the output — deleting a
+    collection's last row must drop the partition explicitly."""
+    from merkonvectordb_spark.sources.vector_store import VectorStore
+
+    store = VectorStore(spark, str(tmp_path / "vs_empty"))
+    store.create_table()
+    upd = _upd(
+        spark, [("solo", "k1", '{"id":"k1"}', [1.0, 0.0], TS)]
+    )
+    store.upsert(upd, key_from_metadata=False)
+    assert store.vectors().where(F.col("collection") == "solo").count() == 1
+    store.delete("solo", "k1")
+    assert store.vectors().where(F.col("collection") == "solo").count() == 0
+
+
+def test_vacuum_purges_fully_expired_collection(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from merkonvectordb_spark.sources.vector_store import VectorStore
+
+    store = VectorStore(spark, str(tmp_path / "vs_vac"))
+    store.create_table()
+    old_ts = datetime(2020, 1, 1)
+    upd = _upd(
+        spark, [("stale", "k1", '{"id":"k1"}', [1.0, 0.0], old_ts)]
+    )
+    store.upsert(upd, key_from_metadata=False)
+    removed = store.vacuum(old_ts + timedelta(days=1))
+    assert removed == 1
+    assert store.vectors().where(F.col("collection") == "stale").count() == 0

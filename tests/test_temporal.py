@@ -183,3 +183,20 @@ def test_scd2_history_intervals_and_single_shuffle(spark):
         (1, "b", 3, 5),
         (2, "x", 9, None),
     ]
+
+
+def test_scd2_null_attribute_is_a_run(spark):
+    """Review finding: a transition INTO NULL must open its own validity
+    interval — a bare != extended the previous value through the NULL
+    period."""
+    from merkonvectordb_spark.operators.temporal import scd2_history
+
+    df = spark.createDataFrame(
+        [(1, "a", 1), (1, None, 2), (1, "b", 3), (1, "b", 4)],
+        "k LONG, attr STRING, ts LONG",
+    )
+    rows = {
+        r.valid_from: (r.attr, r.valid_to)
+        for r in scd2_history(df, ["k"], "attr", "ts", ("ts",)).collect()
+    }
+    assert rows == {1: ("a", 2), 2: (None, 3), 3: ("b", None)}
