@@ -733,6 +733,7 @@ def pq_codebook(
     emb_col: str = "embedding",
     m: int = PQ_M,
     ksub: int = PQ_K,
+    dim: int = DIM,
 ) -> list[list[list[float]]]:
     """``[m][j][dsub]`` codebook from the ``ksub`` lowest-id vectors'
     subvectors (deterministic seeding, the same scheme as the IVF coarse
@@ -743,13 +744,15 @@ def pq_codebook(
     1 KB here), like IVF centroids and SQ8 stats — not data through the
     driver.  The seed pick is a ``TakeOrderedAndProject`` heap."""
     rows = (
-        corpus.where(F.size(F.col(emb_col)) == DIM)
+        corpus.where(F.size(F.col(emb_col)) == dim)
         .orderBy(F.col(id_col).asc())
         .limit(ksub)
         .select(emb_col)
         .collect()
     )
-    dsub = DIM // m
+    if not rows:
+        raise ValueError(f"no {dim}-dim rows to seed the codebook from")
+    dsub = dim // m
     return [
         [
             [float(rows[j][0][mm * dsub + t]) for t in range(dsub)]
@@ -842,9 +845,10 @@ def knn_batch_pq(
     if cb is None:
         cb = pq_codebook(corpus, id_col, emb_col)
     m = len(cb)
+    dim = m * len(cb[0][0])  # the codebook implies the dimensionality
     par = corpus.sparkSession.sparkContext.defaultParallelism
     coded = (
-        corpus.where(F.size(F.col(emb_col)) == DIM)
+        corpus.where(F.size(F.col(emb_col)) == dim)
         .repartition(par)
         .select(
             id_col,
@@ -926,6 +930,7 @@ def knn_batch_ivfpq(
     m = len(cb)
     par = corpus.sparkSession.sparkContext.defaultParallelism
     corpus = corpus.repartition(par)
+    _ = m * len(cb[0][0])  # codebook shape sanity (dim implied by cb)
     assign = ivf_assign(corpus, centroids, id_col, emb_col, 1)
     coded = corpus.select(
         id_col,

@@ -365,6 +365,9 @@ def char_ngram_key_rows(
     src = df.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
     ).repartition(par)
+    # carry the caller's id TYPE through the Arrow pass — a hardcoded
+    # LONG would break (or silently coerce) string ids the API accepts
+    id_ddl = df.schema[id_col].dataType.simpleString()
 
     def gen(batches):
         ws = _re.compile(r"\s+")
@@ -391,7 +394,9 @@ def char_ngram_key_rows(
     # __s (the doc's set size) rides along denormalized: downstream needs
     # it per row anyway and computing it here saves a full-partition
     # count window (an extra sort pass over every gram row)
-    return src.mapInPandas(gen, "__id LONG, gkey LONG, __s LONG")
+    return src.mapInPandas(
+        gen, f"__id {id_ddl}, gkey LONG, __s LONG"
+    )
 
 
 def ngram_jaccard_pairs(
@@ -554,7 +559,14 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs ``(a, b, hamming)`` by SimHash chunk banding + exact
     Hamming verify.  Same bucket-bounded shape as the MinHash pipeline:
-    the chunk self-join is an equi-join on (chunk_id, chunk_key)."""
+    the chunk self-join is an equi-join on (chunk_id, chunk_key).
+
+    Recall contract: the pigeonhole guarantee covers hamming ≤
+    SIMHASH_CHUNKS − 1 (= 5); pairs in (5, max_hamming] are reported
+    only when their differing bits happen to leave one chunk intact —
+    banding-dependent recall, mirrored identically by the oracle.
+    Tighten ``max_hamming`` to 5 (or raise SIMHASH_CHUNKS) when the
+    guarantee must be total."""
     # docs with no tokens would all hash to fingerprint 0; exclude them
     from merkonvectordb_spark.functions.text import token_count
 
@@ -887,12 +899,11 @@ def remove_duplicated_spans(
     from merkonvectordb_spark.functions.text import tokenize
 
     g = span_gram_rows(df, id_col, text_col, n)
-    w_g = Window.partitionBy("gh")
+    # rank > 1 already implies the gram occurs ≥2 times — a separate
+    # occurrence-count window over every gram row would be dead work
     w_rank = Window.partitionBy("gh").orderBy(id_col, "pos")
-    redundant = (
-        g.withColumn("occ", F.count(F.lit(1)).over(w_g))
-        .withColumn("rk", F.row_number().over(w_rank))
-        .where((F.col("occ") > 1) & (F.col("rk") > 1))
+    redundant = g.withColumn("rk", F.row_number().over(w_rank)).where(
+        F.col("rk") > 1
     )
     runs = _span_runs(redundant, id_col, n)
     covered = runs.select(

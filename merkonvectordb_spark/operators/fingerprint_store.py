@@ -82,13 +82,32 @@ def append_minhash_store(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: int | None = None,
 ) -> int:
-    """Append a new batch's fingerprints; returns the new version."""
+    """Append a new batch's fingerprints; returns the new bands version.
+
+    The two tables commit independently (no cross-table transaction), so
+    a failure between the shingle and band commits leaves them one batch
+    apart — and a naive retry would append the shingles TWICE.  Pass a
+    ``batch_id`` (e.g. the streaming micro-batch id) to make the call
+    idempotent: both appends ride the versioned store's exactly-once
+    watermark, so a retry skips whichever table already committed the
+    batch and completes the other — the pair converges.
+    """
     sets_df = shingle_sets(docs, id_col, text_col).persist()
-    store.shingles.append(sets_df)
-    v = store.bands.append(
-        band_rows(sets_df).withColumn("band_id", F.col("band_id").cast("int"))
+    bands = band_rows(sets_df).withColumn(
+        "band_id", F.col("band_id").cast("int")
     )
+    if batch_id is not None:
+        store.shingles.append_exactly_once(
+            sets_df, "fingerprint_shingles", batch_id
+        )
+        v = store.bands.append_exactly_once(
+            bands, "fingerprint_bands", batch_id
+        )
+    else:
+        store.shingles.append(sets_df)
+        v = store.bands.append(bands)
     sets_df.unpersist()
     return v
 

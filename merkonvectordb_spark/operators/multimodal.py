@@ -79,11 +79,16 @@ def frame_sample_plan(df: DataFrame, fps: float = 1.0) -> DataFrame:
     """Frame timestamps (ms) to extract per video row — a pure expression
     computed BEFORE any decode, so the decoder touches only planned
     frames.  Non-video rows get an empty plan."""
+    if not (0 < fps <= 1000):
+        # fps > 1000 floors the ms step to 0 (sequence() rejects a zero
+        # step at runtime); fps <= 0 divides by zero at plan time
+        raise ValueError(f"fps must be in (0, 1000], got {fps}")
     step = int(1000 / fps)
     return df.withColumn(
         "frame_ms",
         F.when(
-            F.col("modality") == "video",
+            (F.col("modality") == "video")
+            & F.col("meta.duration_ms").isNotNull(),
             F.sequence(
                 F.lit(0),
                 F.greatest(F.col("meta.duration_ms").cast("long") - 1, F.lit(0)),

@@ -27,7 +27,19 @@ from pyspark.sql import functions as F
 
 
 def _row_salt(df: DataFrame, n_salt: int) -> Column:
-    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+    """Per-row salt: hash of all columns PLUS the physical partition id.
+
+    Without the partition term, byte-identical duplicate rows (a hot key
+    of repeated facts with no unique column) all hash to one salt and
+    still funnel through a single reducer — the exact case salting
+    exists for.  Mixing ``spark_partition_id`` spreads duplicates while
+    leaving RESULTS deterministic: the salt only routes rows, and the
+    fact-preserving join/agg forms are salt-invariant by construction.
+    """
+    return F.pmod(
+        F.xxhash64(F.spark_partition_id(), *[F.col(c) for c in df.columns]),
+        F.lit(n_salt),
+    )
 
 
 def salted_join(
@@ -72,7 +84,9 @@ def salted_agg(
     for col, fn in aggs.items():
         p = f"__p_{col}"
         if fn == "count":
-            partial_exprs.append(F.count(F.lit(1)).alias(p))
+            # COUNT(col) semantics: NULLs don't count — F.count(lit(1))
+            # would silently report group ROW counts instead
+            partial_exprs.append(F.count(F.col(col)).alias(p))
             final_exprs.append(F.sum(p).alias(f"{fn}_{col}"))
         elif fn == "sum":
             partial_exprs.append(F.sum(col).alias(p))

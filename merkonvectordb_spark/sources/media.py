@@ -105,7 +105,10 @@ def to_multimodal(files: DataFrame) -> DataFrame:
     struct with decode-dependent fields NULL until a decoder fills
     them."""
     return files.where(F.col("modality").isNotNull()).select(
-        F.abs(F.xxhash64(F.col("path"))).alias("doc_id"),
+        # top 60 bits of the hash: matches the documented 60-bit codec
+        # and is non-negative by construction (abs(Long.MIN_VALUE) stays
+        # negative in the JVM, and abs folds x and -x together)
+        F.expr("shiftrightunsigned(xxhash64(path), 4)").alias("doc_id"),
         "modality",
         "content",
         F.struct(

@@ -361,3 +361,28 @@ def test_streaming_ingest_appends_fingerprint_store(spark, tmp_path):
         r["__id"] for r in store.shingles.read().select("__id").collect()
     )
     assert ids == [1, 2, 10]
+
+
+def test_fingerprint_append_with_batch_id_is_idempotent(spark, tmp_path):
+    """Review finding: a retried batch append must not double-insert the
+    shingles — with a batch_id both tables ride the exactly-once
+    watermark and the retry converges."""
+    from merkonvectordb_spark.operators.fingerprint_store import (
+        MinHashStore,
+        append_minhash_store,
+        build_minhash_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "eta theta iota kappa lambda mu")],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [(3, "nu xi omicron pi rho sigma")], "doc_id LONG, text STRING"
+    )
+    store = build_minhash_store(spark, docs, str(tmp_path / "fp"))
+    append_minhash_store(store, batch, batch_id=0)
+    append_minhash_store(store, batch, batch_id=0)  # retry: no-op
+    n = store.shingles.read().count()
+    assert n == 3  # 2 history + 1 batch, not 4
