@@ -1,0 +1,273 @@
+"""Driver-environment probe (round-5 instrumentation).
+
+Rounds 2-4 left a class of oracle hash failures that pass locally under
+every constructible session but fail in the external harness's container
+(VERDICT r4 "What's wrong" #1).  The harness environment is not
+inspectable from here, so this module makes the *driver's own runs*
+report it back through two channels:
+
+* ``ENVPROBE.jsonl`` (repo root) — appended during any run that calls
+  ``load_table`` (t1 smoke, t2 correctness, bench): one environment
+  fingerprint per process, plus — for the watchlisted queries at the
+  correctness SF — an IN-PROCESS Spark-vs-DuckDB comparison with
+  row-level diff samples.  If the in-process check matches while the
+  driver's own gate reports a hash failure, the divergence is in the
+  harness's comparison layer, not the engines.
+* the bench JSON line (committed per-round as ``BENCH_r{N}.json``) —
+  ``bench.py`` embeds the same fingerprint + in-process check summary,
+  guaranteeing the evidence survives even if the working tree from the
+  t2 run is discarded.
+
+Everything here is wrapped so a probe failure can NEVER fail a query:
+the probe observes, it does not participate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+PROBE_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ENVPROBE.jsonl")
+
+# the r4 driver-red queries + the sessionize bisect variants: these get
+# the expensive per-query in-process oracle comparison at the
+# correctness SF (sf0.01); everything else only contributes to the
+# one-shot environment fingerprint.
+WATCHED = {
+    "events_sessionize",
+    "events_sessionize_v_nevents",
+    "events_sessionize_v_cents",
+    "events_sessionize_v_bounds",
+    "skew_salted_join",
+    "tpch_q12",
+    "events_range_join",
+    "events_time_window_agg",
+    "events_gap_fill_locf",
+    "streaming_window_agg",
+    "streaming_sessionize_closed",
+}
+
+_env_recorded: set[str] = set()
+_probed: set[str] = set()
+
+
+def _append(line: dict) -> None:
+    try:
+        with open(PROBE_PATH, "a") as f:
+            f.write(json.dumps(line, default=str) + "\n")
+    except Exception:
+        pass  # read-only tree in some harness stages — observation only
+
+
+def _canon_cell(v) -> str:
+    # mirrors tools/oracle_check.py so in-process hashes are comparable
+    from datetime import date, datetime
+
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def _canon_rows(cols, rows):
+    import hashlib
+
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(_canon_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+    return h, lines
+
+
+def env_fingerprint(spark, sf_dir: str) -> dict:
+    """Environment + data fingerprint.  MUST run before load_table pins
+    session confs so the *harness's own* values are captured."""
+    import datetime as _dt
+
+    fp: dict = {"kind": "env", "sf_dir": sf_dir, "wall": time.time()}
+    try:
+        fp["tz_env"] = os.environ.get("TZ")
+        fp["local_tzname"] = str(_dt.datetime.now().astimezone().tzinfo)
+    except Exception as e:
+        fp["tz_err"] = repr(e)
+    try:
+        import duckdb
+
+        fp["duckdb"] = duckdb.__version__
+        con = duckdb.connect()
+        try:
+            fp["duckdb_tz"] = con.sql(
+                "SELECT current_setting('TimeZone')"
+            ).fetchone()[0]
+        except Exception as e:
+            fp["duckdb_tz"] = f"err:{e!r}"
+        ev = os.path.join(sf_dir, "events.parquet")
+        if os.path.exists(ev):
+            fp["duckdb_events_ts_type"] = con.sql(
+                f"SELECT typeof(ts) FROM read_parquet('{ev}') LIMIT 1"
+            ).fetchone()[0]
+            fp["duckdb_events_ck"] = con.sql(
+                f"SELECT count(*), min(epoch_us(ts)), max(epoch_us(ts)),"
+                f" sum(epoch_us(ts) % 1000000) FROM read_parquet('{ev}')"
+            ).fetchone()
+        li = os.path.join(sf_dir, "lineitem.parquet")
+        if os.path.exists(li):
+            fp["duckdb_lineitem_ck"] = con.sql(
+                f"SELECT count(*), sum(epoch_us(l_shipdate) % 86400000000)"
+                f" FROM read_parquet('{li}')"
+            ).fetchone()
+        con.close()
+    except Exception as e:
+        fp["duckdb_err"] = repr(e)
+    try:
+        import pyarrow.parquet as pq
+
+        col = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).schema.column(1)
+        fp["events_ts_parquet"] = str(col.logical_type)
+    except Exception as e:
+        fp["parquet_err"] = repr(e)
+    try:
+        fp["spark_version"] = spark.version
+        for c in (
+            "spark.sql.session.timeZone",
+            "spark.sql.parquet.inferTimestampNTZ.enabled",
+            "spark.sql.legacy.parquet.nanosAsLong",
+            "spark.sql.ansi.enabled",
+            "spark.sql.datetime.java8API.enabled",
+            "spark.sql.execution.arrow.pyspark.enabled",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.parquet.int96RebaseModeInRead",
+            "spark.sql.parquet.datetimeRebaseModeInRead",
+        ):
+            try:
+                fp[c] = spark.conf.get(c)
+            except Exception:
+                fp[c] = "<unset>"
+    except Exception as e:
+        fp["spark_err"] = repr(e)
+    try:
+        ev_raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        fp["spark_events_raw_ts_type"] = str(ev_raw.schema["ts"].dataType)
+    except Exception as e:
+        fp["spark_raw_read_err"] = repr(e)[:200]
+    try:
+        from pyspark.sql import functions as F
+
+        from merkonvectordb_spark.schema import load_table
+
+        ev = load_table(spark, sf_dir, "events")  # the real query read path
+        fp["spark_events_ts_type"] = str(ev.schema["ts"].dataType)
+        row = ev.select(
+            F.count(F.lit(1)),
+            F.min(F.unix_micros("ts")),
+            F.max(F.unix_micros("ts")),
+            F.sum(F.unix_micros("ts") % 1000000),
+        ).first()
+        fp["spark_events_ck"] = list(row)
+    except Exception as e:
+        fp["spark_read_err"] = repr(e)[:300]
+    return fp
+
+
+def record_env_once(spark, sf_dir: str) -> None:
+    """Called at the top of ``load_table`` (before any conf pinning).
+    One fingerprint line per (process, sf_dir)."""
+    if sf_dir in _env_recorded:
+        return
+    _env_recorded.add(sf_dir)  # even on failure: never retry per call
+    try:
+        _append(env_fingerprint(spark, sf_dir))
+    except Exception:
+        pass
+
+
+def inproc_check(spark, sf_dir: str, names=None) -> dict:
+    """Run each watched query AND its DuckDB oracle in THIS process over
+    ``sf_dir``; return {name: result-dict}.  Mirrors the external gate's
+    comparison (tools/oracle_check.py canonicalization)."""
+    out: dict = {}
+    try:
+        import duckdb
+
+        import __spark_entry__ as entrymod
+
+        qs = entrymod.queries()
+        oracles = entrymod.oracle_sql()
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings".split()
+        ):
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                )
+        for name in names or sorted(WATCHED):
+            if name not in qs or name not in oracles:
+                continue
+            _probed.add(name)  # the wrapper hook must not re-run this
+            r: dict = {}
+            try:
+                sdf = qs[name](spark, sf_dir)
+                scols = sdf.columns
+                srows = [tuple(x) for x in sdf.collect()]
+                shash, slines = _canon_rows(scols, srows)
+                rel = con.sql(oracles[name])
+                ocols = rel.columns
+                orows = rel.fetchall()
+                ohash, olines = _canon_rows(ocols, orows)
+                r["spark_rows"] = len(srows)
+                r["duck_rows"] = len(orows)
+                r["cols_match"] = sorted(scols) == sorted(ocols)
+                r["hash_match"] = shash == ohash and r["cols_match"]
+                r["spark_dtypes"] = dict(sdf.dtypes)
+                r["duck_types"] = [
+                    [d[0], str(d[1])] for d in (rel.description or [])
+                ]
+                if not r["hash_match"]:
+                    sset, oset = set(slines), set(olines)
+                    r["spark_only"] = [
+                        s.replace("\x1f", "|")[:160]
+                        for s in sorted(sset - oset)[:4]
+                    ]
+                    r["duck_only"] = [
+                        s.replace("\x1f", "|")[:160]
+                        for s in sorted(oset - sset)[:4]
+                    ]
+            except Exception as e:
+                r["err"] = repr(e)[:300]
+            out[name] = r
+        con.close()
+    except Exception as e:
+        out["__err__"] = repr(e)[:300]
+    return out
+
+
+def maybe_probe(name: str, spark, sf_dir: str) -> None:
+    """Per-query hook (registry wrapper): at the correctness SF, run the
+    in-process comparison once per process for this query and append the
+    result to ENVPROBE.jsonl."""
+    if name in _probed or "0.01" not in sf_dir:
+        return
+    if os.environ.get("ENVPROBE", "1") == "0":
+        return
+    _probed.add(name)
+    try:
+        res = inproc_check(spark, sf_dir, names=[name])
+        line = {"kind": "query", "name": name, "wall": time.time()}
+        line.update(res.get(name, {}))
+        _append(line)
+    except Exception:
+        pass

@@ -21,7 +21,7 @@ SESSION_GAP_SEC = 1800  # 30 min
 @register(
     "events_window_agg",
     """
-SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
        event_type,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
@@ -36,11 +36,16 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window, type)).  ``streaming.ingest.windowed_counts`` is the
     readStream twin with a watermark.  Value sums are integer-scaled
     cents (associative, order-free) so partial-agg order can never flip
-    a 2dp rounding boundary between engines."""
+    a 2dp rounding boundary between engines.  The window start ships as
+    ``unix_micros`` BIGINT — registry invariant: no raw TIMESTAMP/DATE
+    output columns, ever (a raw timestamp's rendering depends on the
+    COLLECTING process's zone, which no session conf pins)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            F.unix_micros(
+                F.window("ts", "1 hour").getField("start")
+            ).alias("window_start_us"),
             "event_type",
         )
         .agg(
@@ -53,40 +58,41 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_sessionize",
-    f"""
-WITH flagged AS (
+# Shared sessionize oracle scaffold.  ``CAST(ts AS TIMESTAMP)`` pins
+# microsecond precision regardless of how the harness's DuckDB build
+# surfaces the parquet column (a TIMESTAMP_NS-native reader would
+# otherwise order and diff at nanosecond precision while Spark's scan
+# is µs) — one of the candidate causes of the r2-r4 driver-only
+# hash failures this family shows.
+_SESSIONIZE_ORACLE_BODY = f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+flagged AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_SEC} * 1000000
               THEN 1 ELSE 0 END AS new_sess
-  FROM events
+  FROM ev
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
   SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
   FROM flagged
+),
+rolled AS (
+  SELECT user_id, session_seq,
+         count(*) AS n_events,
+         epoch_us(min(ts)) AS start_us,
+         epoch_us(max(ts)) AS end_us,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+  FROM sessions GROUP BY user_id, session_seq
 )
-SELECT user_id, session_seq,
-       count(*) AS n_events,
-       epoch_us(min(ts)) AS start_us,
-       epoch_us(max(ts)) AS end_us,
-       sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
-FROM sessions GROUP BY user_id, session_seq
-""".strip(),
-)
-def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization with a 30-min inactivity gap: lag → gap flag →
-    running sum (session id) → per-session rollup.  One shuffle on
-    user_id serves both windows AND the final groupBy (hash-partitioned
-    on a prefix of the window key) — the streaming twin is a
-    session_window/applyInPandasWithState plan.
+"""
 
-    The per-session value sum is integer-scaled cents (BIGINT): the old
-    ``round(sum(value), 2)`` hash-failed in harness runs r2/r3 whenever
-    a DOUBLE session sum landed on a .xx5 tick and the engines' fold
-    orders split it — integer sums are associative, so the flake class
-    is gone by construction (same fix as ``events_incremental_agg``)."""
+
+def _sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag → gap flag → running sum (session id) → per-session rollup.
+    One shuffle on user_id serves both windows AND the final groupBy."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
@@ -102,6 +108,75 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
             "sum_cents"
         ),
+    )
+
+
+@register(
+    "events_sessionize",
+    _SESSIONIZE_ORACLE_BODY
+    + "SELECT user_id, session_seq, n_events, start_us, end_us, sum_cents FROM rolled",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-min inactivity gap: lag → gap flag →
+    running sum (session id) → per-session rollup.  One shuffle on
+    user_id serves both windows AND the final groupBy (hash-partitioned
+    on a prefix of the window key) — the streaming twin is a
+    session_window/applyInPandasWithState plan.
+
+    The per-session value sum is integer-scaled cents (BIGINT): the old
+    ``round(sum(value), 2)`` hash-failed in harness runs r2/r3 whenever
+    a DOUBLE session sum landed on a .xx5 tick and the engines' fold
+    orders split it — integer sums are associative, so the flake class
+    is gone by construction (same fix as ``events_incremental_agg``)."""
+    return _sessionized(spark, sf_dir)
+
+
+# --- driver-side bisect variants (VERDICT r4 next-round #3) -----------------
+# ``events_sessionize`` has hash-failed at the external gate three rounds
+# running while matching locally under every constructible session.  Each
+# variant returns ONE column family with a mirrored oracle, so the r5
+# CORRECTNESS rows localize which value class diverges in the harness
+# environment even if the ENVPROBE channel is lost.
+
+
+@register(
+    "events_sessionize_v_nevents",
+    _SESSIONIZE_ORACLE_BODY
+    + "SELECT user_id, session_seq, n_events FROM rolled",
+)
+def q_events_sessionize_v_nevents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisect variant: session identity + row counts only (no epochs, no
+    value sums).  Red here ⇒ the session BOUNDARIES themselves diverge."""
+    return _sessionized(spark, sf_dir).select(
+        "user_id", "session_seq", "n_events"
+    )
+
+
+@register(
+    "events_sessionize_v_cents",
+    _SESSIONIZE_ORACLE_BODY
+    + "SELECT user_id, session_seq, sum_cents FROM rolled",
+)
+def q_events_sessionize_v_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisect variant: per-session integer-cent sums only.  Red here with
+    v_nevents green ⇒ the DOUBLE→cents scaling diverges, not the
+    sessionization."""
+    return _sessionized(spark, sf_dir).select(
+        "user_id", "session_seq", "sum_cents"
+    )
+
+
+@register(
+    "events_sessionize_v_bounds",
+    _SESSIONIZE_ORACLE_BODY
+    + "SELECT user_id, session_seq, start_us, end_us FROM rolled",
+)
+def q_events_sessionize_v_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisect variant: session epoch bounds only.  Red here with the other
+    variants green ⇒ the engines read different microsecond values for
+    the same rows (timestamp precision/zone divergence at scan)."""
+    return _sessionized(spark, sf_dir).select(
+        "user_id", "session_seq", "start_us", "end_us"
     )
 
 
@@ -247,7 +322,7 @@ activity AS (
          CAST(date_trunc('week', ts) AS DATE) AS active_week
   FROM events
 )
-SELECT c.cohort_week,
+SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week,
        CAST(date_diff('day', c.cohort_week, a.active_week) // 7 AS BIGINT)
          AS week_offset,
        count(*) AS n_users
@@ -273,7 +348,10 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         activity.join(cohorts, "user_id")
         .groupBy(
-            "cohort_week",
+            # registry invariant: no raw TIMESTAMP/DATE output columns —
+            # ship the week as its ISO string (zone-free once the value
+            # is a DATE; cast-to-string is engine-stable 'yyyy-MM-dd')
+            F.col("cohort_week").cast("string").alias("cohort_week"),
             F.floor(
                 F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
             ).alias("week_offset"),

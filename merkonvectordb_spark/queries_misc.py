@@ -402,13 +402,14 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH dim AS (
   SELECT * FROM (VALUES
-    ('click', 1.0), ('view', 0.5), ('purchase', 5.0),
-    ('signup', 2.0), ('error', 0.0)
+    ('click', CAST(1.0 AS DOUBLE)), ('view', CAST(0.5 AS DOUBLE)),
+    ('purchase', CAST(5.0 AS DOUBLE)), ('signup', CAST(2.0 AS DOUBLE)),
+    ('error', CAST(0.0 AS DOUBLE))
   ) AS t(event_type, weight)
 )
 SELECT e.event_type,
        count(*) AS n_events,
-       sum(CAST(round(e.value * d.weight * 100) AS BIGINT)) AS weighted_cents
+       sum(CAST(floor(e.value * d.weight * 100 + 0.5) AS BIGINT)) AS weighted_cents
 FROM events e
 JOIN dim d USING (event_type)
 GROUP BY e.event_type
@@ -435,8 +436,15 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "event_type STRING, weight DOUBLE",
     )
+    # floor(x + 0.5), NOT round(): Spark rounds doubles via BigDecimal
+    # HALF_UP on the exact binary expansion while DuckDB's round(DOUBLE)
+    # implementation has varied across releases — floor is defined
+    # identically everywhere, and the two agree for all non-negative x
+    # (weights here are ≥ 0).  r4 driver-red hedge: this was the only
+    # tie-able rounding left in the registry.
     joined = salted_join(ev, dim, on=["event_type"], n_salt=8).withColumn(
-        "cents", F.round(F.col("value") * F.col("weight") * 100).cast("bigint")
+        "cents",
+        F.floor(F.col("value") * F.col("weight") * 100 + 0.5).cast("bigint"),
     )
     out = salted_agg(
         joined,

@@ -87,7 +87,7 @@ def _run_to_memory(
 @register(
     "streaming_window_agg",
     """
-SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
        event_type,
        count(*) AS n_events,
        sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
@@ -101,12 +101,21 @@ def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against the batch SQL.  COMPLETE mode so end-of-input
     emits every window; the production append+watermark variant is
     exercised in tests (its output set depends on the watermark cut,
-    which a batch oracle can't mirror exactly)."""
+    which a batch oracle can't mirror exactly).
+
+    The window start ships as ``unix_micros`` BIGINT (r4 driver red,
+    root-caused: a raw TIMESTAMP collects as a naive datetime in the
+    HARNESS PROCESS's local zone — `collect()` rendering is a property
+    of the collecting process that no session conf pins; every other
+    registered query already shipped epochs — house style, cf.
+    ``streaming_sessionize_closed``)."""
     work = tempfile.mkdtemp(prefix="strq_win_")
     src = _staged_events_dir(sf_dir, work)
     ev = stream_events(spark, src)
     agg = ev.groupBy(
-        F.window("ts", "1 hour").getField("start").alias("window_start"),
+        F.unix_micros(
+            F.window("ts", "1 hour").getField("start")
+        ).alias("window_start_us"),
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -120,11 +129,14 @@ def q_streaming_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_sessionize_closed",
     f"""
-WITH flagged AS (
+WITH ev AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {SESSION_GAP_SEC} * 1000000
               THEN 1 ELSE 0 END AS new_sess
-  FROM events
+  FROM ev
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
@@ -141,7 +153,7 @@ rolled AS (
 )
 SELECT user_id, start_us, end_us, n_events, sum_cents
 FROM rolled
-WHERE end_us + {SESSION_GAP_SEC} * 1000000 <= (SELECT max(epoch_us(ts)) FROM events)
+WHERE end_us + {SESSION_GAP_SEC} * 1000000 <= (SELECT max(epoch_us(ts)) FROM ev)
 """.strip(),
 )
 def q_streaming_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,11 +204,14 @@ def q_streaming_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "streaming_sessionize_python",
     f"""
-WITH flagged AS (
+WITH ev AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+flagged AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_SEC} * 1000000
               THEN 1 ELSE 0 END AS new_sess
-  FROM events
+  FROM ev
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
@@ -308,7 +323,7 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_dedup",
     """
 SELECT DISTINCT user_id, event_type,
-       time_bucket(INTERVAL '1 hour', ts) AS bucket_ts
+       epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS bucket_us
 FROM events
 """.strip(),
 )
@@ -327,8 +342,12 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = ev.select(
         "user_id",
         "event_type",
-        F.date_trunc("hour", "ts").alias("bucket_ts"),
-    ).dropDuplicates(["user_id", "event_type", "bucket_ts"])
+        # window(), not date_trunc(): pure epoch arithmetic, independent
+        # of the session zone an external harness might re-pin
+        F.unix_micros(F.window("ts", "1 hour").getField("start")).alias(
+            "bucket_us"
+        ),
+    ).dropDuplicates(["user_id", "event_type", "bucket_us"])
     return _run_to_memory(keys, "append", work)
 
 

@@ -81,17 +81,25 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count same-user activity inside each window.
 # ---------------------------------------------------------------------------
 
+# CAST(ts AS TIMESTAMP) pins µs precision in the oracle regardless of
+# the harness DuckDB build's parquet timestamp surface (a ns-native
+# reader would otherwise evaluate the containment boundaries at ns
+# while Spark's scan is µs) — r4 driver-red hedge, cf. queries_events.
 _RANGE_ORACLE = """
-WITH inc AS (
+WITH ev AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+  FROM events
+),
+inc AS (
   SELECT event_id AS incident_id, user_id,
          ts AS w_start, ts + INTERVAL 600 SECOND AS w_end
-  FROM events WHERE event_type = 'error'
+  FROM ev WHERE event_type = 'error'
 )
 SELECT i.incident_id,
        count(*) AS n_events,
        sum(CAST(floor(e.value * 100) AS BIGINT)) AS sum_cents
 FROM inc i
-JOIN events e
+JOIN ev e
   ON e.user_id = i.user_id AND e.ts >= i.w_start AND e.ts < i.w_end
 GROUP BY i.incident_id
 """.strip()
@@ -179,8 +187,8 @@ changes AS (
   SELECT user_id, event_type, ts, event_id FROM marked
   WHERE prev IS NULL OR prev <> event_type
 )
-SELECT user_id, event_type, ts AS valid_from,
-       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us
 FROM changes
 """.strip(),
 )
@@ -188,16 +196,25 @@ def q_events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 historization of each user's event_type: the event log
     collapses into validity intervals (valid_to NULL = current).  Both
     windows share one hash partitioning on user_id — a single shuffle
-    of the log, no self-joins (operators.temporal.scd2_history)."""
+    of the log, no self-joins (operators.temporal.scd2_history).
+    Validity bounds ship as epochs (registry invariant: no raw
+    TIMESTAMP output columns — collect() rendering is process-zone
+    dependent)."""
     from merkonvectordb_spark.operators.temporal import scd2_history
 
     ev = load_table(spark, sf_dir, "events")
-    return scd2_history(
+    hist = scd2_history(
         ev,
         key_cols=("user_id",),
         attr_col="event_type",
         ts_col="ts",
         order_cols=("ts", "event_id"),
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
     )
 
 
@@ -208,7 +225,7 @@ SELECT event_id, user_id,
        sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS sum_cents_1h,
        count(*) OVER w AS n_1h
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """.strip(),
 )
@@ -241,7 +258,7 @@ def q_events_time_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_gap_fill_locf",
     """
 WITH hourly AS (
-  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+  SELECT user_id, time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
          sum(CAST(floor(value * 100) AS BIGINT)) AS v
   FROM events WHERE user_id < 20
   GROUP BY 1, 2
@@ -275,7 +292,10 @@ def q_events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportionate; the plan is user-count-independent."""
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
     hourly = ev.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("h")
+        "user_id",
+        # window(), not date_trunc(): pure epoch arithmetic, immune to a
+        # harness re-pinning the session zone between build and collect
+        F.window("ts", "1 hour").getField("start").alias("h"),
     ).agg(
         F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("v")
     )

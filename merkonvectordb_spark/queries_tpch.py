@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from merkonvectordb_spark.functions.timeutil import utc_ts
 from merkonvectordb_spark.registry import register
 from merkonvectordb_spark.schema import load_table
 
@@ -38,8 +39,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = {n: load_table(spark, sf_dir, n) for n in
          ("customer", "orders", "lineitem", "supplier", "nation", "region")}
     orders = t["orders"].where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= utc_ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < utc_ts("1997-01-01 00:00:00"))
     )
     region = t["region"].where(F.col("r_name") == "ASIA")
     nation = t["nation"].join(
@@ -93,8 +94,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.where(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            (F.col("l_shipdate") >= utc_ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < utc_ts("1997-01-01 00:00:00"))
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
@@ -186,8 +187,8 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     key itself — no distinct, no count>0 subquery — and both sides are
     facts, so the shuffle stays with AQE."""
     orders = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= utc_ts("1996-07-01 00:00:00"))
+        & (F.col("o_orderdate") < utc_ts("1996-10-01 00:00:00"))
     )
     li = load_table(spark, sf_dir, "lineitem")
     late = orders.join(
@@ -224,8 +225,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans as TakeOrderedAndProject (heap, no global sort).  Deterministic
     tie-break on c_custkey for oracle parity."""
     orders = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= utc_ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < utc_ts("1996-04-01 00:00:00"))
     )
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     cust = load_table(spark, sf_dir, "customer")
@@ -268,8 +269,8 @@ SELECT l_returnflag AS flag,
                 THEN 1 ELSE 0 END) AS low_line_count
 FROM orders
 JOIN lineitem ON l_orderkey = o_orderkey
-WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01 00:00:00'
+  AND CAST(l_shipdate AS TIMESTAMP) <  TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY l_returnflag
 """.strip(),
 )
@@ -280,8 +281,8 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     join."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= utc_ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < utc_ts("1997-01-01 00:00:00"))
     )
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (

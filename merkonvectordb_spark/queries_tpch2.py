@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from merkonvectordb_spark.functions.timeutil import utc_ts
 from merkonvectordb_spark.registry import register
 from merkonvectordb_spark.schema import load_table
 
@@ -146,8 +147,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     (it references both sides, so it cannot push below the join);
     shipdate range pushes to the lineitem scan."""
     li = load_table(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= utc_ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < utc_ts("1998-01-01 00:00:00"))
     )
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -218,8 +219,8 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
     sup = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= utc_ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < utc_ts("1998-01-01 00:00:00"))
     )
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
@@ -397,8 +398,8 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled sum stays far below 2^53 even at SF100k, so the final
     double division is lossless.)"""
     li = load_table(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= utc_ts("1996-09-01 00:00:00"))
+        & (F.col("l_shipdate") < utc_ts("1996-10-01 00:00:00"))
     )
     part = load_table(spark, sf_dir, "part")
     vol = _scaled(F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -440,8 +441,8 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     is on the exact scaled BIGINT, so ties (all max suppliers) are kept
     exactly as TPC-H requires."""
     li = load_table(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= utc_ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < utc_ts("1996-04-01 00:00:00"))
     )
     rev = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
@@ -630,8 +631,8 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     a left_semi against it keeps supplier rows unique; nation
     broadcasts."""
     li = load_table(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= utc_ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < utc_ts("1997-01-01 00:00:00"))
     )
     part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
     shipped = (
@@ -764,7 +765,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = (
         load_table(spark, sf_dir, "orders")
-        .where(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .where(F.col("o_orderdate") >= utc_ts("1999-01-01 00:00:00"))
         .select("o_custkey")
     )
     return (

@@ -7,23 +7,50 @@ import __spark_entry__ as entry
 
 def test_first_50_are_the_verification_priority_block():
     """The external harness hash-checks only the first 50 registry
-    entries; round 4 front-loads the queries that lacked a driver-green
-    row after round 3.  Pin the block so a refactor can't silently
-    reorder it."""
+    entries; round 5 front-loads the 8 r4 driver-red queries (plus the
+    sessionize bisect variants) and the 39 never-driver-checked ones —
+    exactly 50.  Pin the block so a refactor can't silently reorder it."""
     names = list(entry.queries())
     first = set(names[:50])
     must_be_front = {
-        "events_sessionize",
-        "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q17",
-        "tpch_q21", "tpch_q22",
+        # r4 red + bisect
+        "events_sessionize", "events_sessionize_v_nevents",
+        "events_sessionize_v_cents", "events_sessionize_v_bounds",
+        "skew_salted_join", "tpch_q12", "events_range_join",
+        "events_time_window_agg", "events_gap_fill_locf",
         "streaming_window_agg", "streaming_sessionize_closed",
-        "streaming_stream_join", "streaming_dedup",
-        "events_asof_join", "events_scd2_history",
-        "seq_packing", "global_quantiles",
-        "text_search_bm25", "hybrid_search_rrf",
+        # representative never-checked entries
+        "dedup_incremental", "semantic_dedup", "knn_batch_pq",
+        "knn_batch_ivfpq", "knn_batch_ivf_persisted",
+        "versioned_table_diff", "matview_incremental_refresh",
+        "lineitem_cube", "events_pivot", "zorder_key",
+        "streaming_sessionize_python", "streaming_cms_freq",
+        "training_shards", "dup_span_stats", "dup_span_removal",
     }
     missing = must_be_front - first
     assert not missing, f"priority block lost: {sorted(missing)}"
+
+
+def test_no_raw_timestamp_or_date_output_columns(spark, sf_dir):
+    """Registry invariant (VERDICT r4 next-round #1): no registered query
+    may output a raw TIMESTAMP/TIMESTAMP_NTZ/DATE column.  PySpark's
+    ``collect()`` renders TimestampType as a naive ``datetime`` in the
+    COLLECTING process's local zone — a property of the harness process
+    that no session conf pins (root cause of the r4 ``streaming_window_agg``
+    driver hash failure).  Every time value must ship as a ``unix_micros``
+    BIGINT or an engine-stable string."""
+    from pyspark.sql import types as T
+
+    banned = (T.TimestampType, T.TimestampNTZType, T.DateType)
+    offenders: list[str] = []
+    for name, fn in entry.queries().items():
+        df = fn(spark, sf_dir)
+        bad = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, banned)
+        ]
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert not offenders, "raw time-typed output columns:\n" + "\n".join(offenders)
 
 
 def test_every_query_has_an_oracle_or_is_documented():
