@@ -186,19 +186,29 @@ def global_exclusive_prefix_sum(
     for pid in sorted(totals):
         offset_of[pid] = running
         running += int(totals[pid])
-    expr: Column | None = None
-    for pid, off in offset_of.items():
-        cond = F.col("__pid") == pid
-        expr = (
-            F.when(cond, off) if expr is None else expr.when(cond, off)
+    # Attach the P partition offsets with a BROADCAST JOIN on __pid, not
+    # a when(pid==0,off0).when(pid==1,...) Column chain: a linear arm
+    # per shuffle partition makes plan build/codegen time grow with P
+    # (the repo's documented hundred-arm Column-tree trap) — at a
+    # 1000-executor cluster P is in the thousands.  The offsets frame is
+    # P rows of driver metadata either way; the join keeps the PLAN
+    # size O(1) in P.
+    offsets = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offset_of.items()],
+        "__pid INT, __poff BIGINT",
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col,
+            (
+                F.col("__poff")
+                + F.col("__lcum")
+                - F.col(value_col).cast("bigint")
+            ).cast("bigint"),
         )
-    base = F.coalesce(expr, F.lit(0)) if expr is not None else F.lit(0)
-    return ranked.withColumn(
-        out_col,
-        (base + F.col("__lcum") - F.col(value_col).cast("bigint")).cast(
-            "bigint"
-        ),
-    ).drop("__pid", "__lcum")
+        .drop("__pid", "__lcum", "__poff")
+    )
 
 
 def pack_sequences(
@@ -391,11 +401,15 @@ def prepare_training_shards(
     assigned = hash_split(surv, id_col, splits, salt=salt)
     # the quality-gate → dedup-window → chunk lineage feeds one
     # pack_sequences per split (each with its own driver collect):
-    # persist, or every split re-runs the corpus shuffle (2+-consumers
-    # law from this module's own docstring)
+    # materialize once, or every split re-runs the corpus shuffle
+    # (2+-consumers law from this module's own docstring).
+    # localCheckpoint(eager), NOT persist(): the returned frame is lazy,
+    # so a persist here could never be unpersisted by this function —
+    # checkpoint blocks free with the frame's GC instead of pinning the
+    # session cache registry (same reasoning as global_exclusive_prefix_sum).
     chunks = chunk_tokens(
         assigned.select(id_col, "split", text_col), text_col, window, stride
-    ).drop(text_col).persist()
+    ).drop(text_col).localCheckpoint(eager=True)
     packed = None
     for name in splits:
         part = pack_sequences(

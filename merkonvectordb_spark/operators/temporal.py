@@ -52,25 +52,29 @@ def asof_join(
     """
     rt = right_ts + suffix
     payload = [rt, *[c + suffix for c in right_cols]]
+    # the whole right row travels as ONE struct: per-column
+    # last(ignorenulls) would pick each payload column's latest NON-NULL
+    # value independently, so two right rows with NULLs in different
+    # columns could blend into a row that never existed — a struct is
+    # non-null whenever the right ROW exists, making the carried winner
+    # a single whole row by construction
+    carry = F.struct(
+        F.col(right_ts).alias(rt),
+        *[F.col(c).alias(c + suffix) for c in right_cols],
+    )
     r = right.select(
         *on,
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),  # right sorts BEFORE left at equal ts
-        F.to_json(
-            F.struct(
-                F.col(right_ts).alias(rt),
-                *[F.col(c).alias(c + suffix) for c in right_cols],
-            )
-        ).alias("__tie"),
-        F.col(right_ts).alias(rt),
-        *[F.col(c).alias(c + suffix) for c in right_cols],
+        F.to_json(carry).alias("__tie"),
+        carry.alias("__carry"),
     )
     l = left.select(
         *left.columns,
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
         F.lit("").alias("__tie"),
-        *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(r.schema["__carry"].dataType).alias("__carry"),
     )
     merged = l.unionByName(r, allowMissingColumns=True)
     w = (
@@ -78,12 +82,12 @@ def asof_join(
         .orderBy(F.asc("__t"), F.asc("__side"), F.asc("__tie"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = merged.select(
-        *[c for c in merged.columns if c not in payload],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    carried = merged.withColumn(
+        "__c", F.last("__carry", ignorenulls=True).over(w)
     )
-    return carried.where(F.col("__side") == 1).drop(
-        "__t", "__side", "__tie"
+    return carried.where(F.col("__side") == 1).select(
+        *left.columns,
+        *[F.col("__c").getField(p).alias(p) for p in payload],
     )
 
 

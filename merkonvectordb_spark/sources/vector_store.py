@@ -102,7 +102,17 @@ class VectorStore:
         import shutil
 
         par = self.spark.sparkContext.defaultParallelism
-        new_rows = new_rows.persist()
+        # localCheckpoint (eager), NOT lazy persist: new_rows' lineage
+        # reads the very path the write below overwrites.  A lazy persist
+        # leaves a recompute hazard — if cached blocks are evicted, the
+        # post-write `present` collect would re-scan post-overwrite state.
+        # Checkpointing cuts the lineage BEFORE the overwrite, and the
+        # `present` set is taken from the checkpointed frame up front.
+        new_rows = new_rows.localCheckpoint(eager=True)
+        present = {
+            r["collection"]
+            for r in new_rows.select("collection").distinct().collect()
+        }
         (
             new_rows.repartitionByRange(par, "collection", "key")
             .write.mode("overwrite")
@@ -110,17 +120,16 @@ class VectorStore:
             .parquet(self.vectors_path)
         )
         if touched:
-            present = {
-                r["collection"]
-                for r in new_rows.select("collection").distinct().collect()
-            }
             for c in touched:
                 if c not in present:
+                    # partition drop assumes a DRIVER-VISIBLE filesystem
+                    # (local FS / fuse-mounted object store).  On a bare
+                    # object store this becomes a storage-API delete; the
+                    # store path abstraction is the single seam to swap.
                     shutil.rmtree(
                         os.path.join(self.vectors_path, f"collection={c}"),
                         ignore_errors=True,
                     )
-        new_rows.unpersist()
 
     def _write_registry(self, reg: DataFrame) -> None:
         # registry is tiny (one row per collection): single file, full

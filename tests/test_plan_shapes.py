@@ -171,6 +171,43 @@ def test_seq_packing_has_no_global_window(spark, sf_dir):
     # the range-partitioned pass is materialized behind the prefix sum's
     # localCheckpoint boundary, which plans as an ExistingRDD scan
     assert "Scan ExistingRDD" in plan
+    # partition offsets attach via a BROADCAST JOIN on __pid, not a
+    # when(pid==k, off_k) chain — the plan must stay O(1) in partition
+    # count (the hundred-arm Column-tree trap)
+    assert "BroadcastHashJoin" in plan
+    assert "CASE WHEN (__pid" not in plan
+
+
+def test_prefix_sum_plan_is_flat_in_partition_count(spark):
+    """Plan BUILD time must not grow with the shuffle partition count:
+    at 2,048 partitions a per-partition when() arm would compile a
+    2,048-node Column tree (minutes of analyzer time at cluster scale);
+    the broadcast-join form stays a 3-operator plan regardless of P."""
+    import time
+
+    from merkonvectordb_spark.operators.pipeline import (
+        global_exclusive_prefix_sum,
+    )
+
+    df = spark.range(0, 4096).select(
+        F.col("id"), (F.col("id") % 7 + 1).alias("toks")
+    )
+    t0 = time.time()
+    out = global_exclusive_prefix_sum(
+        df, ["id"], "toks", out_col="g", num_partitions=2048
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    build_s = time.time() - t0
+    assert "CASE WHEN" not in plan
+    # generous ceiling: the old chain form took >60 s here; the join
+    # form is dominated by the localCheckpoint job, not plan build
+    assert build_s < 45, f"plan build took {build_s:.1f}s at P=2048"
+    # correctness unchanged: exclusive prefix over the id order
+    rows = {r["id"]: r["g"] for r in out.collect()}
+    run = 0
+    for i in range(4096):
+        assert rows[i] == run
+        run += i % 7 + 1
 
 
 def test_curriculum_deciles_has_no_global_window(spark, sf_dir):

@@ -63,6 +63,30 @@ def test_asof_no_prior_row_is_null(spark, quotes):
     assert rows[0]["px_right"] is None and rows[0]["ts_right"] is None
 
 
+def test_asof_carries_whole_rows_not_per_column_lasts(spark):
+    """Right rows with NULLs in DIFFERENT payload columns must never
+    blend: the carried payload is the latest right ROW as a unit (struct
+    carry), not each column's latest non-null value independently."""
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 100.0, None),
+            (1, _ts("2024-01-01 10:01:00"), None, 7.0),
+        ],
+        "k LONG, ts TIMESTAMP, px DOUBLE, sz DOUBLE",
+    )
+    trades = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:02:00"))], "k LONG, ts TIMESTAMP"
+    )
+    row = asof_join(
+        trades, quotes, on=["k"], right_cols=["px", "sz"]
+    ).collect()[0]
+    # winner is the 10:01 row AS A WHOLE: px must be its NULL, not the
+    # 10:00 row's 100.0 bleeding through
+    assert row["ts_right"] == _ts("2024-01-01 10:01:00")
+    assert row["px_right"] is None
+    assert row["sz_right"] == 7.0
+
+
 def test_asof_key_isolation(spark, quotes):
     # key 3 has no quotes at all: must not borrow key 1's
     trades = spark.createDataFrame(
