@@ -101,8 +101,8 @@ def main() -> int:
                     "tz": fp.get("local_tzname"),
                     "duck_ts": fp.get("duckdb_events_ts_type"),
                     "spark_ts": fp.get("spark_events_raw_ts_type"),
-                    "ck_eq": fp.get("duckdb_events_ck")
-                    == fp.get("spark_events_ck"),
+                    "ck_eq": list(fp.get("duckdb_events_ck") or [])
+                    == list(fp.get("spark_events_ck") or []),
                 }
                 checks = _probe.inproc_check(spark, corr_dir)
                 probe_line["probe"] = checks

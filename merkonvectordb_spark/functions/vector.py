@@ -55,9 +55,22 @@ def l2_norm(a: Column) -> Column:
 
 
 def l2_normalize(a: Column) -> Column:
-    """L2-normalize; zero vectors normalize to NULL elements avoided by guard."""
-    n = l2_norm(a)
-    return F.when(n > 0.0, F.transform(a, lambda x: x.cast("double") / n))
+    """L2-normalize; zero-norm vectors normalize to NULL (guarded).
+
+    The norm is BOUND ONCE via the single-element-array wrap: referencing
+    the ``l2_norm`` fold directly inside the per-element ``transform``
+    lambda would re-evaluate it for every element — O(d²) per row (the
+    repo's documented HOF-lambda re-eval trap; cf. functions/text.py
+    ``ngrams``)."""
+    return F.element_at(
+        F.transform(
+            F.array(l2_norm(a)),
+            lambda n: F.when(
+                n > 0.0, F.transform(a, lambda x: x.cast("double") / n)
+            ),
+        ),
+        1,
+    )
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:

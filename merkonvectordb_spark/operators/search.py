@@ -26,8 +26,27 @@ from pyspark.sql import functions as F
 from merkonvectordb_spark.functions.vector import (
     cosine_similarity,
     cosine_similarity_pandas,
+    dot_product,
+    l2_normalize,
     vector_literal,
 )
+
+
+def unit_query(query: Sequence[float]) -> list[float] | None:
+    """Driver-side L2 normalization of a query vector, or None for a
+    zero-norm query (unscorable — the reference's NaN fails every
+    threshold).  Left-fold sum + IEEE sqrt + per-element division: the
+    exact operation order the engines' ``x / sqrt(list_dot_product)``
+    performs, so oracle scores stay bit-identical."""
+    import math
+
+    acc = 0.0
+    for v in query:
+        acc += float(v) * float(v)
+    n = math.sqrt(acc)
+    if n == 0.0:
+        return None
+    return [float(v) / n for v in query]
 
 
 def _scoreable_at_least(score: Column, threshold: float) -> Column:
@@ -54,8 +73,18 @@ def knn(
     embedding_col: str = "embedding",
     tie_break: str | None = "ingest_seq",
     use_pandas: bool = False,
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """Top-k rows by cosine similarity to ``query``.
+
+    ``assume_normalized=True`` is the pre-normalized-corpus fast path
+    (``VectorStore(pre_normalized=True)`` layout): the stored embeddings
+    are unit vectors, so the cosine collapses to a single dot-product
+    fold against the unit query — one fold per row instead of three
+    (dot + both norms).  At 100 TB this halves-plus the per-query FLOPs
+    and is the layout a real deployment should use
+    (functions/vector.py:19-21).  A zero-norm query is unscorable
+    (reference NaN semantics) and returns the empty frame.
 
     Parity quirks pinned (SURVEY §5.2.3): limit ≤ 0 ⇒ empty
     (MerkonMemoryStore.cs:125-128); threshold inclusive; zero-vector NaN
@@ -79,7 +108,13 @@ def knn(
     # excluded — the reference would throw; a distributed engine must not.
     df = df.where(F.size(F.col(embedding_col)) == len(query))
 
-    if use_pandas:
+    if assume_normalized:
+        uq = unit_query(query)
+        if uq is None:  # zero-norm query: nothing can score
+            empty = vectors.limit(0).withColumn("score", F.lit(0.0))
+            return empty if with_embeddings else empty.drop(embedding_col)
+        score = dot_product(F.col(embedding_col), vector_literal(uq))
+    elif use_pandas:
         score = cosine_similarity_pandas(query)(F.col(embedding_col))
     else:
         score = cosine_similarity(F.col(embedding_col), vector_literal(query))
@@ -111,8 +146,17 @@ def knn_batch(
     query_embedding_col: str = "embedding",
     query_id_col: str = "query_id",
     tie_break: str | None = "ingest_seq",
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """Per-query top-k for a whole query SET in one corpus scan.
+
+    ``assume_normalized=True``: the corpus embeddings are unit vectors
+    (pre-normalized layout); query vectors are normalized ONCE in the
+    Q-row broadcast projection (zero-norm queries drop — unscorable),
+    and scoring is a single dot fold per (row, query) pair instead of
+    three.  The amortization argument: cosine costs 3 folds per pair;
+    with the corpus normalized once (3 folds per ROW, off the per-query
+    path), Q queries cost N·Q folds instead of 3·N·Q.
 
     Not in the reference (its API is one query at a time) but required at
     Spark scale (SURVEY §2.4 batch form): broadcast the (small) query set,
@@ -129,21 +173,29 @@ def knn_batch(
     config/version regression (which would reintroduce the full N·Q
     shuffle into Q reducer tasks — a 100 TB scale-killer) fails loudly.
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("__qid"),
-            F.col(query_embedding_col).alias("__qvec"),
-        )
+    qproj = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_embedding_col).alias("__qvec"),
     )
+    if assume_normalized:
+        # normalize each query once in the Q-row frame — NEVER per
+        # corpus row; zero-norm queries are unscorable and drop here
+        qproj = qproj.withColumn(
+            "__qvec", l2_normalize(F.col("__qvec"))
+        ).where(F.col("__qvec").isNotNull())
+    q = F.broadcast(qproj)
     corpus = vectors
     if "key" in corpus.columns:
         corpus = corpus.where(F.col("key").isNotNull() & (F.col("key") != ""))
+    score = (
+        dot_product(F.col(embedding_col), F.col("__qvec"))
+        if assume_normalized
+        else cosine_similarity(F.col(embedding_col), F.col("__qvec"))
+    )
     scored = (
         corpus.crossJoin(q)
         .where(F.size(F.col(embedding_col)) == F.size(F.col("__qvec")))
-        .withColumn(
-            "__raw", cosine_similarity(F.col(embedding_col), F.col("__qvec"))
-        )
+        .withColumn("__raw", score)
         .where(_scoreable_at_least(F.col("__raw"), min_score))
     )
     order = [F.desc("__raw")]

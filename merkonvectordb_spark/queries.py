@@ -183,6 +183,63 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "label", "score")
 
 
+_UNIT_SQL = (
+    "list_transform(CAST({e} AS DOUBLE[]), x -> x / "
+    "sqrt(list_dot_product(CAST({e} AS DOUBLE[]), CAST({e} AS DOUBLE[]))))"
+)
+
+_KNN_BATCH_PRENORM_ORACLE = f"""
+WITH eu AS (
+  SELECT vec_id, label, {_UNIT_SQL.format(e="embedding")} AS ue
+  FROM embeddings
+  WHERE sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) > 0
+),
+q AS (
+  SELECT vec_id AS query_id, {_UNIT_SQL.format(e="embedding")} AS uq
+  FROM embeddings
+  WHERE vec_id < 5
+    AND sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) > 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label, list_dot_product(e.ue, q.uq) AS raw
+  FROM eu e CROSS JOIN q
+  WHERE len(e.ue) = len(q.uq)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, vec_id ASC) AS rn
+  FROM scored WHERE raw >= 0.0
+)
+SELECT query_id, vec_id, label, round(raw, 6) AS score FROM ranked WHERE rn <= 3
+""".strip()
+
+
+@register("knn_batch_prenorm", _KNN_BATCH_PRENORM_ORACLE)
+def q_knn_batch_prenorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.4 batch kNN over the PRE-NORMALIZED corpus layout
+    (``VectorStore(pre_normalized=True)``; functions/vector.py:19-21):
+    the corpus is unit-normalized ONCE (3 folds per row, the cost a real
+    deployment pays at ingest), after which every (row × query) score is
+    a single dot fold — vs cosine's three.  Same results as ``knn_batch``
+    by construction (cosine(a,b) ≡ dot(â,b̂)); the oracle mirrors the
+    normalize-then-dot operation order so raw scores stay bit-identical."""
+    from merkonvectordb_spark.functions.vector import l2_normalize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.withColumn("embedding", l2_normalize(F.col("embedding"))).where(
+        F.col("embedding").isNotNull()
+    )
+    qset = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_batch(
+        corpus, qset, k=3, min_score=0.0, tie_break="vec_id",
+        assume_normalized=True,
+    )
+    return out.select("query_id", "vec_id", "label", "score")
+
+
 # ---------------------------------------------------------------------------
 # §2.1 scans / §2.2 projections & predicates over the vectors corpus
 # ---------------------------------------------------------------------------

@@ -41,11 +41,26 @@ _REGISTRY_DDL = "collection STRING, created_seq LONG"
 
 class VectorStore:
     """CRUD facade over a collection-partitioned parquet ``vectors`` table
-    (SURVEY §2 parity surface W1-W11 / R1 / S1-S4 / P1)."""
+    (SURVEY §2 parity surface W1-W11 / R1 / S1-S4 / P1).
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``pre_normalized=True`` is the SEARCH-OPTIMIZED layout
+    (functions/vector.py:19-21): embeddings are L2-normalized once at
+    upsert, so every subsequent query scores with a single dot-product
+    fold (``search``/``search_batch`` pass ``assume_normalized``)
+    instead of cosine's three.  At 100 TB the normalize is paid once per
+    ingested row and the saving recurs per (row × query) pair.
+    Trade-offs, by design (opt-in): read-back returns UNIT vectors (the
+    original magnitude is not retained — cosine search never uses it),
+    and a zero-norm embedding stores as NULL (it is unscorable either
+    way; the reference's NaN semantics exclude it from every search).
+    """
+
+    def __init__(
+        self, spark: SparkSession, root: str, pre_normalized: bool = False
+    ):
         self.spark = spark
         self.root = root
+        self.pre_normalized = pre_normalized
         self.vectors_path = os.path.join(root, "vectors")
         self.registry_path = os.path.join(root, "collections")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -189,6 +204,15 @@ class VectorStore:
         MerkonMemoryStore.cs:240) unless disabled.  Only partitions of
         collections present in ``records`` are read+rewritten."""
         upd = ops.with_key_from_metadata(records) if key_from_metadata else records
+        if self.pre_normalized:
+            from merkonvectordb_spark.functions.vector import l2_normalize
+
+            # normalize in double, store in the table's float32 element
+            # type (the reference's vector precision; VECTORS_SCHEMA_DDL)
+            upd = upd.withColumn(
+                "embedding",
+                l2_normalize(F.col("embedding")).cast("array<float>"),
+            )
         colls = [r["collection"] for r in upd.select("collection").distinct().collect()]
         state = self.vectors()
         affected = state.where(F.col("collection").isin(colls))
@@ -368,3 +392,33 @@ class VectorStore:
         """S3 partition-pruned collection scan (MerkonDatabase.cs:206-215)."""
         df = self.vectors().where(F.col("collection") == collection)
         return df if with_embeddings else df.drop("embedding")
+
+    # -- §2.4 search over the store's layout -------------------------------
+    def search(self, collection: str, query, k: int, min_score: float = 0.0,
+               with_embeddings: bool = False) -> DataFrame:
+        """GetNearestMatches over this store: brute-force cosine top-k,
+        scored with the single-fold dot path when the store is
+        ``pre_normalized`` (the layout makes the two identical)."""
+        from merkonvectordb_spark.operators.search import knn
+
+        return knn(
+            self.scan(collection),
+            query,
+            k=k,
+            min_score=min_score,
+            with_embeddings=with_embeddings,
+            assume_normalized=self.pre_normalized,
+        )
+
+    def search_batch(self, collection: str, queries: DataFrame, k: int,
+                     min_score: float = 0.0) -> DataFrame:
+        """Batch form: one corpus scan for the whole query set."""
+        from merkonvectordb_spark.operators.search import knn_batch
+
+        return knn_batch(
+            self.scan(collection),
+            queries,
+            k=k,
+            min_score=min_score,
+            assume_normalized=self.pre_normalized,
+        )

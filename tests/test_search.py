@@ -122,6 +122,71 @@ def test_knn_batch_plans_bounded_window_limit(spark, corpus):
     assert "WindowGroupLimit" in plan and "Partial" in plan
 
 
+def test_prenorm_dot_path_matches_cosine_path(spark, corpus):
+    """assume_normalized over a unit-normalized corpus must return the
+    same keys/ranks/6dp-scores as the cosine path over the raw corpus —
+    cosine(a, b) == dot(â, b̂) by definition; this pins the FP plumbing
+    (driver-side query normalization, bound-once corpus normalize)."""
+    from merkonvectordb_spark.functions.vector import l2_normalize
+
+    unit = corpus.withColumn(
+        "embedding", l2_normalize(F.col("embedding"))
+    ).where(F.col("embedding").isNotNull())
+    q = [0.6, 0.8]
+    ref = [
+        (r["key"], round(r["score"], 5))
+        for r in knn(corpus, q, k=5, collection="c0").collect()
+    ]
+    got = [
+        (r["key"], round(r["score"], 5))
+        for r in knn(
+            unit, q, k=5, collection="c0", assume_normalized=True
+        ).collect()
+    ]
+    assert got == ref
+    # batch form: same parity per query
+    qset = spark.createDataFrame([(0, [0.6, 0.8]), (1, [0.0, 1.0])], "query_id LONG, embedding ARRAY<DOUBLE>")
+    ref_b = {
+        (r["query_id"], r["key"], round(r["score"], 5))
+        for r in knn_batch(corpus, qset, k=3, tie_break="ingest_seq").collect()
+    }
+    got_b = {
+        (r["query_id"], r["key"], round(r["score"], 5))
+        for r in knn_batch(
+            unit, qset, k=3, tie_break="ingest_seq", assume_normalized=True
+        ).collect()
+    }
+    assert got_b == ref_b
+
+
+def test_prenorm_zero_query_unscorable(corpus):
+    assert knn(corpus, [0.0, 0.0], k=5, assume_normalized=True).count() == 0
+
+
+def test_prenormalized_store_search(spark, tmp_path):
+    """VectorStore(pre_normalized=True): upsert stores unit vectors; a
+    zero-norm embedding stores NULL (unscorable by contract); search()
+    uses the dot path and ranks like cosine over the raw input."""
+    from merkonvectordb_spark.sources.vector_store import VectorStore
+
+    store = VectorStore(spark, str(tmp_path / "pn"), pre_normalized=True)
+    rows = [
+        ("c0", "a", '{"id": "a"}', [3.0, 0.0]),
+        ("c0", "b", '{"id": "b"}', [1.0, 1.0]),
+        ("c0", "z", '{"id": "z"}', [0.0, 0.0]),
+    ]
+    recs = spark.createDataFrame(
+        rows, "collection STRING, key STRING, metadata STRING, embedding ARRAY<FLOAT>"
+    ).withColumn("ts", F.timestamp_micros(F.lit(0)))
+    store.upsert(recs, key_from_metadata=False)
+    back = {r["key"]: r["embedding"] for r in store.scan("c0").collect()}
+    assert back["z"] is None  # zero-norm stores NULL by contract
+    assert abs(sum(v * v for v in back["a"]) - 1.0) < 1e-6  # unit norm (f32)
+    hits = store.search("c0", [1.0, 0.0], k=2).collect()
+    assert [h["key"] for h in hits] == ["a", "b"]
+    assert abs(hits[0]["score"] - 1.0) < 1e-6
+
+
 def test_knn_wide_embeddings_d1536(spark):
     # ada-002 dimensionality: the query vector must ship as ONE array
     # literal (vector_literal), not 1536 expression nodes; both scoring
