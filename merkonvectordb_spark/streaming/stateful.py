@@ -56,7 +56,14 @@ def make_session_fn(gap_sec: int = 1800, event_time_timeout: bool = False):
         # one sort over the WHOLE micro-batch group: the iterator yields
         # Arrow chunks (~10k rows each), and sorting each chunk alone
         # would let an out-of-order event that lands in a later chunk
-        # spuriously close/merge sessions across the chunk boundary
+        # spuriously close/merge sessions across the chunk boundary.
+        # Memory bound: this holds ONE KEY's share of ONE micro-batch in
+        # executor memory (not all-time history — state carries only the
+        # 4-field open-session tuple across batches).  That is the right
+        # trade for user-sized keys; a pathological hot key is bounded by
+        # micro-batch sizing (maxFilesPerTrigger / maxOffsetsPerTrigger),
+        # and a sort-merge of the pre-sorted chunks could replace the
+        # concat if per-batch hot-key memory ever matters.
         batch = list(pdfs)
         pdf = (
             pd.concat(batch, ignore_index=True).sort_values(
