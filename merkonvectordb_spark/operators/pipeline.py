@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -211,11 +211,104 @@ def global_exclusive_prefix_sum(
     )
 
 
+def grouped_exclusive_prefix_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "run_start",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group exclusive running totals in ONE corpus shuffle — the
+    grouped form of ``global_exclusive_prefix_sum``.
+
+    Calling the global form once per group re-shuffles the corpus
+    |groups| times (``prepare_training_shards`` did exactly that, once
+    per train/val/test split).  Here the range partitioning is on
+    (group, order) together, the streamed within-partition pass resets
+    its running counter at group boundaries (carrying it across Arrow
+    chunks of the same group), and the per-(partition, group) totals are
+    prefix-summed per group with a tiny window (P·G rows, partitioned by
+    group — never single-partition) and re-attached via a broadcast
+    join.  Determinism argument is unchanged: each group's rows form a
+    total order, and an exclusive prefix sum is independent of where
+    range boundaries land.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    par = num_partitions or spark.sparkContext.defaultParallelism
+    gcols = list(group_cols)
+    cols = list(order_cols)
+    if not gcols:
+        return global_exclusive_prefix_sum(
+            df, cols, value_col, out_col, num_partitions
+        )
+    part = (
+        df.repartitionByRange(par, *[F.asc(c) for c in gcols + cols])
+        .sortWithinPartitions(*gcols, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    schema = StructType(
+        list(part.schema.fields) + [StructField("__lcum", LongType())]
+    )
+
+    def _cum(batches):
+        prev_key = None
+        prev_run = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            if not len(pdf):
+                pdf["__lcum"] = pd.Series([], dtype="int64")
+                yield pdf
+                continue
+            v = pdf[value_col].astype("int64")
+            key = pd.Series(
+                list(zip(*[pdf[g] for g in gcols])), index=pdf.index
+            )
+            c = v.groupby(key, sort=False).cumsum()
+            first = key.iloc[0]
+            if prev_key is not None and first == prev_key:
+                # the chunk opens mid-group: its leading (contiguous,
+                # sorted) run of `first` rows continues the carried total
+                c = c + (key == first).astype("int64") * prev_run
+            pdf["__lcum"] = c
+            prev_key = key.iloc[-1]
+            prev_run = int(c.iloc[-1])
+            yield pdf
+
+    ranked = part.mapInPandas(_cum, schema).localCheckpoint(eager=True)
+    totals = ranked.groupBy("__pid", *gcols).agg(
+        F.sum(F.col(value_col).cast("bigint")).alias("__ptot")
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__poff", F.coalesce(F.sum("__ptot").over(w), F.lit(0))
+    ).select("__pid", *gcols, "__poff")
+    return (
+        ranked.join(F.broadcast(offsets), ["__pid", *gcols])
+        .withColumn(
+            out_col,
+            (
+                F.col("__poff")
+                + F.col("__lcum")
+                - F.col(value_col).cast("bigint")
+            ).cast("bigint"),
+        )
+        .drop("__pid", "__lcum", "__poff")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     order_cols: Sequence[str],
     tokens_col: str,
     budget: int,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Concat-and-split sequence packing (GPT-style pretraining): lay the
     chunks out as one global token stream in ``order_cols`` order and cut
@@ -227,11 +320,16 @@ def pack_sequences(
     (whether the chunk crosses the next cut).  Content-addressed via the
     deterministic prefix sum: reruns, resizes, and repartitioning cannot
     move a chunk between sequences.
+
+    ``group_cols`` packs each group as its own independent token stream
+    (seq_id restarts at 0 per group) in ONE corpus shuffle — the form
+    ``prepare_training_shards`` uses to pack all splits at once instead
+    of re-shuffling the corpus per split.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
-    out = global_exclusive_prefix_sum(
-        df, order_cols, tokens_col, out_col="__gstart"
+    out = grouped_exclusive_prefix_sum(
+        df, group_cols, order_cols, tokens_col, out_col="__gstart"
     )
     start = F.col("__gstart")
     toks = F.col(tokens_col).cast("bigint")
@@ -386,9 +484,9 @@ def prepare_training_shards(
     re-executions safe.
 
     Scale shape: stages 1-4 are scan-local projections/filters plus one
-    fingerprint window; packing is the range-partitioned two-pass prefix
-    sum — invoked once per split (splits are a handful by construction,
-    so the loop is O(3) driver round-trips, not a per-key pattern).
+    fingerprint window; packing is the range-partitioned two-pass
+    GROUPED prefix sum — all splits in one corpus shuffle (the former
+    per-split loop re-shuffled the corpus |splits| times).
     """
     from merkonvectordb_spark.functions.text import quality_score
     from merkonvectordb_spark.operators.dedup import keep_survivors
@@ -399,26 +497,21 @@ def prepare_training_shards(
     gated = docs.where(quality_score(F.col(text_col)) >= F.lit(quality_min))
     surv = keep_survivors(gated, text_col, id_col)
     assigned = hash_split(surv, id_col, splits, salt=salt)
-    # the quality-gate → dedup-window → chunk lineage feeds one
-    # pack_sequences per split (each with its own driver collect):
-    # materialize once, or every split re-runs the corpus shuffle
-    # (2+-consumers law from this module's own docstring).
-    # localCheckpoint(eager), NOT persist(): the returned frame is lazy,
-    # so a persist here could never be unpersisted by this function —
-    # checkpoint blocks free with the frame's GC instead of pinning the
-    # session cache registry (same reasoning as global_exclusive_prefix_sum).
+    # ALL splits pack in ONE corpus shuffle: the grouped prefix sum
+    # range-partitions on (split, doc, chunk) together and restarts each
+    # split's token stream at 0 — identical output to packing each split
+    # separately, minus |splits|-1 corpus re-shuffles (the old per-split
+    # loop's cost; at 100 TB each re-shuffle is the dominant term)
     chunks = chunk_tokens(
         assigned.select(id_col, "split", text_col), text_col, window, stride
-    ).drop(text_col).localCheckpoint(eager=True)
-    packed = None
-    for name in splits:
-        part = pack_sequences(
-            chunks.where(F.col("split") == name),
-            (id_col, "chunk_idx"),
-            "chunk_tokens",
-            budget=budget,
-        )
-        packed = part if packed is None else packed.unionByName(part)
+    ).drop(text_col)
+    packed = pack_sequences(
+        chunks,
+        (id_col, "chunk_idx"),
+        "chunk_tokens",
+        budget=budget,
+        group_cols=("split",),
+    )
     return packed.withColumn(
         "shard_id", (F.col("seq_id") / seqs_per_shard).cast("bigint")
     )

@@ -210,6 +210,38 @@ def test_prefix_sum_plan_is_flat_in_partition_count(spark):
         run += i % 7 + 1
 
 
+def test_grouped_prefix_sum_matches_per_group_global(spark):
+    """grouped_exclusive_prefix_sum over (g) must equal running
+    global_exclusive_prefix_sum per group — including groups that span
+    partition and Arrow-chunk boundaries — while shuffling once."""
+    from merkonvectordb_spark.operators.pipeline import (
+        global_exclusive_prefix_sum,
+        grouped_exclusive_prefix_sum,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).alias("g"),
+        F.col("id"),
+        (F.col("id") % 11 + 1).alias("toks"),
+    )
+    got = {
+        (r["g"], r["id"]): r["s"]
+        for r in grouped_exclusive_prefix_sum(
+            df, ["g"], ["id"], "toks", out_col="s", num_partitions=16
+        ).collect()
+    }
+    for g in range(3):
+        ref = {
+            (g, r["id"]): r["s"]
+            for r in global_exclusive_prefix_sum(
+                df.where(F.col("g") == g), ["id"], "toks", out_col="s",
+                num_partitions=4,
+            ).collect()
+        }
+        for k, v in ref.items():
+            assert got[k] == v, f"{k}: grouped={got[k]} global={v}"
+
+
 def test_curriculum_deciles_has_no_global_window(spark, sf_dir):
     """The decile assignment must be rank arithmetic over a range
     partitioning — never ``ntile() OVER (ORDER BY …)``, whose empty
