@@ -218,10 +218,24 @@ def mmr_rerank(
     lam: float = 0.5,
     query_id_col: str = "query_id",
     id_col: str = "vec_id",
+    strategy: str = "local",
 ) -> DataFrame:
     """Maximal-marginal-relevance diversification over a per-query
     candidate set: greedily pick the candidate maximizing
     ``lam * sim(q, d) - (1 - lam) * max_{s in selected} sim(d, s)``.
+
+    Two physical strategies with IDENTICAL results:
+
+    * ``"local"`` (default): cogroup ``cand`` and ``psim`` on query_id
+      and run the whole greedy loop per query inside one
+      ``applyInPandas`` task — ONE shuffle, one job, regardless of k.
+      Candidate sets are re-rank-width by construction (top-N per
+      query), so a group always fits a task; with millions of queries
+      every group solves in parallel.  This is the shape a large
+      deployment wants: the iterative form's latency is k-1 sequential
+      cluster-wide jobs, the local form's is one.
+    * ``"iterative"``: the k-1-step dataflow loop below — kept for the
+      degenerate case of candidate sets too wide for one task.
 
     ``cand`` carries ``(query_id, vec_id, qs)`` (raw query-relevance,
     UNROUNDED — rounding happens at output only) and ``psim`` the raw
@@ -239,6 +253,10 @@ def mmr_rerank(
     is its raw relevance (greedy seed), later ranks the MMR objective.
     """
     qk, ik = query_id_col, id_col
+    if strategy == "local":
+        return _mmr_rerank_local(cand, psim, k, lam, qk, ik)
+    if strategy != "iterative":
+        raise ValueError(f"unknown mmr strategy: {strategy!r}")
     # the loop re-references cand/psim every iteration and the selected
     # set's lineage grows per step — persist the invariants and cut the
     # accumulator's lineage (same persist-or-recompute law PageRank
@@ -300,3 +318,82 @@ def mmr_rerank(
     cand.unpersist()
     psim.unpersist()
     return out
+
+
+def _mmr_rerank_local(
+    cand: DataFrame,
+    psim: DataFrame,
+    k: int,
+    lam: float,
+    qk: str,
+    ik: str,
+) -> DataFrame:
+    """The cogrouped strategy: whole greedy loop per query in one task.
+
+    Exact-parity notes: same double arithmetic as the dataflow form
+    (``lam*qs - (1-lam)*max_sim``), same tie-breaks (desc objective,
+    asc id), a candidate with NO pairwise row against any selected item
+    scores max_sim 0 (maximally diverse, mirroring the LEFT-join
+    coalesce), and rounding happens in the SPARK layer (``F.round``,
+    HALF_UP) — Python's banker's ``round`` would diverge on .xxxxx5
+    ticks."""
+    from pyspark.sql import types as T
+
+    lam_f = float(lam)
+    one_m = float(1.0 - lam)
+    out_schema = T.StructType(
+        [
+            cand.schema[qk],
+            cand.schema[ik],
+            T.StructField("sel_rank", T.IntegerType()),
+            T.StructField("__mscore", T.DoubleType()),
+        ]
+    )
+
+    def _greedy(key, cpdf, ppdf):
+        import pandas as pd
+
+        cols = [qk, ik, "sel_rank", "__mscore"]
+        if k <= 0 or not len(cpdf):
+            return pd.DataFrame(columns=cols)
+        qs = dict(zip(cpdf[ik], cpdf["qs"]))
+        sims: dict = {}
+        if len(ppdf):
+            for a, b, s in zip(ppdf["a"], ppdf["b"], ppdf["sim"]):
+                sims[(a, b)] = s
+        seed = min(qs, key=lambda i: (-qs[i], i))
+        sel = [(seed, float(qs[seed]))]
+        remaining = sorted(i for i in qs if i != seed)
+        while len(sel) < k and remaining:
+            best_id = None
+            best_m = None
+            for i in remaining:
+                have = [sims[(i, s)] for s, _ in sel if (i, s) in sims]
+                ms = max(have) if have else 0.0
+                m = lam_f * float(qs[i]) - one_m * float(ms)
+                if best_m is None or m > best_m:
+                    best_id, best_m = i, m  # remaining is asc-sorted: first
+                    # strictly-greater wins, equal keeps the lower id
+            sel.append((best_id, best_m))
+            remaining.remove(best_id)
+        qval = key[0]
+        return pd.DataFrame(
+            [(qval, i, r + 1, sc) for r, (i, sc) in enumerate(sel)],
+            columns=cols,
+        )
+
+    # cand and psim usually derive from the SAME candidate frame; rename
+    # the right side's key so the cogroup key resolution never sees two
+    # lineage-identical attributes (ambiguous-self-join guard)
+    right = psim.select(
+        F.col(qk).alias("__pqk"), "a", "b", "sim"
+    )
+    out = (
+        cand.select(qk, ik, "qs")
+        .groupBy(qk)
+        .cogroup(right.groupBy("__pqk"))
+        .applyInPandas(_greedy, out_schema)
+    )
+    return out.withColumn(
+        "mmr_score", F.round(F.col("__mscore"), 6)
+    ).drop("__mscore")
