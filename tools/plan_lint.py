@@ -98,6 +98,10 @@ ALLOW: dict[tuple[str, str], str] = {
     ("knn_batch_ivfpq", "nested_loop"):
         "fixed-K centroid set broadcast for assignment/probing (same "
         "shape as knn_batch_ivf)",
+    ("mmr_rerank", "nested_loop"):
+        "fixed query batch (Q=5) broadcast for candidate scoring — "
+        "|corpus|×Q, Q constant (the iterative strategy's checkpoints "
+        "used to hide this same join from the final plan)",
     ("semantic_dedup", "nested_loop"):
         "fixed-K centroid set broadcast for cluster assignment (same "
         "shape as knn_batch_ivf)",
