@@ -263,17 +263,23 @@ def grouped_exclusive_prefix_sum(
                 yield pdf
                 continue
             v = pdf[value_col].astype("int64")
-            key = pd.Series(
-                list(zip(*[pdf[g] for g in gcols])), index=pdf.index
-            )
-            c = v.groupby(key, sort=False).cumsum()
-            first = key.iloc[0]
+            c = v.groupby(
+                [pdf[g] for g in gcols], sort=False
+            ).cumsum()
+            first = tuple(pdf[g].iloc[0] for g in gcols)
             if prev_key is not None and first == prev_key:
                 # the chunk opens mid-group: its leading (contiguous,
-                # sorted) run of `first` rows continues the carried total
-                c = c + (key == first).astype("int64") * prev_run
+                # sorted) run of `first` rows continues the carried
+                # total.  Per-column masks, not Series-of-tuples ==
+                # tuple (pandas treats a tuple scalar as array-like in
+                # some versions).
+                mask = None
+                for g, val in zip(gcols, first):
+                    m = pdf[g] == val
+                    mask = m if mask is None else (mask & m)
+                c = c + mask.astype("int64") * prev_run
             pdf["__lcum"] = c
-            prev_key = key.iloc[-1]
+            prev_key = tuple(pdf[g].iloc[-1] for g in gcols)
             prev_run = int(c.iloc[-1])
             yield pdf
 

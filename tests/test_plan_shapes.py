@@ -224,12 +224,21 @@ def test_grouped_prefix_sum_matches_per_group_global(spark):
         F.col("id"),
         (F.col("id") % 11 + 1).alias("toks"),
     )
-    got = {
-        (r["g"], r["id"]): r["s"]
-        for r in grouped_exclusive_prefix_sum(
-            df, ["g"], ["id"], "toks", out_col="s", num_partitions=16
-        ).collect()
-    }
+    # tiny Arrow batches force every partition to span MANY chunks, so
+    # the cross-chunk carry (including mid-group chunk openings) is
+    # actually exercised — with the default 10k batch each partition is
+    # one chunk and the carry path never runs
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+    try:
+        got = {
+            (r["g"], r["id"]): r["s"]
+            for r in grouped_exclusive_prefix_sum(
+                df, ["g"], ["id"], "toks", out_col="s", num_partitions=16
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     for g in range(3):
         ref = {
             (g, r["id"]): r["s"]
