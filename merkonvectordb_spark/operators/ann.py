@@ -689,8 +689,17 @@ def semantic_dedup(
         )
     )
     # three consumers (both sides of the pair self-join + the final
-    # left join) — without persist each re-runs the corpus×K scoring
-    assigned = assigned.persist()
+    # left join) — without persist each re-runs the corpus×K scoring.
+    # The pair stage is the dominant Σ|cluster|² term, so embeddings are
+    # unit-normalized ONCE here (3 folds per ROW) and each pair scores
+    # with a single dot fold instead of cosine's three — the
+    # pre-normalized-corpus trick from operators.search.  Zero-norm rows
+    # can't reach this point (their centroid score is NULL-filtered).
+    from merkonvectordb_spark.functions.vector import dot_product, l2_normalize
+
+    assigned = assigned.withColumn(
+        "__eu", l2_normalize(F.col("__e"))
+    ).persist()
     x = assigned.alias("x")
     y = assigned.alias("y")
     xid, yid = F.col(f"x.{id_col}"), F.col(f"y.{id_col}")
@@ -700,7 +709,7 @@ def semantic_dedup(
     removed = (
         x.join(y, (F.col("x.cid") == F.col("y.cid")) & (xid != yid))
         .where(
-            (cosine_similarity(F.col("x.__e"), F.col("y.__e")) > F.lit(float(tau)))
+            (dot_product(F.col("x.__eu"), F.col("y.__eu")) > F.lit(float(tau)))
             & beaten
         )
         .select(xid.alias(id_col))

@@ -731,13 +731,20 @@ assign AS (
              ORDER BY {_COS_RAW.format(a="e.emb", b="c.cv")} DESC, c.cid ASC) AS rn
     FROM edim e CROSS JOIN cents1 c) WHERE rn = 1
 ),
+uem AS (
+  -- unit vectors, normalize-then-dot: mirrors the engine's
+  -- pre-normalized pair stage operation order exactly
+  SELECT vec_id,
+         list_transform(emb, v -> v / sqrt(list_dot_product(emb, emb))) AS ue
+  FROM edim
+),
 removed AS (
   SELECT DISTINCT x.vec_id
   FROM assign x
   JOIN assign y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-  JOIN edim ex ON ex.vec_id = x.vec_id
-  JOIN edim ey ON ey.vec_id = y.vec_id
-  WHERE {_COS_RAW.format(a="ex.emb", b="ey.emb")} > {_SEMDEDUP_TAU}
+  JOIN uem ex ON ex.vec_id = x.vec_id
+  JOIN uem ey ON ey.vec_id = y.vec_id
+  WHERE list_dot_product(ex.ue, ey.ue) > {_SEMDEDUP_TAU}
     AND (y.sim < x.sim OR (y.sim = x.sim AND y.vec_id < x.vec_id))
 )
 SELECT a.vec_id AS id, a.cid, round(a.sim, 6) AS cent_sim,
