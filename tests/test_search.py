@@ -120,6 +120,14 @@ def test_knn_batch_plans_bounded_window_limit(spark, corpus):
         .toString()
     )
     assert "WindowGroupLimit" in plan and "Partial" in plan
+    # same bounded shape on the pre-normalized dot path
+    plan_pn = (
+        knn_batch(corpus, qs, k=2, assume_normalized=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan_pn and "Partial" in plan_pn
 
 
 def test_prenorm_dot_path_matches_cosine_path(spark, corpus):
