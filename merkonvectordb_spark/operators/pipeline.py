@@ -253,6 +253,13 @@ def grouped_exclusive_prefix_sum(
         list(part.schema.fields) + [StructField("__lcum", LongType())]
     )
 
+    def _keys_eq(a, b) -> bool:
+        # NULL group values surface as None/NaN in pandas, and NaN !=
+        # NaN — treat null==null as equal (a NULL group is a group)
+        return all(
+            (pd.isna(x) and pd.isna(y)) or x == y for x, y in zip(a, b)
+        )
+
     def _cum(batches):
         prev_key = None
         prev_run = 0
@@ -263,19 +270,22 @@ def grouped_exclusive_prefix_sum(
                 yield pdf
                 continue
             v = pdf[value_col].astype("int64")
+            # dropna=False: a NULL group key is a group like any other;
+            # the default silently drops those rows from the cumsum,
+            # leaving NaN in an int64 output column
             c = v.groupby(
-                [pdf[g] for g in gcols], sort=False
+                [pdf[g] for g in gcols], sort=False, dropna=False
             ).cumsum()
             first = tuple(pdf[g].iloc[0] for g in gcols)
-            if prev_key is not None and first == prev_key:
+            if prev_key is not None and _keys_eq(first, prev_key):
                 # the chunk opens mid-group: its leading (contiguous,
                 # sorted) run of `first` rows continues the carried
                 # total.  Per-column masks, not Series-of-tuples ==
                 # tuple (pandas treats a tuple scalar as array-like in
-                # some versions).
+                # some versions); NaN keys match via isna.
                 mask = None
                 for g, val in zip(gcols, first):
-                    m = pdf[g] == val
+                    m = pdf[g].isna() if pd.isna(val) else (pdf[g] == val)
                     mask = m if mask is None else (mask & m)
                 c = c + mask.astype("int64") * prev_run
             pdf["__lcum"] = c
@@ -295,8 +305,17 @@ def grouped_exclusive_prefix_sum(
     offsets = totals.withColumn(
         "__poff", F.coalesce(F.sum("__ptot").over(w), F.lit(0))
     ).select("__pid", *gcols, "__poff")
+    # eqNullSafe on the group columns: a plain equi-join would silently
+    # drop every NULL-keyed group's rows (NULL never equals NULL in a
+    # join), while groupBy/Window above DO keep the NULL group
+    rj = ranked.alias("__r")
+    oj = F.broadcast(offsets.alias("__o"))
+    cond = F.col("__r.__pid") == F.col("__o.__pid")
+    for g in gcols:
+        cond = cond & F.col(f"__r.{g}").eqNullSafe(F.col(f"__o.{g}"))
     return (
-        ranked.join(F.broadcast(offsets), ["__pid", *gcols])
+        rj.join(oj, cond)
+        .select("__r.*", F.col("__o.__poff"))
         .withColumn(
             out_col,
             (

@@ -253,6 +253,11 @@ def mmr_rerank(
     is its raw relevance (greedy seed), later ranks the MMR objective.
     """
     qk, ik = query_id_col, id_col
+    # unscorable candidates (NULL/NaN relevance) are excluded up front,
+    # identically for both strategies: Spark's window would order NaN
+    # LARGEST (seeding on garbage) while a Python max would propagate
+    # it differently — the contract is that ``qs`` is a real score
+    cand = cand.where(F.col("qs").isNotNull() & (~F.isnan("qs")))
     if strategy == "local":
         return _mmr_rerank_local(cand, psim, k, lam, qk, ik)
     if strategy != "iterative":

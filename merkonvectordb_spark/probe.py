@@ -52,6 +52,30 @@ _env_recorded: set[str] = set()
 _probed: set[str] = set()
 
 
+def _enabled() -> bool:
+    """Global kill-switch: ENVPROBE=0 disables EVERY probe path —
+    fingerprints, per-query checks, and file appends alike."""
+    return os.environ.get("ENVPROBE", "1") != "0"
+
+
+def _is_correctness_dir(sf_dir: str) -> bool:
+    """The driver's oracle gate runs at sf0.01 — match the directory
+    NAME exactly (basename), not a substring: '0.01' as a substring
+    also matches paths like .../run-2026.01.12/sf10."""
+    return os.path.basename(os.path.normpath(sf_dir)) == "sf0.01"
+
+
+def _small_enough_to_scan(sf_dir: str) -> bool:
+    """The fingerprint checksums scan events/lineitem in full; cap by
+    file size so a production-scale directory never pays table scans
+    for diagnostics."""
+    try:
+        ev = os.path.join(sf_dir, "events.parquet")
+        return os.path.exists(ev) and os.path.getsize(ev) < 64 * 1024 * 1024
+    except Exception:
+        return False
+
+
 def _append(line: dict) -> None:
     try:
         with open(PROBE_PATH, "a") as f:
@@ -60,41 +84,22 @@ def _append(line: dict) -> None:
         pass  # read-only tree in some harness stages — observation only
 
 
-def _canon_cell(v) -> str:
-    # mirrors tools/oracle_check.py so in-process hashes are comparable
-    from datetime import date, datetime
-
-    if v is None:
-        return "\\N"
-    if isinstance(v, float):
-        if v != v:
-            return "NaN"
-        return repr(round(v, 9))
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
-    if isinstance(v, date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
-    return str(v)
+# single source of truth shared with tools/oracle_check.py — the probe's
+# verdicts must be byte-identical to the gate stand-in's
+from merkonvectordb_spark.canon import canon_rows as _canon_rows  # noqa: E402
 
 
-def _canon_rows(cols, rows):
-    import hashlib
-
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x1f".join(_canon_cell(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()
-    return h, lines
-
-
-def env_fingerprint(spark, sf_dir: str) -> dict:
+def env_fingerprint(spark, sf_dir: str, heavy: bool | None = None) -> dict:
     """Environment + data fingerprint.  MUST run before load_table pins
-    session confs so the *harness's own* values are captured."""
+    session confs so the *harness's own* values are captured.
+
+    ``heavy`` gates the full-table checksum scans (DuckDB + Spark over
+    events/lineitem); default: only when the directory is small enough
+    that the scans are negligible."""
     import datetime as _dt
 
+    if heavy is None:
+        heavy = _small_enough_to_scan(sf_dir)
     fp: dict = {"kind": "env", "sf_dir": sf_dir, "wall": time.time()}
     try:
         fp["tz_env"] = os.environ.get("TZ")
@@ -117,12 +122,13 @@ def env_fingerprint(spark, sf_dir: str) -> dict:
             fp["duckdb_events_ts_type"] = con.sql(
                 f"SELECT typeof(ts) FROM read_parquet('{ev}') LIMIT 1"
             ).fetchone()[0]
-            fp["duckdb_events_ck"] = con.sql(
-                f"SELECT count(*), min(epoch_us(ts)), max(epoch_us(ts)),"
-                f" sum(epoch_us(ts) % 1000000) FROM read_parquet('{ev}')"
-            ).fetchone()
+            if heavy:
+                fp["duckdb_events_ck"] = con.sql(
+                    f"SELECT count(*), min(epoch_us(ts)), max(epoch_us(ts)),"
+                    f" sum(epoch_us(ts) % 1000000) FROM read_parquet('{ev}')"
+                ).fetchone()
         li = os.path.join(sf_dir, "lineitem.parquet")
-        if os.path.exists(li):
+        if heavy and os.path.exists(li):
             fp["duckdb_lineitem_ck"] = con.sql(
                 f"SELECT count(*), sum(epoch_us(l_shipdate) % 86400000000)"
                 f" FROM read_parquet('{li}')"
@@ -168,13 +174,14 @@ def env_fingerprint(spark, sf_dir: str) -> dict:
 
         ev = load_table(spark, sf_dir, "events")  # the real query read path
         fp["spark_events_ts_type"] = str(ev.schema["ts"].dataType)
-        row = ev.select(
-            F.count(F.lit(1)),
-            F.min(F.unix_micros("ts")),
-            F.max(F.unix_micros("ts")),
-            F.sum(F.unix_micros("ts") % 1000000),
-        ).first()
-        fp["spark_events_ck"] = list(row)
+        if heavy:
+            row = ev.select(
+                F.count(F.lit(1)),
+                F.min(F.unix_micros("ts")),
+                F.max(F.unix_micros("ts")),
+                F.sum(F.unix_micros("ts") % 1000000),
+            ).first()
+            fp["spark_events_ck"] = list(row)
     except Exception as e:
         fp["spark_read_err"] = repr(e)[:300]
     return fp
@@ -182,8 +189,8 @@ def env_fingerprint(spark, sf_dir: str) -> dict:
 
 def record_env_once(spark, sf_dir: str) -> None:
     """Called at the top of ``load_table`` (before any conf pinning).
-    One fingerprint line per (process, sf_dir)."""
-    if sf_dir in _env_recorded:
+    One fingerprint line per (process, sf_dir); ENVPROBE=0 disables."""
+    if not _enabled() or sf_dir in _env_recorded:
         return
     _env_recorded.add(sf_dir)  # even on failure: never retry per call
     try:
@@ -259,9 +266,9 @@ def maybe_probe(name: str, spark, sf_dir: str) -> None:
     """Per-query hook (registry wrapper): at the correctness SF, run the
     in-process comparison once per process for this query and append the
     result to ENVPROBE.jsonl."""
-    if name in _probed or "0.01" not in sf_dir:
+    if name in _probed or not _is_correctness_dir(sf_dir):
         return
-    if os.environ.get("ENVPROBE", "1") == "0":
+    if not _enabled():
         return
     _probed.add(name)
     try:

@@ -251,6 +251,29 @@ def test_grouped_prefix_sum_matches_per_group_global(spark):
             assert got[k] == v, f"{k}: grouped={got[k]} global={v}"
 
 
+def test_grouped_prefix_sum_null_group_key(spark):
+    """A NULL group key is a group like any other: pandas groupby must
+    not drop it (dropna=False) and the offsets join must be null-safe —
+    a plain equi-join would silently drop every NULL-keyed row."""
+    from merkonvectordb_spark.operators.pipeline import (
+        grouped_exclusive_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1, 10), (None, 2, 20), ("a", 3, 5), ("a", 4, 7)],
+        "g STRING, id LONG, toks LONG",
+    )
+    rows = {
+        (r["g"], r["id"]): r["s"]
+        for r in grouped_exclusive_prefix_sum(
+            df, ["g"], ["id"], "toks", out_col="s", num_partitions=4
+        ).collect()
+    }
+    assert len(rows) == 4  # the NULL group survives the join
+    assert rows[(None, 1)] == 0 and rows[(None, 2)] == 10
+    assert rows[("a", 3)] == 0 and rows[("a", 4)] == 5
+
+
 def test_curriculum_deciles_has_no_global_window(spark, sf_dir):
     """The decile assignment must be rank arithmetic over a range
     partitioning — never ``ntile() OVER (ORDER BY …)``, whose empty

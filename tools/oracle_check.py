@@ -17,39 +17,20 @@ not session bootstrap.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from datetime import date, datetime
 
-
-def canon_cell(v) -> str:
-    if v is None:
-        return "\\N"
-    if isinstance(v, float):
-        if v != v:
-            return "NaN"
-        # driver-style float canonicalization: short round-trip repr
-        return repr(round(v, 9))
-    if isinstance(v, datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
-    if isinstance(v, date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_cell(x) for x in v) + "]"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    return str(v)
+# single source of truth shared with merkonvectordb_spark/probe.py — the
+# in-process probe's verdicts must be byte-identical to this gate's
+from merkonvectordb_spark.canon import canon_cell  # noqa: E402
 
 
 def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted(
-        "\x1f".join(canon_cell(r[i]) for i in order) for r in rows
-    )
-    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+    from merkonvectordb_spark.canon import canon_rows as _cr
+
+    h, lines = _cr(cols, rows)
     return h, len(lines)
 
 
