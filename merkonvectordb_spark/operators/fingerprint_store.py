@@ -123,9 +123,22 @@ def probe_minhash_store(
     """``(new_id, hist_id, jaccard)`` — every stored document whose
     exact shingle Jaccard with a new-batch document meets ``threshold``.
     Only the new batch is shingled; history is served from the store
-    (optionally a pinned ``version`` — probe a stable snapshot while an
-    append commits)."""
-    new_sets = shingle_sets(new_docs, id_col, text_col).persist()
+    (optionally a pinned BANDS ``version`` — probe a stable candidate
+    snapshot while an append commits).
+
+    The shingle side always reads LATEST, never ``version``: the two
+    tables' version counters are independent (a crashed append, or
+    maintenance on one table, offsets them), so pinning both at the
+    same number can pair band rows with a shingle set missing their
+    ids — and the inner verify join would DROP those candidates as
+    silent false negatives.  Appends commit shingles FIRST and ids are
+    never removed, so latest-shingles ⊇ any bands version: every
+    candidate always verifies against a present set."""
+    # localCheckpoint (eager), not persist: the returned frame is lazy,
+    # so a persist here could never be unpersisted by this function
+    new_sets = shingle_sets(new_docs, id_col, text_col).localCheckpoint(
+        eager=True
+    )
     new_bands = band_rows(new_sets).withColumn(
         "band_id", F.col("band_id").cast("int")
     )
@@ -139,7 +152,7 @@ def probe_minhash_store(
         .select("new_id", "hist_id")
         .distinct()
     )
-    hist_sets = store.shingles.read(version)
+    hist_sets = store.shingles.read()  # ALWAYS latest — see docstring
     jac = F.size(F.array_intersect("sh_n", "sh_h")) / F.size(
         F.array_union("sh_n", "sh_h")
     )

@@ -34,12 +34,16 @@ from merkonvectordb_spark.functions.text import tokenize
 def unigram_model(
     docs: DataFrame, text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
-    """``(freq, total)``: per-token counts and the 1-row corpus total."""
+    """``(freq, total)``: per-token counts and the 1-row corpus total.
+
+    ``total`` is DERIVED from ``freq`` (Σc), not a second aggregation
+    over the corpus — the two branches would otherwise each re-scan and
+    re-tokenize the corpus (Spark does not dedupe identical subplans)."""
     toks = docs.select(
         F.explode(tokenize(F.col(text_col))).alias("token")
     )
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    total = toks.agg(F.count(F.lit(1)).alias("t"))
+    total = freq.agg(F.sum("c").alias("t"))
     return freq, total
 
 
@@ -52,12 +56,23 @@ def unigram_logprob_score(
 ) -> DataFrame:
     """``(id_col, n_toks, avg_lp)`` — mean token log-probability per doc.
 
-    Pass a pre-computed ``(freq, total)`` (e.g. from a larger reference
-    corpus, or reused across batches) to score against a FIXED model;
-    by default the model is estimated from ``docs`` itself.  Tokens
-    absent from the model drop out of the average (with the self-model
-    default every token is present)."""
-    if freq is None or total is None:
+    Pass a pre-computed ``freq`` (e.g. from a larger reference corpus,
+    or reused across batches) to score against a FIXED model; ``total``
+    is derived from it when omitted.  By default the model is estimated
+    from ``docs`` itself.  Tokens absent from the model drop out of the
+    average (with the self-model default every token is present).
+
+    Passing ``total`` without ``freq`` raises: silently re-estimating
+    the model from the batch would score against the WRONG model with
+    no error."""
+    if freq is None and total is not None:
+        raise ValueError(
+            "total without freq — pass the freq table (total is "
+            "derivable from it), or neither for the self-model"
+        )
+    if freq is not None and total is None:
+        total = freq.agg(F.sum("c").alias("t"))
+    if freq is None:
         freq, total = unigram_model(docs, text_col)
     toks = docs.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")

@@ -54,16 +54,38 @@ class MaterializedView:
             aggregate_state(rows, self.keys, self.aggs)
         )
 
-    def refresh_incremental(self, delta: DataFrame) -> int:
+    def refresh_incremental(
+        self,
+        delta: DataFrame,
+        app_id: str | None = None,
+        batch_id: int | None = None,
+    ) -> int:
         """Fold a delta batch into the state; returns the new version.
 
         The delta is partially aggregated first, so only |groups(delta)|
-        rows meet the persisted state in the merge."""
+        rows meet the persisted state in the merge.
+
+        ``app_id``/``batch_id`` make the fold EXACTLY-ONCE from
+        ``foreachBatch``: Structured Streaming redelivers a batch after
+        a failure, and folding the same delta twice permanently inflates
+        every sum/count it touched.  With the ids set, a batch at or
+        below the committed watermark is a no-op returning the current
+        version (the same ``txnAppId`` contract as
+        ``VersionedTable.append_exactly_once``); the watermark commits
+        ATOMICALLY with the merged state."""
+        if (app_id is None) != (batch_id is None):
+            raise ValueError("pass app_id and batch_id together")
+        txn = None
+        if app_id is not None:
+            last = self.table.last_committed_batch(app_id)
+            if last is not None and int(batch_id) <= last:
+                return self.table.current_version()  # replay: no-op
+            txn = (str(app_id), int(batch_id))
         delta_state = aggregate_state(delta, self.keys, self.aggs)
         merged = merge_states(
             self.table.read(), delta_state, self.keys, self.aggs
         )
-        return self.table.replace(merged)
+        return self.table.replace(merged, txn=txn)
 
     def read(self, version: int | None = None) -> DataFrame:
         return self.table.read(version)

@@ -42,6 +42,19 @@ from pyspark.sql import functions as F
 
 _MANIFEST_DDL = "file STRING, part STRING"
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _decode_part(enc: str) -> str | None:
+    """Directory segment → logical partition value: Spark escapes
+    special characters as %XX (Hive path escaping) and writes NULL as
+    the Hive sentinel directory."""
+    if enc == _HIVE_NULL:
+        return None
+    from urllib.parse import unquote
+
+    return unquote(enc)
+
 
 class VersionedTable:
     """Append-only parquet table with manifest-log versioning.
@@ -171,10 +184,16 @@ class VersionedTable:
         try:
             os.link(tmp, dest)
         except OSError as e:
-            raise FileExistsError(
-                f"version {version} already committed (concurrent writer?) "
-                f"— refusing to overwrite {dest}"
-            ) from e
+            import errno as _errno
+
+            if e.errno == _errno.EEXIST:
+                raise FileExistsError(
+                    f"version {version} already committed (concurrent "
+                    f"writer?) — refusing to overwrite {dest}"
+                ) from e
+            # any other errno (EPERM/ENOTSUP on link-less mounts, EIO…)
+            # is NOT a lost-update race — surface it untranslated
+            raise
         finally:
             os.unlink(tmp)
 
@@ -212,17 +231,25 @@ class VersionedTable:
         writer.parquet(batch)
         out: list[tuple[str, str | None]] = []
         for dirpath, _dirs, names in os.walk(batch):
+            # enc = the directory-encoded partition segment (Spark
+            # escapes ':'/'/'/'%'… as %XX and writes NULL as the Hive
+            # sentinel); part = the LOGICAL value, recorded in the
+            # manifest.  Mixing them up makes replace_partitions miss
+            # escaped values and compact() re-materialize the encoded
+            # string as data.
+            enc = None
             part = None
             if self.part_col:
                 for seg in dirpath.split(os.sep):
                     if seg.startswith(f"{self.part_col}="):
-                        part = seg.split("=", 1)[1]
+                        enc = seg.split("=", 1)[1]
+                        part = _decode_part(enc)
             for n in names:
                 if not n.endswith(".parquet"):
                     continue
                 dest_dir = (
-                    os.path.join(self.data_path, f"{self.part_col}={part}")
-                    if part is not None
+                    os.path.join(self.data_path, f"{self.part_col}={enc}")
+                    if enc is not None
                     else self.data_path
                 )
                 os.makedirs(dest_dir, exist_ok=True)
@@ -289,12 +316,17 @@ class VersionedTable:
         self._publish(cur + 1, files, txn=(str(app_id), int(batch_id)))
         return cur + 1
 
-    def replace(self, df: DataFrame) -> int:
+    def replace(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> int:
         """Full logical replacement (the new state was computed upstream,
         e.g. by ``operators.store.upsert``); old files stay for time
-        travel until vacuumed."""
+        travel until vacuumed.  ``txn`` commits an exactly-once
+        watermark atomically with the replacement (same contract as
+        ``append_exactly_once`` — the CALLER checks the watermark before
+        computing the new state)."""
         cur = self.current_version()
-        self._publish(cur + 1, self._write_data(df))
+        self._publish(cur + 1, self._write_data(df), txn=txn)
         return cur + 1
 
     def replace_partitions(self, df: DataFrame) -> int:
@@ -304,7 +336,10 @@ class VersionedTable:
         if not self.part_col:
             raise ValueError("replace_partitions requires part_col")
         touched = {
-            str(r[0])
+            # logical values, including None for a NULL partition —
+            # str() would turn NULL into the string 'None' and never
+            # match the manifest's null
+            (None if r[0] is None else str(r[0]))
             for r in df.select(self.part_col).distinct().collect()
         }
         cur = self.current_version()
@@ -331,9 +366,34 @@ class VersionedTable:
         if not files:
             return self.spark.createDataFrame([], self.schema_ddl)
         reader = self.spark.read.option("mergeSchema", "true")
-        if self.part_col:
-            reader = reader.option("basePath", self.data_path)
-        return reader.parquet(*files)
+        if not self.part_col:
+            return reader.parquet(*files)
+        reader = reader.option("basePath", self.data_path)
+        # partition-column TYPE INFERENCE off for this read: inference
+        # turns an all-numeric string partition ('0123') into an int
+        # column with the leading zero gone, contradicting schema_ddl.
+        # With inference off the directory value comes back STRING; cast
+        # to the DECLARED type so non-string partition columns (cid INT)
+        # keep their type.
+        conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        old = self.spark.conf.get(conf, "true")
+        self.spark.conf.set(conf, "false")
+        try:
+            df = reader.parquet(*files)
+        finally:
+            self.spark.conf.set(conf, old)
+        from pyspark.sql.types import _parse_datatype_string
+
+        declared = {
+            f.name: f.dataType
+            for f in _parse_datatype_string(self.schema_ddl).fields
+        }
+        t = declared.get(self.part_col)
+        if t is not None and str(df.schema[self.part_col].dataType) != str(t):
+            df = df.withColumn(
+                self.part_col, F.col(self.part_col).cast(t)
+            )
+        return df
 
     # -- maintenance ------------------------------------------------------
     def compact(
@@ -403,22 +463,39 @@ class VersionedTable:
         self._publish(cur + 1, kept + new_files)
         return cur + 1
 
-    def vacuum(self, retain_last: int = 1) -> int:
+    def vacuum(self, retain_last: int = 1, grace_seconds: float = 3600.0) -> int:
         """Delete data files unreferenced by the newest ``retain_last``
         versions and drop the expired manifests.  Time travel to expired
-        versions then (correctly) fails.  Returns files deleted."""
+        versions then (correctly) fails.  Returns files deleted.
+
+        ``grace_seconds``: an unreferenced file younger than this is an
+        IN-FLIGHT commit, not an orphan — ``_write_data`` moves files
+        into ``data/`` before ``_publish`` references them, so a vacuum
+        racing a writer would otherwise delete data the about-to-publish
+        version needs (the Delta retention-window rule).  Crash orphans
+        are collected on the next vacuum after the window passes; pass
+        ``0`` only when no writer can be running."""
+        import time as _time
+
         vs = self._versions()
         keep_vs = vs[-retain_last:] if retain_last > 0 else []
         live: set[str] = set()
         for v in keep_vs:
             live.update(f for f, _ in self._live_files(v))
+        cutoff = _time.time() - max(0.0, float(grace_seconds))
         deleted = 0
         for dirpath, _dirs, names in os.walk(self.data_path):
             for n in names:
                 p = os.path.join(dirpath, n)
-                if n.endswith(".parquet") and p not in live:
-                    os.remove(p)
-                    deleted += 1
+                if not n.endswith(".parquet") or p in live:
+                    continue
+                try:
+                    if os.path.getmtime(p) > cutoff:
+                        continue  # young unreferenced file: in-flight
+                except OSError:
+                    continue
+                os.remove(p)
+                deleted += 1
         for v in vs:
             if v not in keep_vs:
                 target = self._manifest_file(v)
@@ -484,7 +561,7 @@ def table_diff(
         c for c in new.columns if c not in keys and c not in val_cols
     ]
 
-    def _side(df: DataFrame, alias: str) -> DataFrame:
+    def _side(df: DataFrame, alias: str, kp: str) -> DataFrame:
         vals = [
             (
                 F.col(c)
@@ -494,14 +571,20 @@ def table_diff(
             for c in val_cols
         ]
         return df.select(
-            *[F.col(c).alias(f"__k{i}") for i, c in enumerate(keys)],
+            *[F.col(c).alias(f"{kp}{i}") for i, c in enumerate(keys)],
             F.struct(*vals).alias(alias),
         )
 
-    o = _side(old, "old")
-    n = _side(new, "new")
-    kref = [f"__k{i}" for i in range(len(keys))]
-    j = o.join(n, kref, "full_outer")
+    # the join keys are eqNullSafe: a plain equality full-outer never
+    # matches a NULL key with itself, so an unchanged NULL-keyed row
+    # would surface as a phantom delete + insert
+    o = _side(old, "old", "__ko")
+    n = _side(new, "new", "__kn")
+    cond = None
+    for i in range(len(keys)):
+        c = F.col(f"__ko{i}").eqNullSafe(F.col(f"__kn{i}"))
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
     change = (
         F.when(F.col("old").isNull(), F.lit("insert"))
         .when(F.col("new").isNull(), F.lit("delete"))
@@ -511,7 +594,10 @@ def table_diff(
         F.col("_change_type").isNotNull()
     )
     return out.select(
-        *[F.col(f"__k{i}").alias(c) for i, c in enumerate(keys)],
+        *[
+            F.coalesce(F.col(f"__ko{i}"), F.col(f"__kn{i}")).alias(c)
+            for i, c in enumerate(keys)
+        ],
         "_change_type",
         "old",
         "new",

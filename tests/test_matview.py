@@ -67,3 +67,31 @@ def test_new_keys_appear_via_delta(spark, tmp_path):
     )
     got = {r.k: r.n for r in mv.read().collect()}
     assert got == {"a": 2, "b": 1}
+
+
+def test_incremental_refresh_exactly_once(spark, tmp_path):
+    """A redelivered foreachBatch delta must not double-count: with
+    app_id/batch_id, a batch at or below the committed watermark is a
+    no-op, and the watermark commits atomically with the merged state."""
+    mv = MaterializedView(
+        spark, str(tmp_path / "mv_eo"), "k STRING, n LONG", ["k"],
+        {"n": ("count", "v")},
+    )
+    mv.refresh_full(
+        spark.createDataFrame([("a", 1)], "k STRING, v LONG")
+    )
+    delta = spark.createDataFrame([("a", 2), ("b", 3)], "k STRING, v LONG")
+    v = mv.refresh_incremental(delta, app_id="job", batch_id=7)
+    # redelivery of the same batch: same version back, state unchanged
+    assert mv.refresh_incremental(delta, app_id="job", batch_id=7) == v
+    assert {r.k: r.n for r in mv.read().collect()} == {"a": 2, "b": 1}
+    # the next batch folds normally
+    mv.refresh_incremental(
+        spark.createDataFrame([("b", 4)], "k STRING, v LONG"),
+        app_id="job", batch_id=8,
+    )
+    assert {r.k: r.n for r in mv.read().collect()} == {"a": 2, "b": 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="together"):
+        mv.refresh_incremental(delta, app_id="job")

@@ -106,11 +106,17 @@ def test_crashed_staging_leaves_no_phantom_version(spark, table):
 def test_vacuum_drops_expired_versions_only(spark, table):
     table.append(spark.createDataFrame([("a", "k1", 1)], DDL))
     table.replace(spark.createDataFrame([("a", "k1", 2)], DDL))
-    deleted = table.vacuum(retain_last=1)
-    assert deleted > 0
-    assert _rows(table.read()) == {("a", "k1", 2)}
+    # the grace window protects in-flight commits: a default vacuum
+    # right after the writes retires the expired MANIFEST but must not
+    # delete the young data files (a racing writer may be about to
+    # publish a version referencing equally-young files)...
+    assert table.vacuum(retain_last=1) == 0
     with pytest.raises(ValueError, match="vacuumed"):
         table.read(1)
+    # ...while grace 0 (offline maintenance) collects them
+    deleted = table.vacuum(retain_last=1, grace_seconds=0)
+    assert deleted > 0
+    assert _rows(table.read()) == {("a", "k1", 2)}
 
 
 def test_versioned_upsert_roundtrip(spark, tmp_path):
@@ -475,3 +481,51 @@ def test_table_diff_sees_evolved_column_changes(spark, tmp_path):
     }
     # k=1: only the evolved column changed (NULL→5) → update
     assert got == {1: ("update", None, 5)}
+
+
+def test_escaped_partition_values_roundtrip(spark, table):
+    """Partition values Spark escapes in directory names (':' → %3A)
+    must be tracked by their LOGICAL value: replace_partitions must
+    retire them and compact must not re-materialize the encoded form."""
+    table.append(
+        spark.createDataFrame([("a:b", "k1", 1), ("plain", "k2", 2)], DDL)
+    )
+    # the directory is encoded, the manifest logical
+    parts = {p for _f, p in table._live_files(table.current_version())}
+    assert parts == {"a:b", "plain"}
+    table.replace_partitions(
+        spark.createDataFrame([("a:b", "k1", 10)], DDL)
+    )
+    assert _rows(table.read()) == {("a:b", "k1", 10), ("plain", "k2", 2)}
+    # two appends → compact the crowded partition; value survives intact
+    table.append(spark.createDataFrame([("a:b", "k3", 3)], DDL))
+    table.compact(max_files_per_partition=1)
+    assert _rows(table.read()) == {
+        ("a:b", "k1", 10),
+        ("a:b", "k3", 3),
+        ("plain", "k2", 2),
+    }
+
+
+def test_numeric_string_partition_keeps_leading_zero(spark, table):
+    """Partition type inference must not rewrite '0123' into 123: the
+    read path pins the DECLARED partition type."""
+    table.append(spark.createDataFrame([("0123", "k1", 1)], DDL))
+    out = table.read()
+    assert dict(out.dtypes)["collection"] == "string"
+    assert _rows(out) == {("0123", "k1", 1)}
+
+
+def test_table_diff_null_key_not_phantom_churn(spark, tmp_path):
+    """An unchanged row with a NULL key must not appear in the diff;
+    a changed one must be ONE update, not a delete + insert."""
+    from merkonvectordb_spark.sources.versioned import table_diff
+
+    t = VersionedTable(spark, str(tmp_path / "nk"), "k STRING, v LONG")
+    t.append(spark.createDataFrame([(None, 1), ("a", 1)], "k STRING, v LONG"))
+    t.replace(spark.createDataFrame([(None, 1), ("a", 2)], "k STRING, v LONG"))
+    d1 = table_diff(t, ["k"], 1, 2).collect()
+    assert {(r["k"], r["_change_type"]) for r in d1} == {("a", "update")}
+    t.replace(spark.createDataFrame([(None, 9), ("a", 2)], "k STRING, v LONG"))
+    d2 = table_diff(t, ["k"], 2, 3).collect()
+    assert {(r["k"], r["_change_type"]) for r in d2} == {(None, "update")}
