@@ -312,6 +312,48 @@ def ivf_assign(
     )
 
 
+def rerank_topk(
+    cand: DataFrame,
+    queries: DataFrame,
+    k: int,
+    min_score: float,
+    id_col: str,
+    emb_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """THE exact re-rank tail shared by the in-memory and persisted IVF
+    search paths (``knn_batch_ivf`` / ``operators.index.search_ivf_index``
+    promise bit-identical semantics — one definition makes that true by
+    construction): broadcast query vectors, exact cosine, NaN-safe
+    inclusive threshold, bounded per-query top-k, 6dp output rounding.
+
+    ``cand`` carries ``__qid`` plus the candidate rows WITH their
+    ``emb_col`` (and any extra columns, which pass through).
+    """
+    qvecs = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"), F.col(emb_col).alias("__qvec")
+        )
+    )
+    scored = (
+        cand.join(qvecs, "__qid")
+        .withColumn("__raw", cosine_similarity(F.col(emb_col), F.col("__qvec")))
+        .where(
+            F.col("__raw").isNotNull()
+            & (~F.isnan("__raw"))
+            & (F.col("__raw") >= F.lit(float(min_score)))
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("__raw"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .withColumn("score", F.round(F.col("__raw"), 6))
+        .drop("__rn", "__raw", "__qvec", emb_col)
+        .withColumnRenamed("__qid", query_id_col)
+    )
+
+
 def knn_batch_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -337,29 +379,14 @@ def knn_batch_ivf(
         emb_col,
         n_probe,
     ).withColumnRenamed(query_id_col, "__qid")
-    cand = probes.join(assign, "cid").select("__qid", id_col).distinct()
-    qvecs = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("__qid"), F.col(emb_col).alias("__qvec")
-        )
+    cand = (
+        probes.join(assign, "cid")
+        .select("__qid", id_col)
+        .distinct()
+        .join(corpus.select(id_col, emb_col, *extra_cols), id_col)
     )
-    scored = (
-        cand.join(corpus.select(id_col, emb_col, *extra_cols), id_col)
-        .join(qvecs, "__qid")
-        .withColumn("__raw", cosine_similarity(F.col(emb_col), F.col("__qvec")))
-        .where(
-            F.col("__raw").isNotNull()
-            & (~F.isnan("__raw"))
-            & (F.col("__raw") >= F.lit(float(min_score)))
-        )
-    )
-    w = Window.partitionBy("__qid").orderBy(F.desc("__raw"), F.asc(id_col))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .withColumn("score", F.round(F.col("__raw"), 6))
-        .drop("__rn", "__raw", "__qvec", emb_col)
-        .withColumnRenamed("__qid", query_id_col)
+    return rerank_topk(
+        cand, queries, k, min_score, id_col, emb_col, query_id_col
     )
 
 

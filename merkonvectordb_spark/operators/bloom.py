@@ -43,22 +43,27 @@ def build_bloom(
     key_col: str,
     m_bits: int | None = None,
     k: int = BLOOM_K,
+    n_rows: int | None = None,
 ) -> list[int]:
-    """One aggregation pass over the build side → the filter's long words
+    """Aggregation pass over the build side → the filter's long words
     (length m_bits/64; missing words are zero).
 
     ``m_bits=None`` auto-sizes to ≥16 bits per build-side row (next
     power of two, floor 64 Kbit, cap 16 Mbit = 2 MB of plan literal) —
     an overloaded bloom silently degrades to "pass everything", so
     sizing from the actual key count is part of the operator, not a
-    tuning knob.  The driver materializes only m_bits/64 longs — NOT
-    the keys.  At 100 TB the build side streams through a partial
-    ``bit_or`` aggregate; the shuffled state is ≤ m/64 rows per
+    tuning knob.  Auto-sizing costs a SEPARATE count() job before the
+    bit aggregation (the positions depend on m, so one pass can't both
+    size and set bits) — pass ``m_bits`` explicitly, or ``n_rows``
+    (an estimate is fine; only the sizing uses it), to keep the build
+    single-pass on a large dim.  The driver materializes only m_bits/64
+    longs — NOT the keys.  At 100 TB the build side streams through a
+    partial ``bit_or`` aggregate; the shuffled state is ≤ m/64 rows per
     partition, independent of build-side row count.
     """
     nn = dim.where(F.col(key_col).isNotNull())
     if m_bits is None:
-        n = nn.count()
+        n = nn.count() if n_rows is None else int(n_rows)
         m_bits = BLOOM_M_BITS
         while m_bits < 16 * max(n, 1) and m_bits < (1 << 24):
             m_bits *= 2

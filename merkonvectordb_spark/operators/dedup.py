@@ -13,6 +13,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from merkonvectordb_spark.functions.hashing import md5_hash60
+
 from merkonvectordb_spark.functions.text import doc_fingerprint, word_shingles
 
 # ---------------------------------------------------------------------------
@@ -88,8 +90,7 @@ def shingle_base_hashes(shingles: Column) -> Column:
     the DuckDB oracle folds the same hex digits with list_reduce."""
     return F.transform(
         shingles,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
-        % MINHASH_P,
+        lambda s: md5_hash60(s) % MINHASH_P,
     )
 
 
@@ -503,7 +504,7 @@ def token_hashes60(text: Column) -> Column:
 
     return F.transform(
         tokenize(text),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+        lambda t: md5_hash60(t),
     )
 
 
@@ -772,9 +773,7 @@ def span_gram_rows(
         .select(
             id_col,
             (F.col("pos0") + 1).alias("pos"),
-            F.conv(F.substring(F.md5(F.col("__gram")), 1, 15), 16, 10)
-            .cast("bigint")
-            .alias("gh"),
+            md5_hash60(F.col("__gram")).alias("gh"),
         )
     )
 

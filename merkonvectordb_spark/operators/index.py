@@ -42,6 +42,10 @@ from merkonvectordb_spark.sources.versioned import VersionedTable
 
 _CENTROIDS_DDL = "cid INT, cv ARRAY<DOUBLE>"
 
+# txn-metadata key pairing each lists version with the centroids version
+# it was built against (see build_ivf_index)
+_PAIRED_CENTROIDS = "__paired_centroids"
+
 
 def _ddl_of(df: DataFrame) -> str:
     return ", ".join(
@@ -89,18 +93,46 @@ def build_ivf_index(
         corpus.select(id_col, emb_col, *extra_cols), id_col
     ).select(id_col, "cid", emb_col, *extra_cols)
     idx = IvfIndex(spark, root, _ddl_of(rows))
-    idx.lists.replace(rows)
-    idx.centroids.replace(
+    # commit ORDER matters: centroids first, then lists carrying the
+    # PAIRED centroids version in its manifest txn metadata.  The two
+    # tables' version counters are independent (single-table maintenance
+    # like a lists compaction bumps only one), so "read both at version
+    # N" silently pairs one build's lists with another build's quantizer
+    # — probed cids from the wrong quantizer prune to the wrong
+    # partitions and recall collapses with no error.  The pairing rides
+    # the lists manifest, so every lists version knows ITS quantizer.
+    cv = idx.centroids.replace(
         centroids.select(
             F.col("cid").cast("int").alias("cid"), F.col("cv")
         )
     )
+    idx.lists.replace(rows, txn=(_PAIRED_CENTROIDS, int(cv)))
+    # persist the lists DDL so open_ivf_index can reconstruct the exact
+    # declared schema (partition-column type included)
+    with open(os.path.join(root, "lists_ddl.txt"), "w") as f:
+        f.write(idx.lists.schema_ddl)
     return idx
 
 
 def open_ivf_index(
-    spark: SparkSession, root: str, lists_ddl: str = ""
+    spark: SparkSession, root: str, lists_ddl: str | None = None
 ) -> IvfIndex:
+    """Re-open an index built by :func:`build_ivf_index`.  The lists
+    DDL is read from the build-time sidecar unless given explicitly —
+    an empty DDL would silently degrade the partitioned read (cid back
+    as STRING, empty reads column-less)."""
+    if lists_ddl is None:
+        p = os.path.join(root, "lists_ddl.txt")
+        try:
+            with open(p) as f:
+                lists_ddl = f.read().strip()
+        except OSError as e:
+            raise FileNotFoundError(
+                f"no lists DDL at {p} — not an index root, or pass "
+                f"lists_ddl explicitly"
+            ) from e
+    if not lists_ddl:
+        raise ValueError("lists_ddl must be a non-empty DDL string")
     return IvfIndex(spark, root, lists_ddl)
 
 
@@ -124,8 +156,18 @@ def search_ivf_index(
     Candidates carry their embeddings from the index rows; the exact
     re-rank is the same broadcast-queries + per-query bounded top-k tail
     as the in-memory operators.
+
+    ``version`` pins the LISTS table; the quantizer read is the
+    centroids version PAIRED with that lists commit (recorded at build
+    time in the lists manifest) — never the same raw number, which
+    desyncs as soon as either table takes a single-table maintenance
+    write.
     """
-    cents = idx.centroids.read(version)
+    v_lists = (
+        idx.lists.current_version() if version is None else version
+    )
+    paired = idx.lists._txn_map(v_lists).get(_PAIRED_CENTROIDS)
+    cents = idx.centroids.read(paired)  # None (legacy) → latest
     probes = ivf_assign(
         queries.select(F.col(query_id_col), F.col(emb_col)),
         cents.select("cid", "cv"),
@@ -133,38 +175,29 @@ def search_ivf_index(
         emb_col,
         n_probe,
     ).withColumnRenamed(query_id_col, "__qid")
-    probe_cids = sorted(
-        int(r.cid) for r in probes.select("cid").distinct().collect()
+    # ONE assignment job: collect the metadata-sized (qid, cid) pairs
+    # and rebuild the probe frame from them — referencing `probes`
+    # lazily in the search plan would re-run the queries×K scoring a
+    # second time
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    pairs = [
+        (r["__qid"], int(r["cid"]))
+        for r in probes.select("__qid", "cid").collect()
+    ]
+    probe_cids = sorted({c for _, c in pairs})
+    probes_df = idx.spark.createDataFrame(
+        pairs, f"__qid {qid_t}, cid INT"
     )
-    lists = idx.lists.read(version).where(F.col("cid").isin(probe_cids))
+    lists = idx.lists.read(v_lists).where(F.col("cid").isin(probe_cids))
     # assignment is n_best=1, so every id lives in exactly ONE list: a
     # query meets each candidate at most once through its probes — no
     # distinct, no second join; the probe-join rows carry the candidate
     # embedding straight out of the index
-    cand = (
-        F.broadcast(probes.withColumn("cid", F.col("cid").cast("int")))
-        .join(lists, "cid")
-        .drop("cid")
-    )
-    qvecs = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("__qid"), F.col(emb_col).alias("__qvec")
-        )
-    )
-    scored = (
-        cand.join(qvecs, "__qid")
-        .withColumn("__raw", cosine_similarity(F.col(emb_col), F.col("__qvec")))
-        .where(
-            F.col("__raw").isNotNull()
-            & (~F.isnan("__raw"))
-            & (F.col("__raw") >= F.lit(float(min_score)))
-        )
-    )
-    w = Window.partitionBy("__qid").orderBy(F.desc("__raw"), F.asc(id_col))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .withColumn("score", F.round(F.col("__raw"), 6))
-        .drop("__rn", "__raw", "__qvec", emb_col)
-        .withColumnRenamed("__qid", query_id_col)
+    cand = F.broadcast(probes_df).join(lists, "cid").drop("cid")
+    # the exact re-rank tail is SHARED with knn_batch_ivf (ann.rerank_topk)
+    # — the "bit-identical results" promise holds by construction
+    from merkonvectordb_spark.operators.ann import rerank_topk
+
+    return rerank_topk(
+        cand, queries, k, min_score, id_col, emb_col, query_id_col
     )

@@ -27,17 +27,21 @@ def zorder_key(cols: Sequence[Column], bits: int = 16) -> Column:
     """Morton-interleave the low ``bits`` of each (non-negative integer)
     column: output bit ``i·n + j`` is bit ``i`` of column ``j``.  With
     n columns at 16 bits each the key fits comfortably in a BIGINT up
-    to n = 3.  Values are clamped to the bit range (``pmod``), which
-    callers should pre-scale — rank/bucket ids, not raw values, are the
-    usual input.
+    to n = 3.  Out-of-range values CLAMP to the ends of the bit range
+    (a true clamp, not modulo: wrapping would sort value 2^bits right
+    next to value 0, smearing a file's min/max stats across the whole
+    domain — the top bucket merely saturates instead).  Callers should
+    still pre-scale: rank/bucket ids, not raw values, are the usual
+    input.
     """
     n = len(cols)
     if n == 0:
         raise ValueError("need at least one column")
     if n * bits > 62:
         raise ValueError(f"{n} cols x {bits} bits overflows BIGINT")
+    hi = F.lit((1 << bits) - 1)
     clamped = [
-        F.pmod(c.cast("bigint"), F.lit(1 << bits)) for c in cols
+        F.least(F.greatest(c.cast("bigint"), F.lit(0)), hi) for c in cols
     ]
     z: Column | None = None
     for i in range(bits):

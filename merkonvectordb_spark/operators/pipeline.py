@@ -19,12 +19,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from merkonvectordb_spark.functions.hashing import md5_hash60
+
 # md5-derived 60-bit uniform hash — same construct as operators.sketch,
 # expressible identically in DuckDB for oracle parity.
 def _hash60(col: Column) -> Column:
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
-        "bigint"
-    )
+    return md5_hash60(col)
 
 
 def hash_split(

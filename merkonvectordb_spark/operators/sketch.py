@@ -29,14 +29,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from merkonvectordb_spark.functions.hashing import md5_hash60
+
 TWO_POW_60 = float(1 << 60)
 
 
 def kmv_hash(col: Column) -> Column:
-    """Deterministic uniform 60-bit hash of a value's string form."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
-        "bigint"
-    )
+    """Deterministic uniform 60-bit hash of a value's string form
+    (the repo-wide shared hash — functions/hashing.py)."""
+    return md5_hash60(col)
 
 
 def kmv_bottom_k(df: DataFrame, column: str, k: int) -> DataFrame:
@@ -53,19 +54,26 @@ def kmv_bottom_k(df: DataFrame, column: str, k: int) -> DataFrame:
     )
 
 
-def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
-    """One-row estimate from a bottom-k sketch: exact when the sketch is
-    not full, else the KMV estimator.  All arithmetic is double with
-    exactly-representable constants, so Spark and DuckDB agree."""
-    return sketch.agg(
-        F.count("h").alias("__n"), F.max("h").alias("__mx")
-    ).select(
+def _kmv_estimator(k: int) -> Column:
+    """THE estimator expression over (__n, __mx) aggregate columns —
+    defined once so the global and grouped variants can never drift:
+    exact when the sketch is not full, else (k-1)·2^60/max."""
+    return (
         F.when(F.col("__n") < k, F.col("__n").cast("double"))
         .otherwise(
             F.lit(float(k - 1)) * F.lit(TWO_POW_60) / F.col("__mx").cast("double")
         )
         .alias("est_distinct")
     )
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """One-row estimate from a bottom-k sketch: exact when the sketch is
+    not full, else the KMV estimator.  All arithmetic is double with
+    exactly-representable constants, so Spark and DuckDB agree."""
+    return sketch.agg(
+        F.count("h").alias("__n"), F.max("h").alias("__mx")
+    ).select(_kmv_estimator(k))
 
 
 def kmv_distinct(df: DataFrame, column: str, k: int = 256) -> DataFrame:
@@ -213,16 +221,7 @@ def kmv_distinct_grouped(
     return (
         sk.groupBy(group_col)
         .agg(F.count("h").alias("__n"), F.max("h").alias("__mx"))
-        .select(
-            group_col,
-            F.when(F.col("__n") < k, F.col("__n").cast("double"))
-            .otherwise(
-                F.lit(float(k - 1))
-                * F.lit(TWO_POW_60)
-                / F.col("__mx").cast("double")
-            )
-            .alias("est_distinct"),
-        )
+        .select(group_col, _kmv_estimator(k))
     )
 
 
@@ -338,18 +337,11 @@ CMS_WIDTH = 64
 
 
 def cms_cell(col: Column, row: int, width: int = CMS_WIDTH) -> Column:
-    """Deterministic counter column for hash row ``row``: the md5-fold of
-    the salted value string, reduced mod ``width`` — identical in DuckDB."""
+    """Deterministic counter column for hash row ``row``: the shared
+    md5-fold hash of the salted value string, reduced mod ``width`` —
+    identical in DuckDB."""
     return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"cms{row}:"), col.cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        md5_hash60(F.concat(F.lit(f"cms{row}:"), col.cast("string")))
         % width
     )
 

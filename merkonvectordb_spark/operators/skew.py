@@ -27,17 +27,26 @@ from pyspark.sql import functions as F
 
 
 def _row_salt(df: DataFrame, n_salt: int) -> Column:
-    """Per-row salt: hash of all columns PLUS the physical partition id.
+    """Per-row salt: hash of all columns PLUS a per-row position term.
 
-    Without the partition term, byte-identical duplicate rows (a hot key
-    of repeated facts with no unique column) all hash to one salt and
-    still funnel through a single reducer — the exact case salting
-    exists for.  Mixing ``spark_partition_id`` spreads duplicates while
-    leaving RESULTS deterministic: the salt only routes rows, and the
-    fact-preserving join/agg forms are salt-invariant by construction.
+    Without a position term, byte-identical duplicate rows (a hot key of
+    repeated facts with no unique column) all hash to ONE salt and still
+    funnel through a single reducer — the exact case salting exists for.
+    ``spark_partition_id`` alone only separates duplicates that landed
+    in different input partitions; with a few-partition read (one file,
+    a coalesce) the hot key still uses 1-2 of the n_salt buckets.
+    ``monotonically_increasing_id`` adds the within-partition row
+    position, so every duplicate row gets its own salt.  RESULTS stay
+    exact either way: the salt only routes rows — the fact-preserving
+    join/agg forms are salt-invariant by construction — so the id's
+    task-retry instability is harmless (a recomputed row may route to a
+    different reducer; it still joins/aggregates identically).
     """
     return F.pmod(
-        F.xxhash64(F.spark_partition_id(), *[F.col(c) for c in df.columns]),
+        F.xxhash64(
+            F.monotonically_increasing_id(),
+            *[F.col(c) for c in df.columns],
+        ),
         F.lit(n_salt),
     )
 

@@ -31,6 +31,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from merkonvectordb_spark.functions.hashing import md5_hash60
+
 from merkonvectordb_spark.functions.text import tokenize
 
 RRF_C = 60  # the constant from the original RRF paper (Cormack et al.)
@@ -183,10 +185,7 @@ def hashed_tf_vectors(
         F.col(id_col).alias("__id"),
         F.explode(tokenize(F.col(text_col))).alias("tok"),
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
-        .cast("bigint") % d
-    ).cast("int")
+    bucket = (md5_hash60(F.col("tok")) % d).cast("int")
     counts = (
         toks.withColumn("bucket", bucket)
         .groupBy("__id", "bucket")

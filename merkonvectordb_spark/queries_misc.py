@@ -498,8 +498,11 @@ def _zorder_sql(cols: list[str], bits: int = 16) -> str:
             # DuckDB's Postgres-style grammar gives |, &, << EQUAL precedence
             # (left-to-right) -- every term must be fully parenthesized or
             # the ORs re-associate into giant left shifts
+            # true clamp (mirror of operators.layout.zorder_key) — not
+            # modulo, which would wrap 2^bits next to 0
+            clamp = f"least(greatest({c}, 0), {(1 << bits) - 1})"
             terms.append(
-                f"(((({c} % {1 << bits}) >> {i}) & 1) << {i * n + j})"
+                f"((({clamp} >> {i}) & 1) << {i * n + j})"
             )
     return "CAST((" + " | ".join(terms) + ") AS BIGINT)"
 

@@ -87,3 +87,36 @@ def test_time_travel_search_hits_old_index_version(spark, tmp_path):
     assert all(r.vec_id % 2 == 0 for r in old.collect())
     new = search_ivf_index(idx, _qset(emb), k=3, n_probe=A.IVF_K, version=2)
     assert any(r.vec_id % 2 == 1 for r in new.collect())
+
+
+def test_search_pins_the_paired_quantizer(spark, tmp_path):
+    """A lists-only maintenance write (compaction) desyncs the two
+    tables' version counters; a pinned search must still pair each lists
+    version with the quantizer it was BUILT against, and open_ivf_index
+    must reconstruct the declared schema from the build sidecar."""
+    from merkonvectordb_spark.operators.index import open_ivf_index
+
+    emb = _corpus(spark)
+    root = str(tmp_path / "pairidx")
+    idx = build_ivf_index(
+        spark, emb, _cents(emb), root, extra_cols=("label",)
+    )
+    ref = {
+        (r["query_id"], r["vec_id"])
+        for r in search_ivf_index(idx, _qset(emb), k=3).collect()
+    }
+    v1 = idx.lists.current_version()
+    idx.lists.compact(max_files_per_partition=1)  # lists-only write
+    # a SECOND build on the same root: different quantizer version
+    build_ivf_index(spark, emb, _cents(emb), root, extra_cols=("label",))
+    reopened = open_ivf_index(spark, root)
+    assert reopened.lists.schema_ddl == idx.lists.schema_ddl
+    # pinned at the FIRST build's lists version: same results as then,
+    # even though centroids.current_version() has moved on
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in search_ivf_index(
+            reopened, _qset(emb), k=3, version=v1
+        ).collect()
+    }
+    assert got == ref

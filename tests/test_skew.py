@@ -64,3 +64,16 @@ def test_salted_agg_multi(spark):
         salted_agg(df, ["k"], {"v": "min"}, n_salt=4), "k"
     ).collect()}
     assert row["a"] == (6.0, 1.0) and row["b"] == (2.0, 2.0)
+
+
+def test_salt_spreads_identical_rows_within_one_partition(spark):
+    """Byte-identical hot-key rows in ONE input partition must fan out
+    across salts (the per-row position term) — a content-only hash gives
+    them all the same salt and the hot key still hits one reducer."""
+    from merkonvectordb_spark.operators.skew import _row_salt
+
+    df = spark.createDataFrame(
+        [("k", 1)] * 200, "k STRING, v INT"
+    ).coalesce(1)
+    salts = {r[0] for r in df.select(_row_salt(df, 16)).collect()}
+    assert len(salts) >= 8
