@@ -39,7 +39,13 @@ def apply_changes(
     ``changes`` rows carry the key columns, ``seq_col``, ``op_col``
     (``delete_op`` marks deletions; anything else is insert-or-update),
     and arbitrary payload columns.  Returns one row per live key with
-    the latest payload and its sequence."""
+    the latest payload and its sequence.
+
+    Rows with a NULL ``seq_col`` are EXCLUDED explicitly: a null
+    sequence has no position in the log order — ``max_by`` would
+    silently skip them next to valid rows, and a key with ONLY null-seq
+    rows would otherwise surface as a phantom all-NULL live row."""
+    changes = changes.where(F.col(seq_col).isNotNull())
     keys = list(key_cols)
     payload = [
         c for c in changes.columns if c not in keys

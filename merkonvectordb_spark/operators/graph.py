@@ -32,19 +32,32 @@ def pagerank(
 
     No dangling-mass correction — callers feeding an undirected
     (symmetrized) edge list have no zero-out-degree nodes, which is the
-    intended use.  The edge⋈degree frame is consumed once per iteration:
-    persisted, because without it every iteration would recompute the
-    full degree aggregation lineage (measured perf law)."""
+    intended use; a DIRECTED edge list still returns every node (the
+    node set is src ∪ dst, so sink-only nodes keep the rank they
+    receive — they just redistribute none of it, the standard
+    no-dangling-correction semantics).  The edge⋈degree frame is
+    consumed once per iteration: materialized, because without it every
+    iteration would recompute the full degree aggregation lineage
+    (measured perf law)."""
     if n_nodes <= 0:
         raise ValueError("need a non-empty graph")
     # the edge list feeds degree + scoring + node derivation, and nodes
-    # re-enter EVERY iteration's left join — without persist each
+    # re-enter EVERY iteration's left join — without materialization each
     # reference re-executes the upstream lineage (union-of-distinct at
-    # the caller), turning 3 iterations into ~10 redundant shuffles
-    edges = edges.persist()
+    # the caller), turning 3 iterations into ~10 redundant shuffles.
+    # localCheckpoint (eager), not persist: pagerank returns a lazy
+    # frame, so a persist here could never be unpersisted — repeated
+    # calls would pin edge-list copies in executor storage for the
+    # session's lifetime; checkpoint blocks free with the frames' GC.
+    edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    edeg = edges.join(deg, "src").persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    edeg = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("r", F.lit(1.0 / n_nodes))
     for _ in range(iterations):

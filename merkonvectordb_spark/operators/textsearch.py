@@ -198,8 +198,12 @@ def hashed_tf_vectors(
     )
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(d - 1)),
+        # try_element_at, NOT element_at: under ANSI mode (an external
+        # harness session may pin it) element_at on a missing map key
+        # THROWS, so the coalesce-to-0 would never run — and nearly
+        # every document misses most of the d buckets
         lambda i: F.coalesce(
-            F.element_at(F.col("__m"), i.cast("int")), F.lit(0)
+            F.try_element_at(F.col("__m"), i.cast("int")), F.lit(0)
         ).cast("double"),
     )
     return m.select(F.col("__id").alias(id_col), vec.alias("tf_vec"))
@@ -221,10 +225,7 @@ def hashed_tf_counts(
         F.col(id_col).alias("__id"),
         F.explode(tokenize(F.col(text_col))).alias("tok"),
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
-        .cast("bigint") % d
-    ).cast("int")
+    bucket = (md5_hash60(F.col("tok")) % d).cast("int")
     return (
         toks.withColumn("bucket", bucket)
         .groupBy("__id", "bucket")
@@ -253,17 +254,22 @@ def hashed_tf_search(
     with a query score 0 and are absent (they can never reach a top-k
     that any sharing doc reaches).
     """
-    counts = hashed_tf_counts(docs, id_col, text_col, d)
+    # two consumers (norms + the dot-product stream) — materialize once,
+    # or each re-runs the corpus tokenize+hash+partial-agg lineage
+    # (graph.py's measured multi-consumer law).  localCheckpoint, not
+    # persist: the returned frame is lazy, so a persist here could never
+    # be unpersisted by this function.
+    counts = hashed_tf_counts(docs, id_col, text_col, d).localCheckpoint(
+        eager=True
+    )
     norms = counts.groupBy(id_col).agg(
         F.sum(F.col("n") * F.col("n")).alias("__na2")
     )
+    # the query docs' counts are a FILTER of the materialized corpus
+    # counts — re-tokenizing the source docs for them would be a third
+    # corpus pass
     qcounts = F.broadcast(
-        hashed_tf_counts(
-            docs.where(F.col(id_col).isin(list(query_ids))),
-            id_col,
-            text_col,
-            d,
-        ).select(
+        counts.where(F.col(id_col).isin(list(query_ids))).select(
             F.col(id_col).alias("__qid"),
             "bucket",
             F.col("n").alias("__qn"),

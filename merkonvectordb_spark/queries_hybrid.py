@@ -175,15 +175,17 @@ def q_doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    post = doc_postings(docs).drop("dl")
+    # df(term) via groupBy + join, NOT a count-over-term window: a
+    # window partition holds a term's ENTIRE postings list in one task —
+    # a stopword at corpus scale is a billion-row straggler AQE cannot
+    # split (WindowExec is not skew-splittable; the join is, and dfreq
+    # partial-aggregates map-side).  The two consumers of `post` are fed
+    # by an eager localCheckpoint instead of a lineage recompute.
+    post = doc_postings(docs).drop("dl").localCheckpoint(eager=True)
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    # df(term) as a count-over-term window, NOT a groupBy+self-join: the
-    # join form consumes `post` twice, re-running the postings lineage
-    # per consumer (or forcing a persist); the window is one pass with
-    # the same shuffle count and a single lineage
-    wt = Window.partitionBy("term")
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        post.withColumn("df", F.count(F.lit(1)).over(wt))
+        post.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
@@ -317,9 +319,11 @@ def q_late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine_similarity(F.col("tv"), F.col("qv")).alias("cs"),
         )
     )
-    scored = toks.join(F.broadcast(sims), "tok").select(
-        "doc_id", "qt", "cs"
-    )
+    # no broadcast HINT on sims: it is |vocab|·|terms| rows — this
+    # tokenizer's vocabulary is unbounded, and the same file's tf-idf
+    # query already records that a 100 TB vocabulary is NOT
+    # broadcastable.  AQE broadcasts it anyway when it measures small.
+    scored = toks.join(sims, "tok").select("doc_id", "qt", "cs")
     maxes = [
         F.max(F.when(F.col("qt") == t, F.col("cs"))).alias(f"m{i}")
         for i, t in enumerate(_LI_TERMS)
