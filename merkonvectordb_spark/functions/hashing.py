@@ -15,8 +15,12 @@ splits) would keep running and disagree only in their values.
 
 from __future__ import annotations
 
+import hashlib as _hashlib
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+_md5 = _hashlib.md5
 
 
 def md5_hash60(col: Column) -> Column:
@@ -24,3 +28,16 @@ def md5_hash60(col: Column) -> Column:
     return F.conv(
         F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
     ).cast("bigint")
+
+
+def py_md5_hash60(data: bytes) -> int:
+    """The SAME 60-bit fold, computed Python-side (pandas-UDF paths that
+    hash raw bytes: media feature stubs, char-gram keys).  Must stay the
+    exact md5[:15] fold ``md5_hash60`` compiles into Catalyst — a drift
+    between the two desynchronizes pandas-path operators from their
+    expression-path siblings and the DuckDB oracles.
+
+    Module-level md5 binding, no per-call import: this runs once PER
+    GRAM in hot pandas loops (~10M calls per sf0.1 dedup run — a
+    per-call ``import`` statement alone measured seconds)."""
+    return int(_md5(data).hexdigest()[:15], 16)

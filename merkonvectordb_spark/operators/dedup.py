@@ -13,7 +13,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from merkonvectordb_spark.functions.hashing import md5_hash60
+from merkonvectordb_spark.functions.hashing import md5_hash60, py_md5_hash60
 
 from merkonvectordb_spark.functions.text import doc_fingerprint, word_shingles
 
@@ -247,11 +247,14 @@ def connected_components(
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         labels = [(x, find(x)) for x in parent]
-        return edges.sparkSession.createDataFrame(
+        out = edges.sparkSession.createDataFrame(
             labels, f"id {id_type}, group_id {id_type}"
         )
+        edges.unpersist()
+        return out
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint()
+    edges.unpersist()  # fully consumed: sym is checkpoint-materialized
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -300,6 +303,10 @@ def near_dedup(
     pairs = candidate_pairs_from_sets(sets_df)
     edges = jaccard_edges_from_sets(sets_df, pairs, threshold)
     labels = connected_components(edges)
+    # CC materialized the edge list (count + collect/checkpoint), so the
+    # shingle cache has served all its consumers — free it; `out` below
+    # references only labels and the raw ids
+    sets_df.unpersist()
     out = (
         df.select(F.col(id_col))
         .join(labels.withColumnRenamed("id", id_col), id_col, "left")
@@ -329,16 +336,6 @@ NGRAM_N = 15  # chars per gram
 NGRAM_T_NUM, NGRAM_T_DEN = 4, 5  # threshold 0.8 as an exact rational
 
 
-def normalize_for_ngrams(text: Column) -> Column:
-    """Whitespace-collapsed lowercase text — compute this as its OWN
-    projection (behind an Exchange or other collapse barrier) before
-    calling :func:`char_ngram_set`: expressions referenced inside a
-    higher-order-function lambda re-evaluate per element, so an inlined
-    regexp_replace would run once per gram (~300× per doc — measured
-    19s → 2s at sf0.1 when hoisted)."""
-    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
-
-
 def char_ngram_key_rows(
     df: DataFrame, id_col: str, text_col: str, n: int = NGRAM_N
 ) -> DataFrame:
@@ -357,7 +354,6 @@ def char_ngram_key_rows(
     Key collisions (p ≈ 2⁻⁶⁰ per pair) would merge two grams in both
     engines identically — the oracle folds the same way.
     """
-    import hashlib
     import re as _re
 
     import pandas as pd
@@ -372,7 +368,6 @@ def char_ngram_key_rows(
 
     def gen(batches):
         ws = _re.compile(r"\s+")
-        md5 = hashlib.md5
         for pdf in batches:
             ids: list = []
             keys: list = []
@@ -386,9 +381,7 @@ def char_ngram_key_rows(
                 gset = {tt[j : j + n] for j in range(len(tt) - n + 1)}
                 for g in gset:
                     ids.append(i)
-                    keys.append(
-                        int(md5(g.encode("utf-8")).hexdigest()[:15], 16)
-                    )
+                    keys.append(py_md5_hash60(g.encode("utf-8")))
                     sizes.append(len(gset))
             yield pd.DataFrame({"__id": ids, "gkey": keys, "__s": sizes})
 
@@ -424,6 +417,13 @@ def ngram_jaccard_pairs(
        float threshold, so the Spark and oracle decisions are
        bit-identical.
     """
+    # persist(), deliberately: the caches serve multi-consumer SUBTREE
+    # SHARING inside the single returned plan (prefix feeds both join
+    # sides, cand three consumers) — only persist gives that (a
+    # checkpoint materializes after the first job, so intra-job paths
+    # recompute; measured 5x slower either way).  The cost is that the
+    # blocks stay pinned until Python GC + ContextCleaner collect them
+    # after the caller drops the returned frame.
     grams = char_ngram_key_rows(df, id_col, text_col, n).persist()
     # df as a window over the key partitioning: saves the groupBy+join
     # round trip of a separate frequency table
@@ -580,7 +580,10 @@ def simhash_near_pairs(
             "__id",
             simhash_fingerprint(F.col("__text")).alias("__fp"),
         )
-        .persist()  # chunks + both verify joins reuse the fingerprints
+        # chunks + both verify joins reuse the fingerprints — persist
+        # for intra-plan subtree sharing (blocks free via GC once the
+        # caller drops the returned frame)
+        .persist()
     )
     chunks = fps.select(
         "__id",

@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from merkonvectordb_spark.functions.hashing import py_md5_hash60
+
 MULTIMODAL_DDL = (
     "doc_id LONG, modality STRING, content BINARY, "
     "meta STRUCT<mime: STRING, width: INT, height: INT, "
@@ -88,7 +90,11 @@ def frame_sample_plan(df: DataFrame, fps: float = 1.0) -> DataFrame:
         "frame_ms",
         F.when(
             (F.col("modality") == "video")
-            & F.col("meta.duration_ms").isNotNull(),
+            & F.col("meta.duration_ms").isNotNull()
+            # a zero-length video has no frame to sample: without this
+            # guard greatest(duration-1, 0) turns the empty range into
+            # sequence(0,0)=[0] and the decoder is asked for frame t=0
+            & (F.col("meta.duration_ms") > 0),
             F.sequence(
                 F.lit(0),
                 F.greatest(F.col("meta.duration_ms").cast("long") - 1, F.lit(0)),
@@ -126,10 +132,7 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     the DuckDB oracle can mirror it bit-for-bit).  Component i =
     ((fold60(md5(content || ':' || i)) mod 2001) - 1000) / 1000 ∈ [-1, 1].
     """
-    import hashlib
-
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        md5 = hashlib.md5
         for pdf in batches:
             feats = []
             for c in pdf["content"]:
@@ -138,12 +141,7 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                     [
                         (
                             (
-                                int(
-                                    md5(
-                                        b + b":" + str(i).encode()
-                                    ).hexdigest()[:15],
-                                    16,
-                                )
+                                py_md5_hash60(b + b":" + str(i).encode())
                                 % 2001
                             )
                             - 1000

@@ -164,8 +164,11 @@ def delete_keys(
     # null-safe: a NULL key is never "in" the delete list (the reference's
     # x.Key == key is false for null) — without coalesce, ~NULL filters the
     # row out and delete would silently drop unrelated NULL-key rows.
+    # eqNullSafe on collection too: a NULL-collection row makes a plain
+    # == evaluate NULL, ~NULL filters the row out, and a delete in
+    # collection 'a' would silently destroy unrelated NULL-collection rows
     hit = (
-        (F.col("collection") == collection)
+        F.col("collection").eqNullSafe(F.lit(collection))
         & F.coalesce(F.col("key").isin(list(keys)), F.lit(False))
         & (F.col("__rn") == 1)
     )
@@ -174,8 +177,11 @@ def delete_keys(
 
 def delete_collection(state: DataFrame, collection: str) -> DataFrame:
     """W7 drop a whole collection (MerkonDatabase.cs:49-56).  Through
-    VectorStore this is a partition drop — no data rewrite."""
-    return state.where(F.col("collection") != collection)
+    VectorStore this is a partition drop — no data rewrite.  Null-safe:
+    NULL-collection rows are NOT the dropped collection and survive."""
+    return state.where(
+        ~F.col("collection").eqNullSafe(F.lit(collection))
+    )
 
 
 def delete_empty_keys(state: DataFrame, collection: str) -> DataFrame:
@@ -238,7 +244,10 @@ def get_batch(
 # §2.6 F6 name validation / sanitization
 # ---------------------------------------------------------------------------
 
-_VALID_NAME_RE = "^[0-9A-Za-z_]+$"
+# \z, not $: Java's $ matches BEFORE a final line terminator, so
+# 'events\n' would validate and the newline would land in a
+# collection=... partition directory name
+_VALID_NAME_RE = "^[0-9A-Za-z_]+\\z"
 
 
 def sanitize_db_name(name: F.Column) -> F.Column:

@@ -62,6 +62,11 @@ def asof_join(
         F.col(right_ts).alias(rt),
         *[F.col(c).alias(c + suffix) for c in right_cols],
     )
+    # a NULL right_ts row has no position in time: ascending sort puts
+    # NULLs FIRST, so without this filter its (non-null) carry struct
+    # would become visible to every left row before the first real
+    # right row
+    right = right.where(F.col(right_ts).isNotNull())
     r = right.select(
         *on,
         F.col(right_ts).alias("__t"),

@@ -99,11 +99,14 @@ def read_media_dir(
 
 def to_multimodal(files: DataFrame) -> DataFrame:
     """Map the file rows into ``MULTIMODAL_DDL`` shape: a stable
-    content-addressed ``doc_id`` (first 60 bits of xxhash64 over the
-    path — deterministic across re-ingests, no driver-side counter, no
+    PATH-addressed ``doc_id`` (first 60 bits of xxhash64 over the path
+    — deterministic across re-ingests, no driver-side counter, no
     single-partition window), the opaque bytes, and the typed meta
     struct with decode-dependent fields NULL until a decoder fills
-    them."""
+    them.  Path-addressed, NOT content-addressed, by design: the id
+    stays stable when a file's bytes are updated in place (the
+    re-ingest REPLACES the doc); content-keyed dedup is the dedup
+    family's job downstream."""
     return files.where(F.col("modality").isNotNull()).select(
         # top 60 bits of the hash: matches the documented 60-bit codec
         # and is non-negative by construction (abs(Long.MIN_VALUE) stays
@@ -124,8 +127,18 @@ def to_multimodal(files: DataFrame) -> DataFrame:
 def write_media_parquet(df: DataFrame, path: str) -> None:
     """Persist the multimodal table partitioned by modality: downstream
     image-only / audio-only jobs partition-prune, and metadata queries
-    column-prune past the heavy ``content`` bytes."""
-    df.write.mode("overwrite").partitionBy("modality").parquet(path)
+    column-prune past the heavy ``content`` bytes.
+
+    The overwrite mode is pinned STATIC per-write: ``VectorStore``
+    flips the session-global ``partitionOverwriteMode`` to dynamic, and
+    a dynamic overwrite here would keep any modality partition the new
+    frame happens not to contain — stale rows resurfacing on re-ingest."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("modality")
+        .parquet(path)
+    )
 
 
 def demo_media_dir(root: str) -> str:

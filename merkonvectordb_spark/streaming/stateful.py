@@ -72,8 +72,38 @@ def make_session_fn(gap_sec: int = 1800, event_time_timeout: bool = False):
             if batch
             else pd.DataFrame(columns=["ts", "value"])
         )
-        for ts, val in zip(pdf["ts"], pdf["value"]):
-            t = int(ts.value // 1_000)  # pandas ns → µs
+        # cross-batch EARLY events (t more than gap BEFORE the carried
+        # session's start — possible only without a watermark, e.g. the
+        # NoTimeout backfill mode) belong to their own earlier
+        # session(s): merging them would drag the open session's start
+        # backwards across a silent super-gap hole the batch twin would
+        # split.  The batch is sorted, so they form a prefix; chain-
+        # sessionize the prefix standalone and close everything it
+        # produces (its sessions END before start - gap by construction,
+        # so none can merge with the open one).
+        ets = [int(ts.value // 1_000) for ts in pdf["ts"]]
+        vals = list(pdf["value"])
+        i0 = 0
+        if last is not None:
+            cut = start - gap_us
+            n_early = 0
+            while n_early < len(ets) and ets[n_early] < cut:
+                n_early += 1
+            if n_early:
+                es = el = ets[0]
+                ec, ev = 1, float(vals[0])
+                for j in range(1, n_early):
+                    t = ets[j]
+                    if t - el > gap_us:
+                        closed.append((user_id, es, el, ec, round(ev, 2)))
+                        es, el, ec, ev = t, t, 1, float(vals[j])
+                    else:
+                        el = t
+                        ec += 1
+                        ev += float(vals[j])
+                closed.append((user_id, es, el, ec, round(ev, 2)))
+                i0 = n_early
+        for t, val in zip(ets[i0:], vals[i0:]):
             if last is None:
                 start, last, cnt, vsum = t, t, 1, float(val)
             elif t - last > gap_us:

@@ -276,3 +276,24 @@ def test_session_window_stream_matches_batch_closed_set(
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_fold_cross_batch_early_events_form_their_own_sessions():
+    """An event arriving more than a gap BEFORE the open session's start
+    (NoTimeout backfill mode) is its own earlier session — merging it
+    would drag the open session's start back across a silent super-gap
+    hole the batch sessionizer splits.  Chains of early events still
+    chain among themselves."""
+    fn = make_session_fn(gap_sec=GAP)
+    state = FakeState()
+    t0 = 1_700_000_000 * US
+    _run(fn, state, [[(1, t0 + 10_000 * US, 1.0)]])
+    assert state.get[0] == t0 + 10_000 * US
+    # two early events 100s apart (one chained session), both far
+    # before the open session
+    closed = _run(fn, state, [[(2, t0, 2.0), (3, t0 + 100 * US, 4.0)]])
+    assert closed == [(1, t0, t0 + 100 * US, 2, 6.0)]
+    # open session untouched
+    assert state.get == (
+        t0 + 10_000 * US, t0 + 10_000 * US, 1, 1.0,
+    )
