@@ -38,18 +38,28 @@ class RouteDecision:
     # shows WHICH resource bound fired and by how much
     est_scan_bytes: float = 0.0
     byte_budget: float = 0.0
-    binding_resource: str = "none"  # "flops" | "bytes" | "none"
+    # "flops" | "bytes" | "flops+bytes" (both budgets blown → ivfpq) | "none"
+    binding_resource: str = "none"
 
 
-def estimate_rows(df: DataFrame, row_bytes: int) -> int:
+def estimate_rows(df: DataFrame, row_bytes: int) -> int | None:
     """Catalyst's size estimate divided by an expected row width.  Uses
     rowCount when the catalog has one (ANALYZE'd tables), else
-    sizeInBytes — never runs a job."""
+    sizeInBytes — never runs a job.
+
+    Returns ``None`` when the source has NO real statistics: a
+    stats-less plan (JDBC/DSv2 without stats, RDD-backed) reports
+    ``spark.sql.defaultSizeInBytes`` = Long.MaxValue, which would
+    inflate the estimate to ~10^16 rows and silently route every query
+    — even a 100-row corpus — to an approximate strategy."""
     stats = df._jdf.queryExecution().optimizedPlan().stats()
     rc = stats.rowCount()
     if rc.isDefined():
         return int(rc.get().longValue())
-    return max(1, int(stats.sizeInBytes()) // max(1, row_bytes))
+    size = int(stats.sizeInBytes())
+    if size >= (1 << 62):  # the defaultSizeInBytes sentinel: no stats
+        return None
+    return max(1, size // max(1, row_bytes))
 
 
 def route_knn_batch(
@@ -94,6 +104,16 @@ def route_knn_batch(
     rows = est_rows if est_rows is not None else estimate_rows(
         corpus, row_bytes=row_bytes
     )
+    if rows is None:
+        # no statistics at all: be CORRECT by default — exact brute
+        # force, never a silent downgrade to approximate results on an
+        # unknown-size corpus.  Callers that know the scale pass
+        # est_rows explicitly.
+        decision = RouteDecision("brute", -1, 0.0, flop_budget,
+                                 0.0, byte_budget, "none")
+        return decision, knn_batch(
+            corpus, queries, k, **(brute_kwargs or {})
+        )
     flops = float(rows) * float(max(0, n_queries)) * float(dim)
     scan_bytes = float(rows) * float(row_bytes)
     if (

@@ -26,7 +26,8 @@ from merkonvectordb_spark.schema import load_table
     """
 WITH assigned AS (
   SELECT source, n_chars,
-         CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+         CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+              WHEN b IS NOT NULL THEN 'test' END AS split
   FROM (
     SELECT source, n_chars,
            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
@@ -356,7 +357,7 @@ sp AS (
   SELECT doc_id, text,
          CASE WHEN b < 90 THEN 'train'
               WHEN b < 95 THEN 'val'
-              ELSE 'test' END AS split
+              WHEN b IS NOT NULL THEN 'test' END AS split
   FROM (
     SELECT doc_id, text,
            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))

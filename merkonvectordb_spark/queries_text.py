@@ -776,9 +776,12 @@ def q_term_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from merkonvectordb_spark.functions.text import tokenize
 
     docs = load_table(spark, sf_dir, "documents")
+    # four consumers (n_docs count, dfreq, both self-join sides) — one
+    # materialization, or each re-runs the tokenize+explode corpus
+    # lineage (the repo's multi-consumer law)
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok")
-    )
+    ).localCheckpoint(eager=True)
     n_docs = toks.select("doc_id").distinct().count()
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
     a = toks.alias("a")
@@ -847,8 +850,14 @@ p{r} AS (
 ),
 b{r} AS (SELECT l, r, cnt FROM p{r} ORDER BY cnt DESC, l, r LIMIT 1),
 s{r + 1} AS (
-  SELECT replace(replace(s{r}.s, {pat}, {rep}), {pat}, {rep}) AS s, freq
-  FROM s{r} CROSS JOIN b{r}
+  -- LEFT JOIN ON TRUE, not CROSS JOIN: when the merges exhaust early
+  -- (b{r} empty) the corpus must CARRY OVER unchanged — a cross join
+  -- with an empty side would erase it, while the engine's round loop
+  -- breaks and keeps the final frame intact
+  SELECT CASE WHEN b{r}.l IS NULL THEN s{r}.s
+         ELSE replace(replace(s{r}.s, {pat}, {rep}), {pat}, {rep}) END AS s,
+         freq
+  FROM s{r} LEFT JOIN b{r} ON TRUE
 )""".strip()
 
 
@@ -902,17 +911,28 @@ def _bpe_run_rounds(cur, n_rounds):
     cur = cur.persist()
     merges = []
     for r in range(n_rounds):
-        syms = F.split(F.trim(F.col("s")), " ")
-        prs = F.when(
-            F.size(syms) >= 2,
+        # the split is BOUND ONCE via the single-element-array wrap:
+        # referencing the raw split expression inside the transform
+        # lambda re-runs it per pair position (the repo's documented
+        # HOF re-eval trap — quadratic per word)
+        prs = F.element_at(
             F.transform(
-                F.sequence(F.lit(1), F.size(syms) - 1),
-                lambda i: F.struct(
-                    F.element_at(syms, i).alias("l"),
-                    F.element_at(syms, (i + 1).cast("int")).alias("r"),
+                F.array(F.split(F.trim(F.col("s")), " ")),
+                lambda sy: F.when(
+                    F.size(sy) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(sy) - 1),
+                        lambda i: F.struct(
+                            F.element_at(sy, i).alias("l"),
+                            F.element_at(sy, (i + 1).cast("int")).alias("r"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<l:string,r:string>>")
                 ),
             ),
-        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+            1,
+        )
         counts = (
             cur.select(F.explode(prs).alias("p"), "freq")
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))

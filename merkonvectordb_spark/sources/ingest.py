@@ -39,9 +39,12 @@ def parse_u_timestamp(s: Column) -> Column:
     The reference parses with ``DateTimeStyles.AssumeUniversal``
     (MerkonMemoryStore.cs:212-221) — the string IS a UTC instant; the
     session timezone is pinned UTC (schema.load_table / session.get_spark),
-    so ``to_timestamp`` lands on the same instant.  Unparseable strings ⇒
-    NULL (lenient, per-row throws don't distribute)."""
-    return F.to_timestamp(s, "yyyy-MM-dd HH:mm:ss'Z'")
+    so the parse lands on the same instant.  Unparseable strings ⇒
+    NULL (lenient, per-row throws don't distribute) — via
+    ``try_to_timestamp``, because plain ``to_timestamp`` THROWS under
+    ANSI mode (which this repo's own sessions enable): one malformed
+    string would abort the whole ingest job."""
+    return F.try_to_timestamp(s, F.lit("yyyy-MM-dd HH:mm:ss'Z'"))
 
 
 def deterministic_embedding(seed: Column, dim: int = 64) -> Column:
@@ -83,7 +86,11 @@ def records_from_texts(
             desc.alias("description"),
             F.col(text_col).alias("text"),
             F.lit("").alias("additional_metadata"),
-        )
+        ),
+        # keep NULL fields in the JSON shape: the default drops them,
+        # so a NULL description row would emit a metadata object with
+        # the key MISSING — a different shape than the reference writer
+        {"ignoreNullFields": "false"},
     )
     return texts.select(
         F.lit(collection).alias("collection"),
@@ -101,6 +108,10 @@ def embed_query_text(text: str, dim: int = 64) -> list[float]:
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()
+    if spark is None:
+        from merkonvectordb_spark import get_spark
+
+        spark = get_spark("embed_query")
     row = (
         spark.range(1)
         .select(deterministic_embedding(F.lit(text), dim).alias("e"))

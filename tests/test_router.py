@@ -112,3 +112,27 @@ def test_router_falls_back_to_ann_without_centroids(spark):
     )
     # no IVF-PQ index material supplied → candidate pruning still routes
     assert decision.strategy == "ann"
+
+
+def test_stats_less_source_routes_exact_not_approx(spark):
+    """An RDD-backed plan reports defaultSizeInBytes (Long.MaxValue) —
+    the router must treat that as UNKNOWN and stay exact, not inflate
+    the estimate to ~1e16 rows and silently go approximate."""
+    from merkonvectordb_spark.plans.router import (
+        estimate_rows,
+        route_knn_batch,
+    )
+
+    rdd = spark.sparkContext.parallelize(
+        [(i, [float(i), 1.0]) for i in range(20)]
+    )
+    corpus = spark.createDataFrame(rdd, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    assert estimate_rows(corpus, row_bytes=40) is None
+    qs = corpus.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    decision, plan = route_knn_batch(
+        corpus, qs, k=3, dim=2, n_queries=2, flop_budget=1.0
+    )
+    assert decision.strategy == "brute"
+    assert plan.count() > 0
