@@ -44,13 +44,23 @@ def token_count(text: Column) -> Column:
 
 
 def bpe_token_count(text: Column) -> Column:
-    """BPE-ish token count: alnum runs + individual punctuation marks."""
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit(TOKEN_REGEX), 0))
+    """BPE-ish token count: alnum runs + individual punctuation marks.
+    NULL text counts 0 (same coalesce rule as ``tokenize``)."""
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(text, F.lit(""))), F.lit(TOKEN_REGEX), 0
+        )
+    )
 
 
 def _marker_hits(text: Column, words: tuple[str, ...]) -> Column:
     pat = r"\b(" + "|".join(words) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+    # NULL-safe like tokenize: a NULL text has 0 marker hits, not NULL
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(text, F.lit(""))), F.lit(pat), 0
+        )
+    )
 
 
 def lang_id(text: Column) -> Column:
@@ -89,7 +99,13 @@ def quality_score(text: Column) -> Column:
     punct_ratio   — non-alnum-non-space chars / chars
     stopword_sig  — min(1, en-stopword hits / (tokens/10 + 1))
     word_len_ok   — 1 if 3 ≤ mean word len ≤ 10 else 0
+
+    NULL text scores exactly like EMPTY text (0.0): without the
+    coalesce, NULL chars made every when() fall to its otherwise arm
+    and F.least skip the NULL term — a NULL document scored 0.5 and
+    PASSED the ≥0.5 quality gates while '' was dropped.
     """
+    text = F.coalesce(text, F.lit(""))
     chars = F.length(text).cast("double")
     toks = token_count(text).cast("double")
     len_ok = (
@@ -137,13 +153,16 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def doc_fingerprint(text: Column) -> Column:
-    """Deterministic 128-bit content fingerprint (hex) of the normalized text.
+    """Deterministic 128-bit content fingerprint (hex) of the normalized
+    text; NULL text fingerprints like the empty string.
 
     Normalization: lowercase, collapse whitespace runs to single spaces,
     trim.  Equal fingerprints ⇔ near-byte-equal content — the exact-dedup
     key.  (The reference has no dedup; this is the §7.6 pipeline surface.)
     """
-    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), r"\s+", " ")
+    )
     return F.md5(norm)
 
 

@@ -43,8 +43,13 @@ def normalize_url(url: Column) -> Column:
 
 
 def url_host(norm_url: Column) -> Column:
-    """Host part of an already-normalized URL (everything before ``/``)."""
-    return F.regexp_extract(norm_url, r"^([^/]+)", 1)
+    """Host part of an already-normalized URL: everything before ``/``,
+    with userinfo (``user@``) and an explicit port (``:8080``) stripped
+    — ``example.com:8080`` and ``example.com`` are the SAME host, or
+    per-domain caps and blocklists silently miss port-bearing URLs."""
+    authority = F.regexp_extract(norm_url, r"^([^/]+)", 1)
+    no_user = F.regexp_replace(authority, r"^[^/@]*@", "")
+    return F.regexp_replace(no_user, r":\d+$", "")
 
 
 def registered_domain(host: Column) -> Column:

@@ -230,6 +230,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT coalesce(event_type, '<all>') AS event_type,
        coalesce(CAST(extract(hour FROM ts) AS BIGINT), -1) AS hr,
+       CAST(GROUPING(event_type, extract(hour FROM ts)) AS BIGINT) AS gid,
        count(*) AS n_events,
        sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
 FROM events
@@ -239,12 +240,16 @@ GROUP BY ROLLUP (event_type, extract(hour FROM ts))
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (SURVEY §2.7): per (type, hour), per type, and
     grand total in one pass — Spark plans a single Expand + partial-agg,
-    not three scans."""
+    not three scans.  ``gid`` (grouping_id) disambiguates an
+    aggregated-away dimension from a GENUINE NULL value that renders as
+    the same '<all>'/-1 sentinel — the cube query's rule, which the
+    sentinel alone cannot give."""
     ev = load_table(spark, sf_dir, "events")
     hr = F.hour("ts").cast("long")
     return (
         ev.rollup(F.col("event_type"), hr.alias("hr"))
         .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
                 "sum_cents"
@@ -253,6 +258,7 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
             F.coalesce("hr", F.lit(-1)).alias("hr"),
+            "gid",
             "n_events",
             "sum_cents",
         )
@@ -483,8 +489,19 @@ def q_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (p50, p90, p99), n = exact_global_quantiles(
         li, "l_extendedprice", [0.5, 0.9, 0.99], return_count=True
     )
+
+    def _r4(x: float) -> float:
+        # HALF_UP on the double's exact binary expansion — the SAME
+        # convention as F.round (BigDecimal) and DuckDB's round; Python's
+        # built-in round is banker's (half-to-even), a THIRD convention
+        # that diverges when an interpolated quantile lands on a
+        # representable 4-decimal midpoint
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(x).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
     return spark.createDataFrame(
-        [(round(p50, 4), round(p90, 4), round(p99, 4), n)],
+        [(_r4(p50), _r4(p90), _r4(p99), n)],
         "p50 DOUBLE, p90 DOUBLE, p99 DOUBLE, n LONG",
     )
 

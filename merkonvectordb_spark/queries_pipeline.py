@@ -253,7 +253,13 @@ norm AS (
   FROM raw
 ),
 host AS (
-  SELECT doc_id, nurl, regexp_extract(nurl, '^([^/]+)', 1) AS h FROM norm
+  -- userinfo + explicit port stripped, mirroring functions/url.url_host
+  SELECT doc_id, nurl,
+         regexp_replace(
+           regexp_replace(regexp_extract(nurl, '^([^/]+)', 1),
+                          '^[^/@]*@', ''),
+           ':[0-9]+$', '') AS h
+  FROM norm
 ),
 dom AS (
   SELECT doc_id, nurl,

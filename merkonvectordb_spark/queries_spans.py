@@ -70,13 +70,12 @@ from merkonvectordb_spark.queries_dedup import _TOKS_SQL  # noqa: E402
 
 def _fold60(expr: str) -> str:
     """md5-fold of ``expr`` to a 60-bit BIGINT — byte-for-byte the Spark
-    ``conv(substr(md5(e),1,15),16,10)`` codec."""
-    return (
-        "list_reduce(list_transform(regexp_split_to_array("
-        f"substr(md5({expr}), 1, 15), ''),"
-        " ch -> CAST(strpos('0123456789abcdef', ch) AS BIGINT) - 1),"
-        " (acc, d) -> acc * 16 + d)"
-    )
+    ``conv(substr(md5(e),1,15),16,10)`` codec, in the repo's ONE
+    canonical DuckDB form (functions/hashing.py documents it; the
+    pipeline/sketch/streaming oracles all use this same hex-literal
+    cast — a hand-rolled char fold here was a third copy to keep in
+    sync)."""
+    return f"CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
 
 
 _GRAM_CTES = f"""
