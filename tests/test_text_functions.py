@@ -128,3 +128,28 @@ def test_unigram_score_against_fixed_external_model(spark):
     lp_a, lp_b = math.log(3 / 4), math.log(1 / 4)
     assert got[10] == (2, round((lp_a + lp_b) / 2, 6))
     assert got[11] == (1, round(lp_a, 6))  # zz unknown -> dropped
+
+
+def test_null_text_scores_like_empty(spark):
+    """NULL text must behave exactly like '' in every text function —
+    in particular quality_score(NULL) must be 0.0, not the 0.5 that
+    PASSES the >=0.5 quality gates while '' is dropped."""
+    from merkonvectordb_spark.functions.text import (
+        bpe_token_count,
+        doc_fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    df = spark.createDataFrame([(None,), ("",)], "t STRING")
+    rows = df.select(
+        quality_score(F.col("t")).alias("q"),
+        token_count(F.col("t")).alias("tc"),
+        bpe_token_count(F.col("t")).alias("bc"),
+        lang_id(F.col("t")).alias("lang"),
+        doc_fingerprint(F.col("t")).alias("fp"),
+    ).collect()
+    assert rows[0] == rows[1]  # NULL behaves exactly like ''
+    assert rows[0]["q"] == 0.0 and rows[0]["tc"] == 0 and rows[0]["bc"] == 0
+    assert rows[0]["lang"] == "und" and rows[0]["fp"] is not None

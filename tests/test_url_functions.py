@@ -72,3 +72,30 @@ def test_registered_domain_single_label_host(spark):
         [("localhost",), ("intranet",), ("a.example.com",)], "h STRING"
     ).select(registered_domain(F.col("h")).alias("d")).collect()
     assert [r.d for r in rows] == ["localhost", "intranet", "example.com"]
+
+
+def test_port_and_userinfo_strip(spark):
+    """example.com:8080 and user@example.com are the SAME host as
+    example.com — ports/userinfo must not create phantom domains that
+    bypass per-domain caps and blocklists."""
+    from merkonvectordb_spark.functions.url import (
+        normalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("https://example.com:8080/p/1",),
+            ("http://user@example.com/p/2",),
+            ("https://example.com/p/3",),
+        ],
+        "url STRING",
+    )
+    doms = {
+        r[0]
+        for r in df.select(
+            registered_domain(url_host(normalize_url(F.col("url"))))
+        ).collect()
+    }
+    assert doms == {"example.com"}
