@@ -38,7 +38,6 @@ from pyspark.sql import functions as F
 from merkonvectordb_spark.functions.vector import (
     cosine_similarity,
     dot_product,
-    vector_literal,
 )
 
 DIM = 64  # fixture embedding dimensionality
@@ -192,29 +191,10 @@ def knn_batch_ann(
         qidx.join(cidx, ["table_id", "bucket"])
         .select("__qid", id_col)
         .distinct()
+        .join(corpus.select(id_col, emb_col, *extra_cols), id_col)
     )
-    qvecs = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("__qid"), F.col(emb_col).alias("__qvec")
-        )
-    )
-    scored = (
-        cand.join(corpus.select(id_col, emb_col, *extra_cols), id_col)
-        .join(qvecs, "__qid")
-        .withColumn("__raw", cosine_similarity(F.col(emb_col), F.col("__qvec")))
-        .where(
-            F.col("__raw").isNotNull()
-            & (~F.isnan("__raw"))
-            & (F.col("__raw") >= F.lit(float(min_score)))
-        )
-    )
-    w = Window.partitionBy("__qid").orderBy(F.desc("__raw"), F.asc(id_col))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .withColumn("score", F.round(F.col("__raw"), 6))
-        .drop("__rn", "__raw", "__qvec", emb_col)
-        .withColumnRenamed("__qid", query_id_col)
+    return rerank_topk(
+        cand, queries, k, min_score, id_col, emb_col, query_id_col
     )
 
 
@@ -717,6 +697,9 @@ def semantic_dedup(
     )
     # three consumers (both sides of the pair self-join + the final
     # left join) — without persist each re-runs the corpus×K scoring.
+    # persist, not checkpoint: the consumers live inside ONE returned
+    # lazy plan, and only persist gives intra-job subtree sharing; the
+    # blocks free via GC after the caller drops the returned frame.
     # The pair stage is the dominant Σ|cluster|² term, so embeddings are
     # unit-normalized ONCE here (3 folds per ROW) and each pair scores
     # with a single dot fold instead of cosine's three — the
@@ -966,7 +949,11 @@ def knn_batch_ivfpq(
     m = len(cb)
     par = corpus.sparkSession.sparkContext.defaultParallelism
     corpus = corpus.repartition(par)
-    _ = m * len(cb[0][0])  # codebook shape sanity (dim implied by cb)
+    # a REAL dimension guard (matching knn_batch_pq): wrong-dim rows
+    # must not reach the parsed-SQL code evaluation — they'd only drop
+    # implicitly later, after paying full PQ encoding
+    dim = m * len(cb[0][0])
+    corpus = corpus.where(F.size(F.col(emb_col)) == dim)
     assign = ivf_assign(corpus, centroids, id_col, emb_col, 1)
     coded = corpus.select(
         id_col,

@@ -47,6 +47,14 @@ def exact_global_quantiles(
     """
     import pandas as pd
 
+    if not list(qs):
+        # degenerate: nothing requested — don't pay the range shuffle
+        # (and ranked.where(None) below would raise); the count, when
+        # asked for, is one plain aggregate
+        if return_count:
+            n0 = df.where(F.col(col).isNotNull()).count()
+            return [], n0
+        return []
     src = df.select(F.col(col).cast("double").alias("__v")).where(
         F.col("__v").isNotNull()
     )
@@ -155,24 +163,54 @@ def global_ntile(
         if f.dataType.typeName()
         in ("byte", "short", "integer", "long", "float", "double", "decimal")
     }
+    floating = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("float", "double")
+    }
+    integral = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("byte", "short", "integer", "long")
+    }
     for i, (c, d) in enumerate(norm):
         if d == "desc":
             # the range partitioner orders ascending only, so DESC is
-            # encoded as (null-flag ASC, negated value ASC): the flag
-            # reproduces SQL's DESC NULLS LAST (a bare -col would send
-            # NULLs to tile 1), and negation is only sound for numerics
-            # — reject anything else loudly instead of mis-sorting
+            # encoded as (null-flag ASC, nan-flag ASC, negated value
+            # ASC): the null flag reproduces SQL's DESC NULLS LAST (a
+            # bare -col would send NULLs to tile 1); the NaN flag
+            # reproduces Spark's NaN-is-largest (so NaN sorts FIRST
+            # under DESC — negating alone leaves -NaN = NaN sorting
+            # LAST, diverging from builtin NTILE); integral columns
+            # negate through DECIMAL because -Long.MIN_VALUE overflows
+            # (an ArithmeticException under ANSI mode, silent wrap
+            # otherwise).  Negation is only sound for numerics — reject
+            # anything else loudly instead of mis-sorting.
             if c not in numeric:
                 raise TypeError(
                     f"desc ordering needs a numeric column, got {c!r}"
                 )
             kn = f"__ordn{i}"
             k = f"__ord{i}"
-            work = work.withColumn(
-                kn, F.col(c).isNull().cast("int")
-            ).withColumn(k, -F.col(c))
-            keys.extend([kn, k])
-            drop.extend([kn, k])
+            work = work.withColumn(kn, F.col(c).isNull().cast("int"))
+            keys.append(kn)
+            drop.append(kn)
+            if c in floating:
+                knan = f"__ordf{i}"
+                work = work.withColumn(
+                    knan,
+                    F.when(F.isnan(F.col(c)), 0).otherwise(1),
+                )
+                keys.append(knan)
+                drop.append(knan)
+            if c in integral:
+                work = work.withColumn(
+                    k, -F.col(c).cast("decimal(20,0)")
+                )
+            else:
+                work = work.withColumn(k, -F.col(c))
+            keys.append(k)
+            drop.append(k)
         else:
             keys.append(c)
 

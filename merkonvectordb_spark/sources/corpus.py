@@ -82,7 +82,10 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     un-materialized JSON scan (the parser would have to re-run per
     filter — SPARK-21610); caching the parsed frame first is the
     documented contract and also what you want operationally: one parse
-    feeds both branches.
+    feeds both branches.  The cache frees via GC + ContextCleaner once
+    the caller drops both returned frames; callers splitting many
+    corpora in one session can `clean.unpersist()` the shared cache
+    through either handle when done.
     """
     if CORRUPT_COL not in df.columns:
         raise ValueError(f"dataframe has no {CORRUPT_COL} column")
@@ -102,11 +105,13 @@ def write_jsonl(
 ) -> None:
     """Write a corpus back out as line-delimited JSON.
 
-    ``partition_by`` gives hive-style directory partitioning (e.g. by
-    ``source`` or ``lang``) so downstream readers partition-prune;
-    ``compression`` accepts any Spark codec name — prefer a splittable
-    one (``bzip2``) or none; ``gzip`` output is read back single-task
-    per file."""
+    OVERWRITES whatever already exists at ``path`` (mode='overwrite' —
+    not Spark's error-if-exists default; callers protecting existing
+    data must check the path first).  ``partition_by`` gives hive-style
+    directory partitioning (e.g. by ``source`` or ``lang``) so
+    downstream readers partition-prune; ``compression`` accepts any
+    Spark codec name — prefer a splittable one (``bzip2``) or none;
+    ``gzip`` output is read back single-task per file."""
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)

@@ -68,16 +68,27 @@ def windowed_counts(
     """Watermarked tumbling-window aggregation — the streaming twin of
     ``queries_events.q_events_window_agg`` (same grouping, same aggregates
     minus countDistinct, which streaming state cannot hold exactly;
-    approx_count_distinct is the streaming-native substitute)."""
+    approx_count_distinct is the streaming-native substitute).
+
+    The grouping key is the WINDOW STRUCT, with ``window_start``
+    projected AFTER the aggregation: grouping by
+    ``window(...).getField("start")`` strips the event-time watermark
+    metadata from the key, so append mode throws
+    (STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION) and update-mode window
+    state is NEVER evicted — unbounded state growth on a long-running
+    stream, the exact failure the watermark exists to prevent."""
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(
-            F.window("ts", window).getField("start").alias("window_start"),
-            "event_type",
-        )
+        .groupBy(F.window("ts", window).alias("__w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("__w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
         )
     )
 

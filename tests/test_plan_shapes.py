@@ -381,3 +381,38 @@ def test_global_ntile_desc_nulls_land_last(spark):
     sdf = spark.createDataFrame([(1, "x")], "id LONG, s STRING")
     with _pytest.raises(TypeError):
         global_ntile(sdf, [("s", "desc")], 2)
+
+
+def test_global_ntile_desc_nan_matches_builtin(spark):
+    """Spark orders NaN as the LARGEST double, so DESC puts it FIRST;
+    the negation encoding alone leaves -NaN = NaN sorting LAST.  The
+    NaN flag restores builtin-NTILE agreement."""
+    from pyspark.sql import Window
+
+    from merkonvectordb_spark.operators.stats import global_ntile
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 5.0), (3, 1.0), (4, 3.0)],
+        "id LONG, v DOUBLE",
+    )
+    got = {
+        r["id"]: r["tile"]
+        for r in global_ntile(
+            df, [("v", "desc"), ("id", "asc")], 2, num_partitions=3
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    want = {
+        r["id"]: r["nt"]
+        for r in df.select("id", F.ntile(2).over(w).alias("nt")).collect()
+    }
+    assert got == want
+
+
+def test_global_quantiles_empty_request(spark):
+    from merkonvectordb_spark.operators.stats import exact_global_quantiles
+
+    df = spark.range(0, 10).select(F.col("id").cast("double").alias("v"))
+    assert exact_global_quantiles(df, "v", []) == []
+    vals, n = exact_global_quantiles(df, "v", [], return_count=True)
+    assert vals == [] and n == 10

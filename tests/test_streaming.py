@@ -175,3 +175,26 @@ def test_stream_stream_join_matches_batch(spark, events_dir, tmp_path):
     )
     want = {tuple(r) for r in bc.join(bv, cond).select("cid", "vid").collect()}
     assert got == want
+
+
+def test_windowed_counts_append_mode_with_watermark(spark, events_dir, tmp_path):
+    """Append mode REQUIRES the watermark to survive into the grouping
+    key: grouping by window(...).getField('start') strips it and the
+    query throws STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION; grouping
+    by the window struct keeps it, windows close as the watermark
+    passes, and state is evictable."""
+    stream = windowed_counts(
+        stream_events(spark, events_dir), watermark="0 seconds"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_counts_append")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_app"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("win_counts_append").collect()
+    # every window strictly before the final max event time is closed
+    assert len(rows) > 0
