@@ -367,7 +367,13 @@ def char_ngram_key_rows(
     id_ddl = df.schema[id_col].dataType.simpleString()
 
     def gen(batches):
-        ws = _re.compile(r"\s+")
+        # the EXACT whitespace class RE2's \s matches ([\t\n\f\r ] —
+        # ASCII, no \v), replace-then-strip-spaces order: Python's
+        # unicode .strip()/\s and DuckDB's space-only trim() otherwise
+        # normalize 'x\n' differently ('x' vs 'x ') and the engines'
+        # gram sets silently diverge.  Mirrored in the queries_dedup
+        # oracle as trim(regexp_replace(lower(text), ...)).
+        ws = _re.compile(r"[ \t\n\f\r]+")
         for pdf in batches:
             ids: list = []
             keys: list = []
@@ -375,7 +381,7 @@ def char_ngram_key_rows(
             for i, t in zip(pdf["__id"], pdf["__text"]):
                 if t is None:
                     continue
-                tt = ws.sub(" ", t.lower().strip())
+                tt = ws.sub(" ", t.lower()).strip(" ")
                 if len(tt) < n:
                     continue
                 gset = {tt[j : j + n] for j in range(len(tt) - n + 1)}

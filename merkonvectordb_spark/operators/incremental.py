@@ -27,31 +27,40 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# ONE table drives both build and merge — a two-sided dispatch lets the
+# pair drift (a kind one side accepts and the other rejects)
+_BUILD = {
+    # ROW count (count(*)), not count(col): every caller mirrors a
+    # count(*) oracle, and count(col) silently undercounts on a NULL in
+    # the counted column — breaking maintain == recompute parity.  The
+    # input column is accepted but ignored for this kind.
+    "count": lambda col: F.count(F.lit(1)),
+    "sum": lambda col: F.sum(F.col(col)),
+    "min": lambda col: F.min(F.col(col)),
+    "max": lambda col: F.max(F.col(col)),
+}
 _MERGE = {
     "count": F.sum,  # counts add
     "sum": F.sum,
     "min": F.min,
     "max": F.max,
 }
+assert set(_BUILD) == set(_MERGE)
 
 
 def aggregate_state(
     rows: DataFrame, keys: Sequence[str], aggs: Mapping[str, tuple[str, str]]
 ) -> DataFrame:
     """Build (or partially build) the materialized state: ``aggs`` maps
-    output column → (kind, input column), kind ∈ count/sum/min/max."""
+    output column → (kind, input column), kind ∈ count/sum/min/max.
+    ``count`` is a ROW count (count(*) semantics; its input column is
+    ignored)."""
     exprs = []
     for out, (kind, col) in aggs.items():
-        if kind == "count":
-            exprs.append(F.count(F.col(col)).alias(out))
-        elif kind == "sum":
-            exprs.append(F.sum(F.col(col)).alias(out))
-        elif kind == "min":
-            exprs.append(F.min(F.col(col)).alias(out))
-        elif kind == "max":
-            exprs.append(F.max(F.col(col)).alias(out))
-        else:
+        fn = _BUILD.get(kind)
+        if fn is None:
             raise ValueError(f"non-distributive aggregate: {kind!r}")
+        exprs.append(fn(col).alias(out))
     return rows.groupBy(*keys).agg(*exprs)
 
 

@@ -49,5 +49,26 @@ def formatted_explain(df: DataFrame) -> str:
 
 def pushed_filters(df: DataFrame) -> list[str]:
     """Every PushedFilters list in the formatted explain (one entry per
-    parquet scan) — empty when no filter reached any scan."""
-    return re.findall(r"PushedFilters: \[(.*?)\]", formatted_explain(df))
+    parquet scan) — empty when no filter reached any scan.
+
+    Bracket-BALANCED parse, not a non-greedy regex: a pushed filter like
+    ``In(x, [1,2,3])`` contains ``]`` itself, and ``\\[(.*?)\\]`` would
+    truncate it to ``In(x, [1,2,3`` — corrupted output that assertions
+    silently mis-match."""
+    text = formatted_explain(df)
+    out: list[str] = []
+    marker = "PushedFilters: ["
+    i = text.find(marker)
+    while i != -1:
+        j = i + len(marker)
+        depth = 1
+        k = j
+        while k < len(text) and depth:
+            if text[k] == "[":
+                depth += 1
+            elif text[k] == "]":
+                depth -= 1
+            k += 1
+        out.append(text[j : k - 1])
+        i = text.find(marker, k)
+    return out

@@ -241,7 +241,10 @@ _GKEY_SQL = (
 _NGRAM_ORACLE = f"""
 WITH {_NEAR_CORPUS_CTE},
 normd AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  -- replace FIRST, trim (spaces) LAST — mirrors char_ngram_key_rows:
+  -- trim() strips only spaces, so trimming before the replace leaves a
+  -- trailing newline to become a trailing space and an extra gram
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
   FROM corpus
 ),
 grams AS (
