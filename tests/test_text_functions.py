@@ -153,3 +153,24 @@ def test_null_text_scores_like_empty(spark):
     assert rows[0] == rows[1]  # NULL behaves exactly like ''
     assert rows[0]["q"] == 0.0 and rows[0]["tc"] == 0 and rows[0]["bc"] == 0
     assert rows[0]["lang"] == "und" and rows[0]["fp"] is not None
+
+
+def test_tokenizer_fertility_invariants(spark, sf_dir):
+    """Fertility report: every (lang, source) slice of the corpus is
+    covered exactly once, doc counts reconcile with the table, fertility
+    ≥ 1 on word-bearing text (a whitespace word yields ≥1 subword), and
+    bytes_per_token > 0."""
+    import __spark_entry__ as entry
+    from merkonvectordb_spark.schema import load_table
+
+    q = entry.queries()["tokenizer_fertility"]
+    rows = q(spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert len({(r["lang"], r["source"]) for r in rows}) == len(rows)
+    for r in rows:
+        if r["ws_tokens"] and r["ws_tokens"] > 0:
+            assert r["fertility"] >= 1.0, r
+        if r["bpe_tokens"] and r["bpe_tokens"] > 0:
+            assert r["bytes_per_token"] > 0.0, r
