@@ -504,3 +504,79 @@ def q_dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("__q", 6).alias("quality"),
         (F.col("__rn") == 1).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix — which sources carry the same content
+# (mirror/scrape forensics).  The fixture corpus has no natural exact
+# dups, so — per this module's seeding convention — a mirror slice is
+# derived identically in both engines: every doc_id < 40 reappears under
+# a 'mirror:'-prefixed source.
+# ---------------------------------------------------------------------------
+
+_XSOURCE_FP = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+
+_XSOURCE_ORACLE = f"""
+WITH corpus AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'mirror:' || source, text FROM documents WHERE doc_id < 40
+),
+fps AS (SELECT DISTINCT source, {_XSOURCE_FP} AS fp FROM corpus),
+tot AS (SELECT source, count(*) AS n FROM fps GROUP BY source),
+shared AS (
+  SELECT l.source AS source_a, r.source AS source_b, count(*) AS n_shared
+  FROM fps l JOIN fps r ON l.fp = r.fp AND l.source < r.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared, ta.n AS n_fps_a, tb.n AS n_fps_b
+FROM shared
+JOIN tot ta ON ta.source = shared.source_a
+JOIN tot tb ON tb.source = shared.source_b
+""".strip()
+
+
+@register("cross_source_overlap", _XSOURCE_ORACLE)
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplication matrix: distinct (source,
+    fingerprint) pairs self-join on fingerprint across source pairs —
+    the corpus-forensics report that finds mirrored/scraped slices
+    before a mixture is weighted (per-pair shared-fingerprint counts
+    plus each side's distinct-content size, ready for Jaccard).
+
+    Scale shape: the distinct and the self-join both shuffle on the
+    fingerprint key — corpus-linear, no all-pairs blowup (a fingerprint
+    joins only its own duplicates); per-source totals broadcast into
+    the final tiny join.  All BIGINT/STRING output."""
+    from merkonvectordb_spark.functions.text import doc_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("source", "text").unionByName(
+        docs.where(F.col("doc_id") < 40).select(
+            F.concat(F.lit("mirror:"), F.col("source")).alias("source"),
+            "text",
+        )
+    )
+    fps = corpus.select(
+        "source", doc_fingerprint(F.col("text")).alias("fp")
+    ).distinct()
+    tot = fps.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    left = fps.select(F.col("source").alias("source_a"), "fp")
+    right = fps.select(F.col("source").alias("source_b"), "fp")
+    shared = (
+        left.join(right, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_fps_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_fps_b"))),
+            "source_b",
+        )
+        .select("source_a", "source_b", "n_shared", "n_fps_a", "n_fps_b")
+    )

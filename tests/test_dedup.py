@@ -386,3 +386,28 @@ def test_fingerprint_append_with_batch_id_is_idempotent(spark, tmp_path):
     append_minhash_store(store, batch, batch_id=0)  # retry: no-op
     n = store.shingles.read().count()
     assert n == 3  # 2 history + 1 batch, not 4
+
+
+def test_cross_source_overlap_mirror_forensics(spark, sf_dir):
+    """Every mirror source must pair with exactly its origin, sharing
+    ALL of its distinct fingerprints (the mirror is a strict subset);
+    no mirror-to-mirror or unrelated cross-source pair may appear."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["cross_source_overlap"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        a, b = r["source_a"], r["source_b"]
+        # only origin↔mirror pairs exist in the seeded corpus (the pair
+        # is ordered lexicographically, so the mirror may be either side)
+        if a == f"mirror:{b}":
+            mirror_n = r["n_fps_a"]
+            origin_n = r["n_fps_b"]
+        elif b == f"mirror:{a}":
+            mirror_n = r["n_fps_b"]
+            origin_n = r["n_fps_a"]
+        else:
+            raise AssertionError((a, b))
+        # the mirror's whole content is shared, and no more
+        assert r["n_shared"] == mirror_n
+        assert origin_n >= r["n_shared"]
