@@ -580,3 +580,111 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source_a", "source_b", "n_shared", "n_fps_a", "n_fps_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration — estimator-vs-truth on the LSH candidate pairs.
+# The near-dup family trusts sig-agreement/16 as a Jaccard proxy; this
+# report measures that proxy against the exact shingle Jaccard pair by
+# pair (the ann_recall_report pattern, applied to MinHash).
+# ---------------------------------------------------------------------------
+
+_MINHASH_CALIB_ORACLE = f"""
+WITH {_NEAR_CORPUS_CTE},
+shingled AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM corpus
+),
+based AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> {_BASE_HASH_SQL}) AS bases
+  FROM shingled WHERE len(sh) > 0
+),
+sigs AS (
+  SELECT doc_id, sh, {_SIG_SQL} AS sig FROM based
+),
+bands AS (
+  SELECT doc_id, u.band_id AS band_id, u.band_key AS band_key
+  FROM (SELECT doc_id, unnest({_BAND_STRUCTS_SQL}) AS u FROM sigs)
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+scored AS (
+  SELECT p.a, p.b,
+         CAST(len(list_filter(range(1, {D.NUM_HASHES} + 1),
+                              i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+           / {D.NUM_HASHES}.0 AS est,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+           AS exact
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.a
+  JOIN sigs sb ON sb.doc_id = p.b
+)
+SELECT a, b, round(est, 6) AS est_jaccard, round(exact, 6) AS exact_jaccard,
+       round(abs(est - exact), 6) AS abs_err
+FROM scored
+""".strip()
+
+
+@register("minhash_calibration", _MINHASH_CALIB_ORACLE)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate-pair MinHash calibration: signature-agreement
+    fraction (the estimator every banding decision rides on) vs the
+    exact shingle Jaccard, plus the absolute error.  Candidates come
+    from the SAME banded LSH as ``dedup_near`` — Σ|bucket|² pairs, not
+    all-pairs — and both scores are two hash-joins against the
+    shingle-set/signature table: corpus-linear end to end.  Thresholds
+    act on raw doubles; ``round(…, 6)`` is output-only (house rule)."""
+    from merkonvectordb_spark.operators.dedup import (
+        candidate_pairs_from_sets,
+        minhash_signature,
+        shingle_base_hashes,
+        shingle_sets,
+    )
+
+    sets = shingle_sets(
+        near_corpus(spark, sf_dir), "doc_id", "text"
+    ).localCheckpoint(eager=True)  # two consumers: pairs + both score joins
+    sigs = sets.select(
+        "__id",
+        "__sh",
+        minhash_signature(shingle_base_hashes(F.col("__sh"))).alias("__sig"),
+    )
+    pairs = candidate_pairs_from_sets(sets)
+    sa = sigs.select(
+        F.col("__id").alias("a"),
+        F.col("__sh").alias("sh_a"),
+        F.col("__sig").alias("sig_a"),
+    )
+    sb = sigs.select(
+        F.col("__id").alias("b"),
+        F.col("__sh").alias("sh_b"),
+        F.col("__sig").alias("sig_b"),
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda v: v,
+        )
+    ).cast("double") / F.lit(float(D.NUM_HASHES))
+    exact = F.size(F.array_intersect("sh_a", "sh_b")).cast(
+        "double"
+    ) / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("__est", est)
+        .withColumn("__exact", exact)
+        .select(
+            "a",
+            "b",
+            F.round("__est", 6).alias("est_jaccard"),
+            F.round("__exact", 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("__est") - F.col("__exact")), 6).alias(
+                "abs_err"
+            ),
+        )
+    )

@@ -423,3 +423,63 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "straddles",
         "shard_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Packing-efficiency report — how well the 256-token budget is used per
+# split, composed on top of the full shards pipeline (same replayed
+# stages as ``training_shards``; wrapped as a subquery, then one tiny
+# per-split rollup).
+# ---------------------------------------------------------------------------
+
+
+def _packing_efficiency_oracle() -> str:
+    return f"""
+SELECT split,
+       count(*) AS n_chunks,
+       sum(chunk_tokens) AS total_tokens,
+       max(seq_id) + 1 AS n_seqs,
+       max(shard_id) + 1 AS n_shards,
+       sum(CASE WHEN straddles THEN 1 ELSE 0 END) AS n_straddles,
+       round(sum(chunk_tokens) / ((max(seq_id) + 1) * 256.0), 6)
+         AS fill_ratio
+FROM ({_training_shards_oracle()}) s
+GROUP BY split
+""".strip()
+
+
+@register("packing_efficiency", _packing_efficiency_oracle())
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split packing efficiency of the corpus→shards pipeline:
+    chunk/token/sequence/shard counts, boundary-straddling chunks (the
+    attention-fragmentation cost of concat-and-split packing), and the
+    budget fill ratio (total tokens ÷ sequence capacity — below 1.0
+    exactly by the final partially-filled sequence).  The heavy lifting
+    is the pipeline itself; this adds one 3-group partial-agg rollup.
+    At 100 TB the report is map-side combine into |splits| rows."""
+    from merkonvectordb_spark.operators.pipeline import (
+        prepare_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = prepare_training_shards(docs)
+    agg = out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("chunk_tokens").cast("bigint")).alias("total_tokens"),
+        (F.max("seq_id") + 1).alias("n_seqs"),
+        (F.max("shard_id") + 1).alias("n_shards"),
+        F.sum(F.when(F.col("straddles"), 1).otherwise(0)).alias(
+            "n_straddles"
+        ),
+    )
+    return agg.select(
+        "split",
+        "n_chunks",
+        "total_tokens",
+        "n_seqs",
+        "n_shards",
+        "n_straddles",
+        F.round(
+            F.col("total_tokens") / (F.col("n_seqs") * F.lit(256.0)), 6
+        ).alias("fill_ratio"),
+    )

@@ -411,3 +411,22 @@ def test_cross_source_overlap_mirror_forensics(spark, sf_dir):
         # the mirror's whole content is shared, and no more
         assert r["n_shared"] == mirror_n
         assert origin_n >= r["n_shared"]
+
+
+def test_minhash_calibration_estimator_quality(spark, sf_dir):
+    """On the seeded corpus every (doc, doc+20000) mutant pair that LSH
+    surfaces must carry a high exact Jaccard, the estimator must sit in
+    [0, 1], and abs_err must equal |est - exact| (within output
+    rounding)."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["minhash_calibration"](spark, sf_dir).collect()
+    assert rows
+    mutant_pairs = [r for r in rows if r["b"] == r["a"] + 20000]
+    assert mutant_pairs, "no seeded mutant pair surfaced by LSH"
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 2e-6
+    for r in mutant_pairs:
+        assert r["exact_jaccard"] > 0.6, r

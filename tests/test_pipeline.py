@@ -230,3 +230,20 @@ def test_training_shards_invariants(spark):
     # a document's chunks never span splits
     spans = out.groupBy("doc_id").agg(F.countDistinct("split").alias("n"))
     assert spans.where(F.col("n") > 1).count() == 0
+
+
+def test_packing_efficiency_invariants(spark, sf_dir):
+    """Fill ratio in (0, 1], tokens never exceed capacity, shard count
+    consistent with 16 sequences per shard, all three splits present."""
+    import math
+
+    import __spark_entry__ as entry
+
+    rows = {r["split"]: r for r in
+            entry.queries()["packing_efficiency"](spark, sf_dir).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    for r in rows.values():
+        assert 0.0 < r["fill_ratio"] <= 1.0
+        assert r["total_tokens"] <= r["n_seqs"] * 256
+        assert r["n_shards"] == math.ceil(r["n_seqs"] / 16)
+        assert r["n_straddles"] <= r["n_chunks"]

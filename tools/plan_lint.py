@@ -105,6 +105,10 @@ ALLOW: dict[tuple[str, str], str] = {
     ("semantic_dedup", "nested_loop"):
         "fixed-K centroid set broadcast for cluster assignment (same "
         "shape as knn_batch_ivf)",
+    ("semantic_decontam", "nested_loop"):
+        "fixed eval-benchmark set (25 vectors) broadcast against the "
+        "training corpus — |corpus|×K with K constant (same shape as "
+        "knn_batch_ivf assignment)",
     ("hist_quantiles", "nested_loop"):
         "global min/max/count scalar (1 row) crossJoined for binning "
         "and interpolation",
