@@ -514,7 +514,11 @@ def q_dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a 'mirror:'-prefixed source.
 # ---------------------------------------------------------------------------
 
-_XSOURCE_FP = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+# the ONE fingerprint definition (functions.text.doc_fingerprint's
+# mirror) — imported, not re-quoted, so the engines can't drift
+from merkonvectordb_spark.queries_text import _FP_SQL as _XS_FP_SQL
+
+_XSOURCE_FP = _XS_FP_SQL.format(c="text")
 
 _XSOURCE_ORACLE = f"""
 WITH corpus AS (
