@@ -192,16 +192,21 @@ def test_prefix_sum_plan_is_flat_in_partition_count(spark):
     df = spark.range(0, 4096).select(
         F.col("id"), (F.col("id") % 7 + 1).alias("toks")
     )
-    t0 = time.time()
+    # the operator call itself runs the 2,048-task localCheckpoint job —
+    # that's execution (linear in P with a tiny constant, and pure
+    # scheduler throughput on a loaded host), not the property under
+    # test, so it stays outside the timed window
     out = global_exclusive_prefix_sum(
         df, ["id"], "toks", out_col="g", num_partitions=2048
     )
+    t0 = time.time()
     plan = out._jdf.queryExecution().executedPlan().toString()
-    build_s = time.time() - t0
+    analyze_s = time.time() - t0
     assert "CASE WHEN" not in plan
-    # generous ceiling: the old chain form took >60 s here; the join
-    # form is dominated by the localCheckpoint job, not plan build
-    assert build_s < 45, f"plan build took {build_s:.1f}s at P=2048"
+    # pure analyze/optimize/planning time of the downstream projection:
+    # O(1) for the broadcast-join form (~0.1 s), tens of seconds for a
+    # 2,048-arm when() Column tree — a load-robust discriminator
+    assert analyze_s < 10, f"plan analysis took {analyze_s:.1f}s at P=2048"
     # correctness unchanged: exclusive prefix over the id order
     rows = {r["id"]: r["g"] for r in out.collect()}
     run = 0
