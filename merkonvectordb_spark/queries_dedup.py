@@ -692,3 +692,110 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit — do near-duplicates straddle train/val/test?
+# The QA gate every pretraining data pipeline needs between dedup and
+# split assignment: a val/test document whose near-dup lives in train
+# inflates eval scores (Lee et al. 2022 §6 measure this directly).
+# Composes the two driver-verified pipelines: the MinHash-LSH verified
+# edges of dedup_near and the content-addressed split of doc_hash_split.
+# ---------------------------------------------------------------------------
+
+_SPLIT_B_SQL = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " % 100"
+)
+
+_SPLIT_LEAKAGE_ORACLE = f"""
+WITH {_NEAR_CORPUS_CTE},
+shingled AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM corpus
+),
+based AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> {_BASE_HASH_SQL}) AS bases
+  FROM shingled WHERE len(sh) > 0
+),
+sigs AS (
+  SELECT doc_id, {_SIG_SQL} AS sig FROM based
+),
+bands AS (
+  SELECT doc_id, u.band_id AS band_id, u.band_key AS band_key
+  FROM (SELECT doc_id, unnest({_BAND_STRUCTS_SQL}) AS u FROM sigs)
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+edges AS (
+  SELECT p.a, p.b
+  FROM pairs p
+  JOIN based sa ON sa.doc_id = p.a
+  JOIN based sb ON sb.doc_id = p.b
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.6
+),
+labeled AS (
+  SELECT CASE WHEN {_SPLIT_B_SQL.replace("doc_id", "a")} < 90 THEN 'train'
+              WHEN {_SPLIT_B_SQL.replace("doc_id", "a")} < 95 THEN 'val'
+              ELSE 'test' END AS split_a,
+         CASE WHEN {_SPLIT_B_SQL.replace("doc_id", "b")} < 90 THEN 'train'
+              WHEN {_SPLIT_B_SQL.replace("doc_id", "b")} < 95 THEN 'val'
+              ELSE 'test' END AS split_b
+  FROM edges
+)
+SELECT least(split_a, split_b) AS split_lo,
+       greatest(split_a, split_b) AS split_hi,
+       count(*) AS n_pairs,
+       (least(split_a, split_b) <> greatest(split_a, split_b)) AS leaked
+FROM labeled
+GROUP BY 1, 2, 4
+""".strip()
+
+
+@register("split_leakage_audit", _SPLIT_LEAKAGE_ORACLE)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: count verified near-dup pairs
+    (MinHash-LSH candidates → exact shingle-Jaccard ≥ 0.6, the
+    ``dedup_near`` edge stage) per unordered train/val/test split pair
+    under the ``doc_hash_split`` assignment.  ``leaked`` rows are eval
+    documents whose near-twin trains — the number this report exists to
+    drive to zero (re-deal the split salt or drop the eval twin).
+
+    Scale shape: edges are Σ|bucket|² banded candidates (never corpus²);
+    the split label is a pure hash of each endpoint id computed
+    scan-local on the EDGE frame (no join back to the corpus — an edge
+    list is self-sufficient because the split is content-addressed).
+    Output is ≤ 6 rows.  All STRING/BIGINT/BOOLEAN."""
+    from merkonvectordb_spark.operators.pipeline import hash_split
+
+    corpus = near_corpus(spark, sf_dir)
+    sets = D.shingle_sets(corpus, "doc_id", "text").localCheckpoint(
+        eager=True
+    )  # two consumers: band self-join + both verify joins
+    pairs = D.candidate_pairs_from_sets(sets)
+    edges = D.jaccard_edges_from_sets(sets, pairs, 0.6)
+    # split as a scan-local expression of the endpoint id: hash_split on
+    # the edge frame itself, once per endpoint (same md5-fold + ranges
+    # as doc_hash_split — one definition, see operators.pipeline)
+    w = {"train": 90, "val": 5, "test": 5}
+    labeled = hash_split(
+        hash_split(edges.withColumnRenamed("a", "doc_id"), "doc_id", w)
+        .withColumnRenamed("split", "split_a")
+        .withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("b", "doc_id"),
+        "doc_id",
+        w,
+    ).withColumnRenamed("split", "split_b")
+    return (
+        labeled.select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("leaked", F.col("split_lo") != F.col("split_hi"))
+    )
