@@ -41,20 +41,29 @@ def pagerank(
     (measured perf law)."""
     if n_nodes <= 0:
         raise ValueError("need a non-empty graph")
-    # the edge list feeds degree + scoring + node derivation, and nodes
-    # re-enter EVERY iteration's left join — without materialization each
-    # reference re-executes the upstream lineage (union-of-distinct at
-    # the caller), turning 3 iterations into ~10 redundant shuffles.
+    from pyspark.sql import Window
+
+    # edge⋈degree in ONE shuffle: count(*) over a src-partitioned window
+    # instead of groupBy + re-join (two shuffles of |E|, and at scale the
+    # degree side is node-sized so the join can't broadcast).  The window
+    # partitions on src — per-key state is one counter, no skew trap
+    # beyond what the join key itself had.
     # localCheckpoint (eager), not persist: pagerank returns a lazy
     # frame, so a persist here could never be unpersisted — repeated
     # calls would pin edge-list copies in executor storage for the
     # session's lifetime; checkpoint blocks free with the frames' GC.
-    edges = edges.localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    edeg = edges.join(deg, "src").localCheckpoint(eager=True)
+    # Materialized because the frame re-enters EVERY iteration's join —
+    # without it each iteration re-executes the caller's upstream
+    # lineage (union-of-distinct), turning 3 iterations into ~10
+    # redundant shuffles (measured perf law).
+    edeg = edges.withColumn(
+        "__deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).localCheckpoint(eager=True)
+    # node set = src ∪ dst, derived from the checkpoint blocks (not the
+    # caller's lineage) — no third materialization job
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
+        edeg.select(F.col("src").alias("node"))
+        .unionByName(edeg.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
