@@ -182,10 +182,13 @@ def global_ntile(
             # reproduces Spark's NaN-is-largest (so NaN sorts FIRST
             # under DESC — negating alone leaves -NaN = NaN sorting
             # LAST, diverging from builtin NTILE); integral columns
-            # negate through DECIMAL because -Long.MIN_VALUE overflows
-            # (an ArithmeticException under ANSI mode, silent wrap
-            # otherwise).  Negation is only sound for numerics — reject
-            # anything else loudly instead of mis-sorting.
+            # use (-1 - x) — a strictly decreasing bijection on the
+            # FULL long range (-1 - Long.MIN = Long.MAX), so no
+            # -Long.MIN_VALUE overflow (an ArithmeticException under
+            # ANSI mode, silent wrap otherwise) and the sort key stays
+            # a cheap long instead of a DECIMAL.  Negation is only
+            # sound for numerics — reject anything else loudly instead
+            # of mis-sorting.
             if c not in numeric:
                 raise TypeError(
                     f"desc ordering needs a numeric column, got {c!r}"
@@ -204,9 +207,7 @@ def global_ntile(
                 keys.append(knan)
                 drop.append(knan)
             if c in integral:
-                work = work.withColumn(
-                    k, -F.col(c).cast("decimal(20,0)")
-                )
+                work = work.withColumn(k, F.lit(-1) - F.col(c))
             else:
                 work = work.withColumn(k, -F.col(c))
             keys.append(k)
