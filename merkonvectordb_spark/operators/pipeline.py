@@ -410,6 +410,43 @@ def stratified_sample(
     return df.where(bucket < thr_col)
 
 
+def hash_sample_k(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    k: int,
+    salt: str = "",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, deterministically:
+    rows rank within their stratum by ``(hash60(key‖salt), key)`` and
+    ranks > k drop.  The fixed-COUNT twin of ``stratified_sample``'s
+    fixed-RATE keep ("exactly 10k eval docs per language" vs "keep 3% of
+    this source") — same guarantees: partition-invariant, re-run-stable,
+    salt re-deals, and growing the corpus only ever *replaces* sampled
+    rows (a kept key stays kept unless enough smaller hashes arrive).
+
+    Scale shape: rank ≤ k over a per-stratum window plans as
+    WindowGroupLimit with a PARTIAL pass below the exchange (Spark
+    ≥3.5), so each map task forwards at most k rows per stratum it sees
+    — the shuffle carries ≤ k·P rows per stratum, never the stratum.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = _hash60(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    # filter on the RAW row_number attribute (the bigint cast would mask
+    # the rank-limit pattern from InferWindowGroupLimit); widen after
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .withColumn(rank_col, F.col("__rk").cast("bigint"))
+        .drop("__rk")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     key_col: str,

@@ -483,3 +483,39 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_tokens") / (F.col("n_seqs") * F.lit(256.0)), 6
         ).alias("fill_ratio"),
     )
+
+
+@register(
+    "doc_fixed_k_sample",
+    """
+WITH h AS (
+  SELECT doc_id, lang, source,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS sample_rank
+  FROM h
+)
+SELECT doc_id, lang, source, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= 40
+""".strip(),
+)
+def q_doc_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly min(40, |lang|) documents per language, content-addressed
+    — the fixed-COUNT sampling a balanced eval set needs ("10k docs per
+    language"), where ``stratified_sample``'s fixed RATE can't hit a
+    target count.  Deterministic across reruns/repartitions; the rank
+    rides along so consumers can tighten k without resampling.
+
+    Scale shape: InferWindowGroupLimit plans a PARTIAL rank pass below
+    the exchange — every map task forwards ≤ 40 rows per language it
+    sees, so the shuffle carries ≤ 40·P rows per stratum, never the
+    stratum (plan pinned in test_pipeline)."""
+    from merkonvectordb_spark.operators.pipeline import hash_sample_k
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return hash_sample_k(docs, "doc_id", "lang", 40)

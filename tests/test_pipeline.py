@@ -247,3 +247,48 @@ def test_packing_efficiency_invariants(spark, sf_dir):
         assert r["total_tokens"] <= r["n_seqs"] * 256
         assert r["n_shards"] == math.ceil(r["n_seqs"] / 16)
         assert r["n_straddles"] <= r["n_chunks"]
+
+
+def test_hash_sample_k_exact_count_and_invariance(spark):
+    """Exactly min(k, |stratum|) rows per stratum; the sampled id set is
+    a pure function of (key, salt) — invariant to partitioning — and a
+    different salt re-deals; the plan keeps the partial rank pass below
+    the exchange (WindowGroupLimit) so no stratum ever shuffles whole."""
+    from pyspark.sql import functions as F
+
+    from merkonvectordb_spark.operators.pipeline import hash_sample_k
+
+    df = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    out = hash_sample_k(df, "id", "g", 7)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["g"], set()).add(r["id"])
+    assert {g: len(s) for g, s in per.items()} == {"0": 7, "1": 7, "2": 7}
+    assert all(1 <= r["sample_rank"] <= 7 for r in rows)
+
+    # k beyond the stratum size keeps the whole stratum
+    small = df.where(F.col("id") < 5)
+    assert hash_sample_k(small, "id", "g", 7).count() == 5
+
+    # partition invariance: same ids from a different physical layout
+    per2 = {}
+    for r in hash_sample_k(df.repartition(13), "id", "g", 7).collect():
+        per2.setdefault(r["g"], set()).add(r["id"])
+    assert per2 == per
+
+    # a salt re-deals (overwhelmingly unlikely to pick the same 21 ids)
+    per3 = {}
+    for r in hash_sample_k(df, "id", "g", 7, salt="x").collect():
+        per3.setdefault(r["g"], set()).add(r["id"])
+    assert per3 != per
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_sample_k(df, "id", "g", 0)
