@@ -792,6 +792,7 @@ from merkonvectordb_spark import queries_sketch  # noqa: E402,F401
 from merkonvectordb_spark import queries_pipeline  # noqa: E402,F401
 from merkonvectordb_spark import queries_hybrid  # noqa: E402,F401
 from merkonvectordb_spark import queries_spans  # noqa: E402,F401
+from merkonvectordb_spark import queries_expectations  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # round-5 verification priority: the external harness oracle-checks only
