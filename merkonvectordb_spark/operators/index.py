@@ -114,6 +114,53 @@ def build_ivf_index(
     return idx
 
 
+def append_to_ivf_index(
+    idx: IvfIndex,
+    new_rows: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    extra_cols: Sequence[str] = (),
+) -> int:
+    """Incremental index maintenance: assign ONLY the new batch against
+    the index's own quantizer and append — the existing lists are never
+    re-assigned, re-shuffled, or rewritten.  Returns the new lists
+    version.
+
+    This is the ingest path a live 100 TB deployment runs between
+    rebuilds: per-batch cost is |batch|×K assignment plus a
+    partition-clustered append (new files land inside the touched cid
+    directories; old files are untouched), so keeping the index fresh
+    costs the batch, not the corpus.  Because per-row assignment is
+    independent given a fixed quantizer, searching the appended version
+    is bit-identical to searching an index built from scratch over the
+    union corpus with the same centroids — the invariant
+    ``test_index`` pins and the ``knn_batch_ivf`` oracle checks.
+
+    The quantizer used is the one PAIRED with the current lists version
+    (carried in the lists manifest's txn metadata and propagated forward
+    by every append), so a concurrent centroids-table write can never
+    skew a batch's assignment.  Time travel still works: searching the
+    pre-append version excludes the batch.
+
+    Callers own dedup: appending an id that already exists yields two
+    index rows (use ``operators.store.upsert`` semantics upstream, or
+    rebuild).  Quantizer drift is the rebuild trigger — monitor with
+    ``queries_ann.q_embedding_drift_report``.
+    """
+    v = idx.lists.current_version()
+    paired = idx.lists._txn_map(v).get(_PAIRED_CENTROIDS)
+    cents = idx.centroids.read(paired)
+    assign = ivf_assign(
+        new_rows, cents.select("cid", "cv"), id_col, emb_col, 1
+    ).withColumn("cid", F.col("cid").cast("int"))
+    rows = assign.join(
+        new_rows.select(id_col, emb_col, *extra_cols), id_col
+    ).select(id_col, "cid", emb_col, *extra_cols)
+    # append propagates the full txn map (including the paired-centroids
+    # pointer) into the new manifest — see VersionedTable._publish
+    return idx.lists.append(rows)
+
+
 def open_ivf_index(
     spark: SparkSession, root: str, lists_ddl: str | None = None
 ) -> IvfIndex:

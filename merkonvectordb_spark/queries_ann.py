@@ -1255,3 +1255,54 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("b.r"), 6).alias("best_score"),
         (F.col("b.r") >= F.lit(_SEM_DECON_THRESHOLD)).alias("contaminated"),
     )
+
+
+@register("knn_batch_ivf_appended", _IVF_ORACLE)
+def q_knn_batch_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index maintenance (operators.index.append_to_ivf_index):
+    build the persisted IVF index over HALF the corpus, append the other
+    half as a later batch — assigned against the index's own paired
+    quantizer, history never re-shuffled or rewritten — then search the
+    appended version.  Because per-row assignment is independent given a
+    fixed quantizer, the result is bit-identical to an index built from
+    scratch over the union, so the SAME ``_IVF_ORACLE`` must hash-match.
+    This is the per-ingest freshness path of a live deployment: each
+    batch costs |batch|×K, not a corpus rebuild."""
+    import shutil
+    import tempfile
+
+    from merkonvectordb_spark.functions.vector import l2_norm
+    from merkonvectordb_spark.operators.index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        (F.size("embedding") == A.DIM)
+    )
+    emb = emb.where(l2_norm(F.col("embedding")) > 0)
+    cents = emb.where(F.col("vec_id") < A.IVF_K).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    qset = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    root = tempfile.mkdtemp(prefix="ivf_index_app_")
+    try:
+        idx = build_ivf_index(
+            spark, base, cents, root, extra_cols=("label",)
+        )
+        append_to_ivf_index(idx, batch, extra_cols=("label",))
+        out = search_ivf_index(
+            idx, qset, k=3, n_probe=A.IVF_N_PROBE, min_score=0.0
+        )
+        return spark.createDataFrame(
+            out.select("query_id", "vec_id", "label", "score").collect(),
+            "query_id LONG, vec_id LONG, label INT, score DOUBLE",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

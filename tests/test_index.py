@@ -120,3 +120,73 @@ def test_search_pins_the_paired_quantizer(spark, tmp_path):
         ).collect()
     }
     assert got == ref
+
+
+def test_append_equals_scratch_build_over_union(spark, tmp_path):
+    """Incremental maintenance invariant: build(base) + append(batch)
+    answers searches bit-identically to build(base ∪ batch) — per-row
+    assignment is independent given a fixed quantizer."""
+    from merkonvectordb_spark.operators.index import append_to_ivf_index
+
+    emb = _corpus(spark)
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    idx = build_ivf_index(
+        spark, base, _cents(emb), str(tmp_path / "inc"),
+        extra_cols=("label",),
+    )
+    v_base = idx.lists.current_version()
+    v_new = append_to_ivf_index(idx, batch, extra_cols=("label",))
+    assert v_new == v_base + 1
+    scratch = build_ivf_index(
+        spark, emb, _cents(emb), str(tmp_path / "full"),
+        extra_cols=("label",),
+    )
+    got = sorted(
+        (r.query_id, r.vec_id, r.label, r.score)
+        for r in search_ivf_index(idx, _qset(emb), k=3).collect()
+    )
+    want = sorted(
+        (r.query_id, r.vec_id, r.label, r.score)
+        for r in search_ivf_index(scratch, _qset(emb), k=3).collect()
+    )
+    assert got == want and len(got) == 15
+    # time travel: the pre-append version never sees the batch
+    old = search_ivf_index(
+        idx, _qset(emb), k=3, n_probe=A.IVF_K, version=v_base
+    )
+    assert all(r.vec_id % 2 == 0 for r in old.collect())
+
+
+def test_append_assigns_against_the_paired_quantizer(spark, tmp_path):
+    """A centroids-table write AFTER the build must not skew a later
+    append: the batch is assigned by the quantizer PAIRED with the lists
+    version, not by centroids.current_version()."""
+    from merkonvectordb_spark.operators.index import append_to_ivf_index
+
+    emb = _corpus(spark)
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    idx = build_ivf_index(
+        spark, base, _cents(emb), str(tmp_path / "drift"),
+        extra_cols=("label",),
+    )
+    # simulate a concurrent quantizer refresh: HALVE the centroid set
+    # (a batch assigned against this would use different lists)
+    idx.centroids.replace(
+        _cents(emb).where(F.col("cid") < A.IVF_K // 2)
+    )
+    append_to_ivf_index(idx, batch, extra_cols=("label",))
+    scratch = build_ivf_index(
+        spark, emb, _cents(emb), str(tmp_path / "full2"),
+        extra_cols=("label",),
+    )
+    got = sorted(
+        (r.query_id, r.vec_id)
+        for r in search_ivf_index(idx, _qset(emb), k=3).collect()
+    )
+    want = sorted(
+        (r.query_id, r.vec_id)
+        for r in search_ivf_index(scratch, _qset(emb), k=3).collect()
+    )
+    assert got == want
