@@ -1109,3 +1109,82 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text_bytes") / F.nullif(F.col("bpe_tokens"), F.lit(0)), 6
         ).alias("bytes_per_token"),
     )
+
+
+@register(
+    "domain_quality_prior",
+    f"""
+WITH q AS (
+  SELECT source,
+         CAST(floor({_quality_sql("text")} * 1000000.0 + 0.5) AS BIGINT)
+           AS q_micro
+  FROM documents
+),
+g AS (
+  SELECT source, count(*) AS n_docs, sum(q_micro) AS sum_q FROM q
+  GROUP BY source
+),
+t AS (SELECT sum(sum_q) AS tq, sum(n_docs) AS tn FROM g)
+SELECT source, n_docs,
+       round((CAST(sum_q AS DOUBLE) / CAST(n_docs AS DOUBLE))
+             / 1000000.0, 6) AS raw_q,
+       round(((CAST(sum_q AS DOUBLE)
+               + 20.0 * (CAST(tq AS DOUBLE) / CAST(tn AS DOUBLE)))
+              / (CAST(n_docs AS DOUBLE) + 20.0)) / 1000000.0, 6)
+         AS shrunk_q,
+       ((CAST(sum_q AS DOUBLE)
+         + 20.0 * (CAST(tq AS DOUBLE) / CAST(tn AS DOUBLE)))
+        / (CAST(n_docs AS DOUBLE) + 20.0)) >= 450000.0 AS keep
+FROM g CROSS JOIN t
+""".strip(),
+)
+def q_domain_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality gate with empirical-Bayes shrinkage (the
+    CCNet/DCLM domain-bucket pattern): a source's mean quality is pulled
+    toward the corpus mean with prior weight W=20, so a 3-document
+    domain cannot win (or lose) the gate on noise while a 10k-document
+    domain keeps its own mean.
+
+    Determinism across engines: per-row quality is rounded ONCE into
+    integer micro-units, all aggregation is exact BIGINT, and the only
+    float arithmetic is a fixed four-operation tail (÷, ×, +, ÷) on
+    exact integers — identical IEEE-754 expression tree on both sides;
+    the keep decision compares the UNrounded micro value.
+
+    Scale shape: one corpus scan → per-source partial agg (dimension-
+    sized output); the corpus totals come from re-aggregating the
+    checkpointed GROUPED frame (|domains| rows), broadcast back — the
+    corpus is never re-scanned and never shuffled globally."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "source",
+        F.floor(
+            X.quality_score(F.col("text")) * 1000000.0 + F.lit(0.5)
+        ).cast("long").alias("q_micro"),
+    )
+    g = (
+        q.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("q_micro").alias("sum_q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t = g.agg(
+        F.sum("sum_q").alias("tq"), F.sum("n_docs").alias("tn")
+    )
+    gm = F.col("tq").cast("double") / F.col("tn").cast("double")
+    shrunk_micro = (
+        F.col("sum_q").cast("double") + F.lit(20.0) * gm
+    ) / (F.col("n_docs").cast("double") + F.lit(20.0))
+    return g.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.round(
+            (F.col("sum_q").cast("double") / F.col("n_docs").cast("double"))
+            / 1000000.0,
+            6,
+        ).alias("raw_q"),
+        F.round(shrunk_micro / 1000000.0, 6).alias("shrunk_q"),
+        (shrunk_micro >= F.lit(450000.0)).alias("keep"),
+    )

@@ -124,6 +124,10 @@ ALLOW: dict[tuple[str, str], str] = {
     ("kmv_join_cardinality", "nested_loop"):
         "four one-row frames (sketch stats, membership count, exact "
         "counts) crossJoined into the single output row",
+    ("domain_quality_prior", "nested_loop"):
+        "corpus-totals scalar (1 row, re-aggregated from the "
+        "checkpointed |domains|-row frame) crossJoined back for the "
+        "shrinkage prior — the corpus is scanned once",
     ("unigram_lm_score", "nested_loop"):
         "corpus token-total scalar (1 row) for the LM denominator; the "
         "vocabulary itself joins on token, never broadcasts",
