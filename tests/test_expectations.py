@@ -130,3 +130,45 @@ def test_empty_suite_raises(spark):
         pass
     else:
         raise AssertionError("empty suite must raise")
+
+
+# -- property: report values match a Python reference ----------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_vals = st.lists(
+    st.one_of(st.none(), st.integers(-5, 5)), min_size=0, max_size=25
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=_vals, ppm=st.sampled_from([0, 100_000, 500_000]))
+def test_property_report_matches_python_reference(spark, vals, ppm):
+    df = spark.createDataFrame([(v,) for v in vals], "v INT")
+    rep = {
+        r["check_name"]: r
+        for r in E.check_expectations(
+            df,
+            [
+                E.not_null("v", max_violation_ppm=ppm),
+                E.between("v", -2, 2, max_violation_ppm=ppm),
+                E.unique("v", max_violation_ppm=ppm),
+            ],
+        ).collect()
+    }
+    n = len(vals)
+    v_null = sum(1 for v in vals if v is None)
+    v_rng = sum(1 for v in vals if v is not None and not -2 <= v <= 2)
+    v_dup = n - len(set(vals))  # None keys collide, as in the operator
+    allowed = n * ppm // 1_000_000
+    for name, viol in (
+        ("not_null", v_null), ("between", v_rng), ("unique", v_dup)
+    ):
+        assert rep[name]["violations"] == viol, name
+        assert rep[name]["total"] == n, name
+        assert rep[name]["passed"] == (viol <= allowed), name
