@@ -520,3 +520,87 @@ def q_streaming_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(
         sketch, probes, "user_id", CMS_DEPTH, CMS_WIDTH
     )
+
+
+@register(
+    "streaming_expectations",
+    """
+SELECT 'not_null' AS check_name, 'events.user_id' AS target,
+       count(*) FILTER (WHERE user_id IS NULL) AS violations,
+       count(*) AS total,
+       count(*) FILTER (WHERE user_id IS NULL) <= 0 AS passed
+FROM events
+UNION ALL
+SELECT 'in_set', 'events.event_type{click,error,purchase,signup,view}',
+       count(*) FILTER (WHERE event_type IS NOT NULL AND event_type
+         NOT IN ('click','error','purchase','signup','view')),
+       count(*),
+       count(*) FILTER (WHERE event_type IS NOT NULL AND event_type
+         NOT IN ('click','error','purchase','signup','view')) <= 0
+FROM events
+UNION ALL
+SELECT 'between', 'events.value[0,100000]',
+       count(*) FILTER (WHERE value IS NOT NULL
+                          AND (value < 0 OR value > 100000)),
+       count(*),
+       count(*) FILTER (WHERE value IS NOT NULL
+                          AND (value < 0 OR value > 100000))
+         <= 5000 * count(*) // 1000000
+FROM events
+""".strip(),
+)
+def q_streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental data-quality monitoring: each micro-batch runs the
+    row-local expectation arms (`operators.expectations`) ON THE
+    EXECUTORS and the driver folds (violations, total) counter pairs —
+    validation state is |checks|×2 longs, mergeable by addition, the
+    same distributive-summary contract as the streaming sketches.  The
+    pass/fail verdicts are re-derived from the FOLDED totals with the
+    same integer-ppm arithmetic, so a threshold decision is made on the
+    stream's lifetime counts, never per batch.  The oracle validates
+    the whole table in one shot; the hash match proves
+    fold-over-micro-batches ≡ one-shot, i.e. a continuously-validated
+    ingest reports exactly what a batch audit of the accumulated table
+    would."""
+    from merkonvectordb_spark.operators import expectations as E
+
+    checks = [
+        E.not_null("user_id"),
+        E.in_set(
+            "event_type", ["click", "error", "purchase", "signup", "view"]
+        ),
+        E.between("value", 0, 100000, max_violation_ppm=5000),
+    ]
+    work = tempfile.mkdtemp(prefix="strm_expect_")
+    src = _staged_events_split(sf_dir, work, n_files=4)
+    ev = stream_events(spark, src, max_files_per_trigger=1)
+
+    # folded state: (check_name, target) -> [violations, total]
+    state: dict[tuple[str, str], list[int]] = {}
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        rows = E.check_expectations(
+            batch_df, checks, table="events"
+        ).collect()
+        for r in rows:
+            acc = state.setdefault((r["check_name"], r["target"]), [0, 0])
+            acc[0] += r["violations"]
+            acc[1] += r["total"]
+
+    q = (
+        ev.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming expectations did not finish in 600s")
+    shutil.rmtree(work, ignore_errors=True)
+
+    ppm = {f"events.{c.target}": c.max_violation_ppm for c in checks}
+    out = [
+        (kind, tgt, v, t, v <= t * ppm[tgt] // 1_000_000)
+        for (kind, tgt), (v, t) in sorted(state.items())
+    ]
+    return spark.createDataFrame(out, E.REPORT_DDL)
