@@ -402,3 +402,104 @@ def cms_estimate(
             .alias("est_count")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
+# constant-state sibling of KMV: 2^p max-rank registers instead of a
+# bottom-k hash set.  Same shared 60-bit md5 hash, so the whole sketch
+# (register table AND estimate) is bit-reproducible in DuckDB.
+# ---------------------------------------------------------------------------
+
+HLL_P = 8                    # 2^8 = 256 registers (~6.5% rel. error)
+HLL_M = 1 << HLL_P
+HLL_Q = 60 - HLL_P           # rank bits left after the register index
+# max rho = HLL_Q + 1 (all rank bits zero); integer pow terms use
+# 2^(RHO_MAX - rho) so the register sum is EXACT BIGINT arithmetic:
+# sum_j 2^(53 - M_j) <= 256 * 2^53 = 2^61 < Long.MAX.
+HLL_RHO_MAX = HLL_Q + 1
+
+
+def hll_registers(df: DataFrame, column: str) -> DataFrame:
+    """The sketch state: ``(idx, mj)`` — per-register max leading-zero
+    rank, <= 2^p rows.  rho of a hash = leading zeros of its upper
+    ``HLL_Q`` bits + 1, computed with INTEGER ops only (binary-string
+    length, no log2 float) so Spark and DuckDB agree exactly.
+
+    Scale shape: the groupBy partial-aggregates map-side — each task
+    folds its rows into <= 256 registers before the exchange, so the
+    shuffle carries <= P*256 tiny rows no matter the input size.
+    Mergeable by construction: union register tables, re-take max(mj)
+    (``hll_merge``) — the cross-partition/cross-day rollup costs
+    nothing."""
+    h = kmv_hash(F.col(column))
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    return (
+        df.where(F.col(column).isNotNull())
+        .select(
+            h.bitwiseAND(F.lit(HLL_M - 1)).cast("int").alias("idx"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("idx")
+        .agg(F.max("rho").alias("mj"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union register tables, keep the max rank per register — HLL's
+    lossless merge (the estimate of the merge == the estimate of the
+    concatenated inputs)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("idx").agg(F.max("mj").alias("mj"))
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """One-row estimate from a register table: the raw HLL estimator
+    with the standard linear-counting small-range correction.
+
+    Determinism: the harmonic-mean denominator is an INTEGER sum of
+    power-of-two terms (``2^(53 - mj)``, absent registers contribute
+    ``2^53``), so it is associative and order-free; doubles appear only
+    in the fixed final expression (identical literal tree in the DuckDB
+    oracle).  Output carries the integer state (``sum_pow``,
+    ``n_zero_regs``) alongside the estimate so an oracle hash verifies
+    the sketch exactly, not just to rounding."""
+    s = registers.agg(
+        F.count(F.lit(1)).alias("np"),
+        # shiftleft's bit count must be a literal in the Column API —
+        # the per-register shift comes from SQL text instead
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {HLL_RHO_MAX} - mj)")
+        ).alias("sp"),
+    )
+    vz = F.lit(HLL_M) - F.col("np")
+    sum_pow = (
+        F.coalesce(F.col("sp"), F.lit(0))
+        + vz.cast("long") * F.lit(1 << HLL_RHO_MAX).cast("long")
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    raw = (
+        alpha
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(1 << HLL_RHO_MAX))
+        / sum_pow.cast("double")
+    )
+    linear = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / vz.cast("double")
+    )
+    est = F.when((vz > 0) & (raw <= F.lit(2.5 * HLL_M)), linear).otherwise(raw)
+    return s.select(
+        F.round(est, 6).alias("est_distinct"),
+        sum_pow.cast("bigint").alias("sum_pow"),
+        vz.cast("bigint").alias("n_zero_regs"),
+    )
+
+
+def hll_distinct(df: DataFrame, column: str) -> DataFrame:
+    """count(distinct column) estimated in 256 integers of state."""
+    return hll_estimate(hll_registers(df, column))

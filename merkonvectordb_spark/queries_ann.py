@@ -1306,3 +1306,92 @@ def q_knn_batch_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 quantization-error report: how much signal does the int8 layout
+# lose?  The index-quality twin of ann_recall_report, but measured in
+# reconstruction space: per-label count / mean / max of the squared
+# dequantization error.  The oracle replays codebook, codes, midpoint
+# dequantization, and the error fold bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_SQ8_ERR_ORACLE = f"""
+WITH edim AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE len(embedding) = {A.DIM}
+),
+pos AS (SELECT unnest(generate_series(1, {A.DIM})) AS i),
+stats AS (
+  SELECT i, min(emb[i]) AS mn, max(emb[i]) AS mx
+  FROM edim CROSS JOIN pos GROUP BY i
+),
+dv AS (
+  SELECT vec_id, label,
+         list(emb[i] - (mn + (((CASE WHEN mx > mn
+                THEN LEAST(255.0, GREATEST(0.0,
+                     floor((emb[i] - mn) * 255.0 / (mx - mn))))
+                ELSE 0.0 END) + 0.5) * (mx - mn)) / 255.0)
+              ORDER BY i) AS dvv
+  FROM edim CROSS JOIN stats
+  GROUP BY vec_id, label
+),
+per AS (
+  SELECT label,
+         CAST(floor(list_dot_product(dvv, dvv) * 1000000.0 + 0.5) AS BIGINT)
+           AS err_micro
+  FROM dv
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(err_micro) AS BIGINT) AS sum_err_micro,
+       CAST(max(err_micro) AS BIGINT) AS max_err_micro,
+       round((CAST(sum(err_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             / 1000000.0, 6) AS mean_sq_err
+FROM per GROUP BY label
+""".strip()
+
+
+@register("sq8_quantization_error", _SQ8_ERR_ORACLE)
+def q_sq8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label squared reconstruction error of the SQ8 codec — the
+    quantitative basis for the router's "is int8 good enough" call.
+
+    Determinism: the error is a sequential-fold dot of the diff vector
+    with itself (same order both engines), rounded ONCE per row into
+    integer micro-units; the aggregation is exact BIGINT (sum/max are
+    associative on integers), and the mean is one fixed double tail.
+    Scale shape: codebook = d-row metadata (same build pass the SQ8
+    index itself uses); error pass is scan-local per row; output is
+    |labels| rows from one partial-aggregated groupBy."""
+    from merkonvectordb_spark.functions.vector import dot_product
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.size("embedding") == A.DIM
+    )
+    mn, mx = A.sq8_stats(emb)
+    codes = A.sq8_codes(F.col("embedding"), mn, mx)
+    dqv = A.sq8_dequant(codes, mn, mx)
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    diff = F.zip_with(emb_d, dqv, lambda a, b: a - b)
+    per = emb.select(
+        "label",
+        F.floor(dot_product(diff, diff) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("err_micro"),
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("err_micro").cast("bigint").alias("sum_err_micro"),
+        F.max("err_micro").cast("bigint").alias("max_err_micro"),
+    ).select(
+        "label",
+        "n_vecs",
+        "sum_err_micro",
+        "max_err_micro",
+        F.round(
+            (F.col("sum_err_micro").cast("double") / F.col("n_vecs").cast("double"))
+            / F.lit(1000000.0),
+            6,
+        ).alias("mean_sq_err"),
+    )

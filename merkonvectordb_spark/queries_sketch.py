@@ -420,3 +420,87 @@ def q_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_x LONG, n_both LONG, est_union DOUBLE, est_inter DOUBLE,"
         " exact_inter LONG, exact_union LONG",
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: the constant-state distinct sketch next to KMV — same
+# shared hash, register table + estimator replayed exactly in SQL.
+# ---------------------------------------------------------------------------
+
+_HLL_RAW = (
+    "((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0)"
+    " / CAST(f.sum_pow AS DOUBLE)"
+)
+
+
+def _hll_oracle(table: str, column: str) -> str:
+    return f"""
+  SELECT '{column}' AS col_name,
+         round(CASE WHEN f.vz > 0 AND {_HLL_RAW} <= 640.0
+                    THEN 256.0 * ln(256.0 / CAST(f.vz AS DOUBLE))
+                    ELSE {_HLL_RAW} END, 6) AS est_distinct,
+         f.sum_pow,
+         CAST(f.vz AS BIGINT) AS n_zero_regs,
+         (SELECT CAST(count(DISTINCT {column}) AS BIGINT) FROM {table})
+           AS exact_distinct
+  FROM (
+    SELECT CAST(coalesce(sum(CAST(1 AS BIGINT) << (53 - mj)), 0)
+                + CAST(256 - count(*) AS BIGINT)
+                  * (CAST(1 AS BIGINT) << 53) AS BIGINT) AS sum_pow,
+           256 - count(*) AS vz
+    FROM (
+      SELECT idx, max(rho) AS mj FROM (
+        SELECT h & 255 AS idx,
+               CASE WHEN (h >> 8) = 0 THEN 53
+                    ELSE 53 - length(bin(h >> 8)) END AS rho
+        FROM (SELECT CAST(('0x' || substring(md5(CAST({column} AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM {table} WHERE {column} IS NOT NULL)
+      ) GROUP BY idx
+    )
+  ) f
+""".strip()
+
+
+@register(
+    "hll_distinct",
+    "\nUNION ALL\n".join(
+        [
+            _hll_oracle("lineitem", "l_partkey"),
+            _hll_oracle("orders", "o_custkey"),
+            _hll_oracle("events", "user_id"),
+        ]
+    ),
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog estimate next to the exact distinct for the same
+    three key columns ``sketch_distinct`` (KMV) profiles — the two
+    mergeable estimators are directly comparable row for row.
+
+    The output carries the INTEGER sketch state (``sum_pow``, the
+    power-of-two harmonic denominator; ``n_zero_regs``) so the oracle
+    hash pins the registers exactly, not just the rounded estimate.
+    Scale shape: per-task fold into 256 registers before the exchange —
+    the shuffle is 256 rows per partition regardless of input size,
+    and day/partition sketches merge by max(mj) (``hll_merge``)."""
+    from merkonvectordb_spark.operators.sketch import hll_distinct
+
+    out = None
+    for table, column in (
+        ("lineitem", "l_partkey"),
+        ("orders", "o_custkey"),
+        ("events", "user_id"),
+    ):
+        df = load_table(spark, sf_dir, table)
+        est = hll_distinct(df, column)
+        exact = df.agg(
+            F.countDistinct(column).cast("bigint").alias("exact_distinct")
+        )
+        row = est.crossJoin(F.broadcast(exact)).select(
+            F.lit(column).alias("col_name"),
+            "est_distinct",
+            "sum_pow",
+            "n_zero_regs",
+            "exact_distinct",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1188,3 +1188,245 @@ def q_domain_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(shrunk_micro / 1000000.0, 6).alias("shrunk_q"),
         (shrunk_micro >= F.lit(450000.0)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust per-source quality statistics: winsorized mean + discrete
+# median/MAD.  All thresholds are ORDER STATISTICS of integer
+# micro-units (percentile_disc semantics: value at rank ceil(p*n)),
+# so every intermediate is exact BIGINT — no interpolated-percentile
+# float whose last-ulp could diverge between engines at a floor/clamp
+# boundary.  Rank arithmetic uses integer ceil((p*100*n + 99) / 100).
+# ---------------------------------------------------------------------------
+
+_ROBUST_ORACLE = f"""
+WITH q AS (
+  SELECT source,
+         CAST(floor({{qsql}} * 1000000.0 + 0.5) AS BIGINT) AS qm
+  FROM documents
+),
+r AS (
+  SELECT source, qm,
+         row_number() OVER (PARTITION BY source ORDER BY qm) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM q
+),
+thr AS (
+  SELECT source,
+         max(CASE WHEN rn <= (5 * n + 99) // 100 THEN qm END) AS lo,
+         max(CASE WHEN rn <= (95 * n + 99) // 100 THEN qm END) AS hi,
+         max(CASE WHEN rn <= (50 * n + 99) // 100 THEN qm END) AS med
+  FROM r GROUP BY source
+),
+j AS (
+  SELECT q.source, qm, lo, hi, med,
+         LEAST(GREATEST(qm, lo), hi) AS cl,
+         abs(qm - med) AS dev,
+         CASE WHEN qm < lo OR qm > hi THEN 1 ELSE 0 END AS clp
+  FROM q JOIN thr ON q.source = thr.source
+),
+r2 AS (
+  SELECT source, cl, dev, clp, med,
+         row_number() OVER (PARTITION BY source ORDER BY dev) AS drn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM j
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(min(med) AS DOUBLE) / 1000000.0, 6) AS median_q,
+       round(CAST(max(CASE WHEN drn <= (50 * n + 99) // 100 THEN dev END)
+                  AS DOUBLE) / 1000000.0, 6) AS mad_q,
+       round((CAST(sum(cl) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             / 1000000.0, 6) AS winsor_mean_q,
+       CAST(sum(clp) AS BIGINT) AS n_clamped
+FROM r2 GROUP BY source
+""".strip()
+
+
+@register("quality_robust_stats", _ROBUST_ORACLE.format(qsql=_quality_sql("text")))
+def q_quality_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-resistant per-source quality profile: winsorized mean
+    (clamped at the p05/p95 order statistics), discrete median, and
+    median-absolute-deviation — the robust location/scale pair a
+    curation dashboard wants when a crawler source ships a few
+    pathological documents that would drag a plain mean.
+
+    Determinism: quality is rounded ONCE to integer micro-units; every
+    threshold is a rank-based order statistic (max over the first k
+    ranks), so clamp, deviation, and all aggregates are exact BIGINT;
+    doubles appear only in the final /1e6 renders.  Scale shape: two
+    rank windows partitioned BY SOURCE (per-task buffer = one source's
+    rows, the same bound lineitem_quantiles documents; for a single
+    monster source switch to operators.stats.global_ntile's
+    range-partitioned ranks) + one broadcast-size threshold join."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "source",
+        F.floor(X.quality_score(F.col("text")) * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("qm"),
+    )
+    w = Window.partitionBy("source").orderBy("qm")
+    wc = Window.partitionBy("source")
+    r = q.select(
+        "source",
+        "qm",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def _at_rank(k_num: int, rank_col: str, val_col: str):
+        k = F.expr(f"({k_num} * n + 99) div 100")
+        return F.max(F.when(F.col(rank_col) <= k, F.col(val_col)))
+
+    thr = r.groupBy("source").agg(
+        _at_rank(5, "rn", "qm").alias("lo"),
+        _at_rank(95, "rn", "qm").alias("hi"),
+        _at_rank(50, "rn", "qm").alias("med"),
+    )
+    j = q.join(F.broadcast(thr), "source").select(
+        "source",
+        "med",
+        F.least(F.greatest(F.col("qm"), F.col("lo")), F.col("hi")).alias("cl"),
+        F.abs(F.col("qm") - F.col("med")).alias("dev"),
+        F.when(
+            (F.col("qm") < F.col("lo")) | (F.col("qm") > F.col("hi")), 1
+        ).otherwise(0).alias("clp"),
+    )
+    w2 = Window.partitionBy("source").orderBy("dev")
+    r2 = j.select(
+        "*",
+        F.row_number().over(w2).alias("drn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return r2.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.min("med").cast("double") / F.lit(1000000.0), 6).alias(
+            "median_q"
+        ),
+        F.round(
+            _at_rank(50, "drn", "dev").cast("double") / F.lit(1000000.0), 6
+        ).alias("mad_q"),
+        F.round(
+            (F.sum("cl").cast("double") / F.count(F.lit(1)).cast("double"))
+            / F.lit(1000000.0),
+            6,
+        ).alias("winsor_mean_q"),
+        F.sum("clp").cast("bigint").alias("n_clamped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit over the token frequency spectrum: slope of
+# ln(freq) ~ ln(rank) for the top-1000 terms — the classic corpus
+# health check (natural text fits slope ~ -1; synthetic/boilerplate
+# corpora bend away).  Same closed-form integer-moment least squares
+# as events_value_trend, with ln values micro-rounded per row so the
+# sums are exact BIGINT.
+# ---------------------------------------------------------------------------
+
+_ZIPF_N = 1000
+
+_ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+counts AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY word
+),
+top AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word ASC) AS r
+  FROM counts QUALIFY r <= {_ZIPF_N}
+),
+xy AS (
+  SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+  FROM top
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM xy
+)
+SELECT n AS n_terms,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+         AS zipf_slope,
+       round((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                * sx) / n, 6) AS intercept_ln,
+       round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         AS r_squared
+FROM s
+""".strip()
+
+
+@register("token_zipf_fit", _ZIPF_ORACLE)
+def q_token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ln-ln least squares over the top-1000 term frequencies.
+
+    Scale shape: explode → partial-agg term counts (the word_freq
+    shuffle); top-1000 via TakeOrderedAndProject (per-partition heaps,
+    driver merges P·k) with a total (cnt DESC, word ASC) order so the
+    cut is deterministic; the rank window then runs on a 1000-row
+    frame.  Regression is the closed-form normal-equation tail over
+    exact BIGINT moment sums — one float expression per output, same
+    tree both engines (ln values micro-rounded per row, the PMI
+    precedent)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = (
+        docs.select(F.explode(X.tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(_ZIPF_N)
+    )
+    ranked = top.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("word")))
+        .alias("r"),
+    )
+    xy = ranked.select(
+        F.floor(F.log(F.col("r").cast("double")) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    den = nd * F.col("sxx") - sxd * F.col("sx")
+    slope = num / den
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n")
+    r2 = (num * num) / (den * (nd * F.col("syy") - syd * F.col("sy")))
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("intercept_ln"),
+        F.round(r2, 6).alias("r_squared"),
+    )

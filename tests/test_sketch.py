@@ -223,3 +223,77 @@ def test_cms_merge_is_cell_addition(spark):
     got = sorted(map(tuple, merged.collect()))
     want = sorted(map(tuple, whole.collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def test_hll_error_bound_at_p8(spark):
+    """256 registers give ~1.04/√256 ≈ 6.5% std error; pin 4σ as a
+    deterministic regression bound (the hash is fixed)."""
+    from merkonvectordb_spark.operators.sketch import hll_distinct
+
+    n = 50_000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    est = hll_distinct(df, "v").first()["est_distinct"]
+    assert abs(est - n) / n < 4 * 1.04 / (256 ** 0.5)
+
+
+def test_hll_duplicates_and_nulls_do_not_move_estimate(spark):
+    from merkonvectordb_spark.operators.sketch import hll_distinct
+
+    base = spark.range(10_000).select(F.col("id").alias("v"))
+    dup = base.crossJoin(spark.range(10)).select("v").unionByName(
+        spark.createDataFrame([(None,)], "v LONG")
+    )
+    assert (
+        hll_distinct(base, "v").first()["sum_pow"]
+        == hll_distinct(dup, "v").first()["sum_pow"]
+    )
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    """merge(regs(A), regs(B)) must be register-identical to
+    regs(A ∪ B) — the property that makes per-shard/per-day sketches
+    free to combine."""
+    from merkonvectordb_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    a = spark.range(0, 8_000).select(F.col("id").alias("v"))
+    b = spark.range(5_000, 15_000).select(F.col("id").alias("v"))
+    merged = hll_merge(hll_registers(a, "v"), hll_registers(b, "v"))
+    direct = hll_registers(a.unionByName(b), "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    assert (
+        hll_estimate(merged).first()["est_distinct"]
+        == hll_estimate(direct).first()["est_distinct"]
+    )
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    """Tiny cardinalities must route through the linear-counting branch
+    (n_zero_regs > 0 and estimate ≈ filled-register count; with the
+    fixed hash, 20 values land in 18 registers → 18.664133 — pinned)."""
+    from merkonvectordb_spark.operators.sketch import hll_distinct
+
+    df = spark.range(20).select(F.col("id").alias("v"))
+    row = hll_distinct(df, "v").first()
+    assert row["n_zero_regs"] == 238
+    assert row["est_distinct"] == 18.664133
+
+
+def test_hll_register_shuffle_is_bounded(spark):
+    """The register build must partial-aggregate map-side: the exchange
+    carries per-partition register partials (≤ 256/task), never rows."""
+    from merkonvectordb_spark.operators.sketch import hll_registers
+
+    df = spark.range(100_000).select(F.col("id").alias("v"))
+    plan = hll_registers(df, "v")._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan.lower() or "HashAggregate" in plan

@@ -128,6 +128,12 @@ ALLOW: dict[tuple[str, str], str] = {
         "corpus-totals scalar (1 row, re-aggregated from the "
         "checkpointed |domains|-row frame) crossJoined back for the "
         "shrinkage prior — the corpus is scanned once",
+    ("token_zipf_fit", "single_partition_window"):
+        "rank window over the top-1000 term frame (cut by "
+        "TakeOrderedAndProject before the window — constant-sized)",
+    ("hll_distinct", "nested_loop"):
+        "exact-count scalar (1 row) crossJoined to the 1-row HLL "
+        "estimate, same shape as sketch_distinct",
     ("unigram_lm_score", "nested_loop"):
         "corpus token-total scalar (1 row) for the LM denominator; the "
         "vocabulary itself joins on token, never broadcasts",
