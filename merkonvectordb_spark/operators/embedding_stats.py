@@ -88,3 +88,174 @@ def centroid_outliers(
             F.round("__cos", round_dp).alias("cos_to_centroid"),
         )
     )
+
+
+def pca_power_iteration(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 3,
+    unit_scale: int = 10_000,
+) -> DataFrame:
+    """Top principal component of the embedding cloud by ``iters``
+    unrolled power iterations over the exactly-computed covariance —
+    the anisotropy diagnostic (Ethayarajh 2019: contextual embeddings
+    collapse toward a dominant direction; a high λ₁/trace ratio says
+    cosine similarities are inflated by a common component).
+
+    Returns ONE row: ``n_vecs, lambda1, total_var, anisotropy``.
+
+    Determinism (every stage exact or fixed-order):
+    * elements quantize ONCE to ``unit_scale`` integer units, so the
+      second-moment matrix ``Cjk = Σ yj·yk``, column sums ``Sj``, and
+      the centered scatter ``n·Cjk − Sj·Sk`` are exact BIGINT;
+    * each iteration's matrix-vector product folds arrays in fixed
+      index order (``aggregate(zip_with(...))`` ≡ DuckDB
+      ``list_dot_product`` — the sq8/maxsim precedent), never a float
+      aggregation over shuffled rows;
+    * the new vector micro-rounds after an integer max-abs rescale and
+      an IEEE-exact sqrt normalization, so both engines carry the
+      identical v into the next iteration;
+    * λ₁ is the Rayleigh fold v·(Cv); the trace comes from the exact
+      BIGINT diagonal.
+
+    Scale shape: the scatter build explodes |corpus|·d² skinny rows
+    with map-side combine (shuffle ≤ P·d² partials; C is symmetric, so
+    a bandwidth-tight build could halve it); everything after runs on
+    d-row / 1-row frames.  For d ≫ 10² swap the explode for a
+    per-partition outer-product accumulation in mapInPandas (BLAS) —
+    the d² shuffle stays the same.
+    """
+    us = float(unit_scale)
+    y = df.where(F.size(emb_col) == dim).select(
+        F.transform(
+            F.col(emb_col),
+            lambda e: F.floor(e.cast("double") * F.lit(us) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("y")
+    )
+    p1 = y.select(F.posexplode("y").alias("j", "yj"), "y")
+    p2 = p1.select("j", "yj", F.posexplode("y").alias("k", "yk"))
+    c = p2.groupBy("j", "k").agg(F.sum(F.col("yj") * F.col("yk")).alias("c"))
+    s = p1.groupBy("j").agg(F.sum("yj").alias("s"))
+    nrow = y.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cov = (
+        c.join(s.select(F.col("j").alias("__j"), F.col("s").alias("sj")),
+               F.col("j") == F.col("__j"))
+        .join(s.select(F.col("j").alias("__k"), F.col("s").alias("sk")),
+              F.col("k") == F.col("__k"))
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "j", "k", "n",
+            (F.col("n") * F.col("c") - F.col("sj") * F.col("sk")).alias("cv"),
+        )
+    )
+    cov = cov.localCheckpoint(eager=True)  # 3 iterations + trace re-read it
+    covd = cov.select(
+        "j", "k",
+        (F.col("cv").cast("double")
+         / (F.col("n") * F.col("n")).cast("double")).alias("cvn"),
+    )
+    rows = covd.groupBy("j").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("k", "cvn"))),
+            lambda x: x["cvn"],
+        ).alias("row")
+    )
+    rows = rows.localCheckpoint(eager=True)
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, v: x * v),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    vf = nrow.select(
+        F.transform(F.sequence(F.lit(1), F.lit(dim)), lambda _: F.lit(1.0))
+        .alias("v")
+    )
+    for _ in range(iters):
+        w = rows.crossJoin(F.broadcast(vf)).select(
+            "j",
+            F.floor(_dot(F.col("row"), F.col("v")) * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("wm"),
+        )
+        warr = w.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "wm"))),
+                lambda x: x["wm"],
+            ).alias("warr")
+        )
+        # mx/n2 guards: a w-vector of exact zeros (v orthogonal to the
+        # column space, or rank-0 scatter) must yield a zero iterate,
+        # not an ANSI DIVIDE_BY_ZERO (Spark 4 ANSI throws even for
+        # double/0 — the conf an external harness session may pin)
+        mx = F.greatest(
+            F.aggregate(
+                F.col("warr"),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.greatest(acc, F.abs(x)),
+            ),
+            F.lit(1).cast("long"),
+        )
+        r = F.transform(F.col("warr"), lambda x: x.cast("double") / F.col("__mx").cast("double"))
+        vf = (
+            warr.withColumn("__mx", mx)
+            .withColumn("__r", r)
+            .withColumn(
+                "__n2",
+                F.greatest(_dot(F.col("__r"), F.col("__r")), F.lit(1e-300)),
+            )
+            .select(
+                F.transform(
+                    F.col("__r"),
+                    lambda x: F.floor(
+                        x / F.sqrt(F.col("__n2")) * F.lit(1e6) + F.lit(0.5)
+                    ) / F.lit(1e6),
+                ).alias("v")
+            )
+        )
+    # Rayleigh fold: λ₁ = v·(Cv) with Cv kept double (no micro-round on
+    # the last product), trace from the exact integer diagonal
+    wlast = rows.crossJoin(F.broadcast(vf)).select(
+        "j", _dot(F.col("row"), F.col("v")).alias("wd")
+    )
+    wdarr = wlast.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "wd"))),
+            lambda x: x["wd"],
+        ).alias("wdarr")
+    )
+    tr = cov.where(F.col("j") == F.col("k")).agg(
+        F.sum("cv").alias("trint"), F.max("n").alias("n")
+    )
+    us2 = us * us
+    return (
+        wdarr.crossJoin(F.broadcast(vf))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("n").alias("n_vecs"),
+            F.round(_dot(F.col("wdarr"), F.col("v")) / F.lit(us2), 6)
+            .alias("lambda1"),
+            F.round(
+                F.col("trint").cast("double")
+                / (F.col("n") * F.col("n")).cast("double")
+                / F.lit(us2),
+                6,
+            ).alias("total_var"),
+            # nullif: a rank-0 scatter (trace 0) reports NULL anisotropy
+            # instead of an ANSI DIVIDE_BY_ZERO
+            F.round(
+                _dot(F.col("wdarr"), F.col("v"))
+                / F.nullif(
+                    F.col("trint").cast("double")
+                    / (F.col("n") * F.col("n")).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("anisotropy"),
+        )
+    )

@@ -577,3 +577,52 @@ def prepare_training_shards(
     return packed.withColumn(
         "shard_id", (F.col("seq_id") / seqs_per_shard).cast("bigint")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Exactly ``min(k, n)`` rows sampled WITHOUT replacement with
+    probability proportional to ``weight_col`` — the Efraimidis &
+    Spirakis (2006) A-ES exponential race, derandomized: each row's
+    uniform draw comes from the shared 60-bit content hash, its race
+    key is ``ln(u)/w`` (the log of ``u^(1/w)``), and the global top-k
+    by key wins.  "Sample 100k docs, quality-weighted" — the curation
+    step between scoring and training-set assembly.
+
+    Same determinism contract as ``hash_sample_k``: partition-invariant,
+    re-run-stable, ``salt`` re-deals.  Rows with NULL or non-positive
+    weight never sample (a zero-weight row has race key -inf).
+
+    Determinism across engines: ``u = (h + 0.5) / 2^60`` is exact IEEE
+    arithmetic on identical inputs; ``ln(u)`` is the one libm call, so
+    it is micro-rounded to BIGINT per row (the PMI/Zipf precedent)
+    before the final exact double division by the integer weight.
+
+    Scale shape: the race key is scan-local (no shuffle); the global
+    top-k plans as TakeOrderedAndProject (per-partition heaps, driver
+    merges P·k rows); the rank window then runs on the k-row frame.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = _hash60(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    lnu = F.floor(F.log(u) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    w = F.col(weight_col).cast("bigint")
+    race = lnu.cast("double") / w.cast("double")
+    top = (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__race", race)
+        .orderBy(F.desc("__race"), F.col(key_col).asc())
+        .limit(k)
+    )
+    rk = Window.orderBy(F.desc("__race"), F.col(key_col).asc())
+    return (
+        top.withColumn(rank_col, F.row_number().over(rk).cast("bigint"))
+        .drop("__race")
+    )

@@ -1395,3 +1395,93 @@ def q_sq8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_sq_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cloud anisotropy: top principal component via 3 unrolled
+# power iterations over the exactly-computed covariance.  The oracle
+# replays quantization, BIGINT scatter, each iteration's fixed-order
+# dot/rescale/normalize, and the Rayleigh quotient.
+# ---------------------------------------------------------------------------
+
+_PCA_VNEXT = (
+    "SELECT list_transform(r, x -> floor(x / sqrt(n2) * 1000000.0 + 0.5)"
+    " / 1000000.0) AS v FROM (SELECT r, list_dot_product(r, r) AS n2"
+    " FROM (SELECT list_transform(warr, x -> CAST(x AS DOUBLE) / mx) AS r"
+    " FROM (SELECT warr, CAST(list_max(list_transform(warr,"
+    " x -> abs(x))) AS DOUBLE) AS mx FROM {a})))"
+)
+
+_PCA_WSTEP = (
+    "SELECT j, CAST(floor(list_dot_product(row, v) * 1000000.0 + 0.5)"
+    " AS BIGINT) AS wm FROM rows_ CROSS JOIN {v}"
+)
+
+_PCA_ORACLE = f"""
+WITH y AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        e -> CAST(floor(e * 10000.0 + 0.5) AS BIGINT)) AS y
+  FROM embeddings WHERE len(embedding) = {A.DIM}
+),
+pos AS (SELECT unnest(generate_series(1, {A.DIM})) AS i),
+c AS (
+  SELECT p1.i AS j, p2.i AS k, CAST(sum(y[p1.i] * y[p2.i]) AS BIGINT) AS c
+  FROM y CROSS JOIN pos p1 CROSS JOIN pos p2 GROUP BY 1, 2
+),
+s AS (
+  SELECT p.i AS j, CAST(sum(y[p.i]) AS BIGINT) AS s
+  FROM y CROSS JOIN pos p GROUP BY 1
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM y),
+cov AS (
+  SELECT c.j, c.k, n, n * c.c - s1.s * s2.s AS cv
+  FROM c JOIN s s1 ON c.j = s1.j JOIN s s2 ON c.k = s2.j CROSS JOIN nn
+),
+rows_ AS (
+  SELECT j, list(CAST(cv AS DOUBLE) / CAST(n * n AS DOUBLE) ORDER BY k)
+           AS row
+  FROM cov GROUP BY j, n
+),
+v0 AS (SELECT list_transform(generate_series(1, {A.DIM}), x -> 1.0) AS v),
+w1 AS ({_PCA_WSTEP.format(v="v0")}),
+a1 AS (SELECT list(wm ORDER BY j) AS warr FROM w1),
+v1 AS ({_PCA_VNEXT.format(a="a1")}),
+w2 AS ({_PCA_WSTEP.format(v="v1")}),
+a2 AS (SELECT list(wm ORDER BY j) AS warr FROM w2),
+v2 AS ({_PCA_VNEXT.format(a="a2")}),
+w3 AS ({_PCA_WSTEP.format(v="v2")}),
+a3 AS (SELECT list(wm ORDER BY j) AS warr FROM w3),
+v3 AS ({_PCA_VNEXT.format(a="a3")}),
+wd AS (SELECT j, list_dot_product(row, v) AS wd FROM rows_ CROSS JOIN v3),
+wda AS (SELECT list(wd ORDER BY j) AS wdarr FROM wd),
+tr AS (SELECT CAST(sum(cv) AS BIGINT) AS trint, max(n) AS n
+       FROM cov WHERE j = k)
+SELECT n AS n_vecs,
+       round(list_dot_product(wdarr, v) / 100000000.0, 6) AS lambda1,
+       round(CAST(trint AS DOUBLE) / CAST(n * n AS DOUBLE) / 100000000.0, 6)
+         AS total_var,
+       round(list_dot_product(wdarr, v)
+             / (CAST(trint AS DOUBLE) / CAST(n * n AS DOUBLE)), 6)
+         AS anisotropy
+FROM wda CROSS JOIN v3 CROSS JOIN tr
+""".strip()
+
+
+@register("embedding_pca_anisotropy", _PCA_ORACLE)
+def q_embedding_pca_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy diagnostic of the embedding cloud (Ethayarajh 2019):
+    Rayleigh quotient of the dominant direction after 3 power
+    iterations over the exact covariance, plus the total variance —
+    their ratio says how much of the cloud collapses onto one common
+    component (inflating every cosine similarity the ANN family
+    computes).  Note: near-isotropic spectra (λ₁≈λ₂) converge slowly —
+    the operator's `iters` dials the precision/passes trade.
+
+    Scale/determinism: see `operators.embedding_stats.pca_power_iteration`
+    (BIGINT scatter, fixed-order array folds, micro-rounded iterate)."""
+    from merkonvectordb_spark.operators.embedding_stats import (
+        pca_power_iteration,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_power_iteration(emb, "embedding", A.DIM, iters=3)

@@ -519,3 +519,70 @@ def q_doc_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source"
     )
     return hash_sample_k(docs, "doc_id", "lang", 40)
+
+
+# ---------------------------------------------------------------------------
+# quality-weighted exact-k sampling (A-ES exponential race) — the
+# curation step between scoring and training-set assembly: "sample 100
+# docs, proportional to quality, no replacement, reproducibly".
+# ---------------------------------------------------------------------------
+
+
+def _weighted_sample_oracle() -> str:
+    from merkonvectordb_spark.queries_text import _quality_sql
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, source,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(floor({_quality_sql("text")} * 1000000.0 + 0.5)
+                       AS BIGINT)) AS w_micro,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, w_micro,
+         CAST(floor(ln((CAST(h AS DOUBLE) + 0.5) / 1152921504606846976.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS lnu
+  FROM w
+),
+ranked AS (
+  SELECT doc_id, source, w_micro,
+         row_number() OVER (
+           ORDER BY (CAST(lnu AS DOUBLE) / CAST(w_micro AS DOUBLE)) DESC,
+                    doc_id ASC) AS rk
+  FROM r QUALIFY rk <= 100
+)
+SELECT doc_id, source, w_micro, CAST(rk AS BIGINT) AS sample_rank
+FROM ranked
+""".strip()
+
+
+@register("quality_weighted_sample", _weighted_sample_oracle())
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 100 documents sampled WITHOUT replacement, probability
+    proportional to quality score — `operators.pipeline.weighted_sample_k`
+    (derandomized Efraimidis-Spirakis race over the shared content
+    hash).  The weighted twin of `doc_fixed_k_sample`'s uniform pick.
+
+    Determinism: weight = quality micro-rounded once (clamped ≥ 1 so a
+    zero-quality doc keeps a nonzero chance rather than silently
+    vanishing); `ln(u)` micro-rounded per row (the one libm call); the
+    race key is then one exact IEEE division, and ties break on doc_id.
+    Scale shape: scan-local key, TakeOrderedAndProject global top-k,
+    rank window on the 100-row winners frame."""
+    from merkonvectordb_spark.functions.text import quality_score
+    from merkonvectordb_spark.operators.pipeline import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(
+                quality_score(F.col("text")) * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("w_micro"),
+    )
+    return weighted_sample_k(docs, "doc_id", "w_micro", 100)

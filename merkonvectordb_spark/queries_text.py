@@ -1430,3 +1430,124 @@ def q_token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(intercept, 6).alias("intercept_ln"),
         F.round(r2, 6).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule battery (Rae et al. 2021, Table A1 adapted to the
+# fixture's signals): per-source counts of documents failing each rule
+# and surviving all of them.  Every rule is INTEGER arithmetic on
+# scan-local counts (word counts, character counts, marker hits) —
+# ratio thresholds are cross-multiplied (punct/toks > 0.1 becomes
+# punct*10 > toks), so there is no float anywhere in the predicate.
+# ---------------------------------------------------------------------------
+
+_GOPHER_ORACLE = f"""
+WITH c AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS chars,
+         CAST({_TOK_CNT_SQL.format(c="text")} AS BIGINT) AS toks,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+           AS punct,
+         CAST(len(list_filter(
+                regexp_split_to_array(lower(trim(text)), '\\s+'),
+                x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_w,
+         CAST({_hits_sql("text", X.LANG_MARKERS["en"])} AS BIGINT) AS stops
+  FROM documents
+),
+r AS (
+  SELECT source,
+         CASE WHEN toks < 30 OR toks > 10000 THEN 1 ELSE 0 END AS f_wc,
+         CASE WHEN toks = 0 OR (chars - toks + 1) < 3 * toks
+                   OR (chars - toks + 1) > 10 * toks
+              THEN 1 ELSE 0 END AS f_wl,
+         CASE WHEN punct * 10 > toks THEN 1 ELSE 0 END AS f_sym,
+         CASE WHEN toks = 0 OR alpha_w * 10 < toks * 9 THEN 1 ELSE 0 END
+           AS f_alpha,
+         CASE WHEN stops < 2 THEN 1 ELSE 0 END AS f_stop
+  FROM c
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(f_wc) AS BIGINT) AS n_fail_wordcount,
+       CAST(sum(f_wl) AS BIGINT) AS n_fail_wordlen,
+       CAST(sum(f_sym) AS BIGINT) AS n_fail_symbol,
+       CAST(sum(f_alpha) AS BIGINT) AS n_fail_alpha,
+       CAST(sum(f_stop) AS BIGINT) AS n_fail_stopword,
+       CAST(sum(CASE WHEN f_wc + f_wl + f_sym + f_alpha + f_stop = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM r GROUP BY source
+""".strip()
+
+
+@register("gopher_rules_report", _GOPHER_ORACLE)
+def q_gopher_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source breakdown of the Gopher repetition-free rule battery:
+    word-count bounds [30, 10000], mean word length [3, 10],
+    symbol-to-word ratio ≤ 0.1, ≥90% alphabetic words, ≥2 stopword
+    hits — plus the survivors-of-all count a curation run keeps.
+
+    Determinism: every rule is a cross-multiplied INTEGER comparison on
+    scan-local counts (no division, no float, nothing to round).
+    Scale shape: one pruned scan, all rules evaluated in the same
+    projection, one partial-aggregated groupBy — |sources| output rows;
+    at 100 TB this is scan-bound by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks_arr = X.tokenize(F.col("text"))
+    c = docs.select(
+        "source",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("bigint").alias("chars"),
+        F.size(toks_arr).cast("bigint").alias("toks"),
+        F.size(
+            F.regexp_extract_all(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(r"[^A-Za-z0-9\s]"),
+                0,
+            )
+        ).cast("bigint").alias("punct"),
+        F.size(F.filter(toks_arr, lambda t: t.rlike("[a-z]")))
+        .cast("bigint")
+        .alias("alpha_w"),
+        X._marker_hits(F.col("text"), X.LANG_MARKERS["en"])
+        .cast("bigint")
+        .alias("stops"),
+    )
+    f_wc = F.when((F.col("toks") < 30) | (F.col("toks") > 10000), 1).otherwise(0)
+    mwl_num = F.col("chars") - F.col("toks") + 1
+    f_wl = F.when(
+        (F.col("toks") == 0)
+        | (mwl_num < 3 * F.col("toks"))
+        | (mwl_num > 10 * F.col("toks")),
+        1,
+    ).otherwise(0)
+    f_sym = F.when(F.col("punct") * 10 > F.col("toks"), 1).otherwise(0)
+    f_alpha = F.when(
+        (F.col("toks") == 0) | (F.col("alpha_w") * 10 < F.col("toks") * 9), 1
+    ).otherwise(0)
+    f_stop = F.when(F.col("stops") < 2, 1).otherwise(0)
+    r = c.select(
+        "source",
+        f_wc.alias("f_wc"),
+        f_wl.alias("f_wl"),
+        f_sym.alias("f_sym"),
+        f_alpha.alias("f_alpha"),
+        f_stop.alias("f_stop"),
+    )
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("f_wc").cast("bigint").alias("n_fail_wordcount"),
+        F.sum("f_wl").cast("bigint").alias("n_fail_wordlen"),
+        F.sum("f_sym").cast("bigint").alias("n_fail_symbol"),
+        F.sum("f_alpha").cast("bigint").alias("n_fail_alpha"),
+        F.sum("f_stop").cast("bigint").alias("n_fail_stopword"),
+        F.sum(
+            F.when(
+                F.col("f_wc")
+                + F.col("f_wl")
+                + F.col("f_sym")
+                + F.col("f_alpha")
+                + F.col("f_stop")
+                == 0,
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_keep"),
+    )

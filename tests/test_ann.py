@@ -617,3 +617,44 @@ def test_semantic_decontam_flags_exact_copy(spark, sf_dir):
     ).select(cosine_similarity(F.col("a"), F.col("b")).alias("c"))
     c = df.first()["c"]
     assert abs(c - 1.0) < 1e-9
+
+
+def test_pca_power_iteration_finds_planted_direction(spark):
+    """A strongly dominant direction (λ1 ≫ λ2) must be recovered in 3
+    iterations: λ1 within 2% of numpy's exact top eigenvalue, and
+    anisotropy high."""
+    from merkonvectordb_spark.operators.embedding_stats import (
+        pca_power_iteration,
+    )
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 400
+    direction = rng.normal(size=d)
+    direction /= np.linalg.norm(direction)
+    X = rng.normal(scale=0.05, size=(n, d)) + np.outer(
+        rng.normal(scale=1.0, size=n), direction
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    row = pca_power_iteration(df, "embedding", dim=d, iters=3).first()
+    Yq = np.floor(np.float32(X).astype(np.float64) * 10000 + 0.5) / 10000.0
+    C = np.cov(Yq.T, bias=True)
+    lam_true = float(np.linalg.eigvalsh(C)[-1])
+    assert row["n_vecs"] == n
+    assert abs(row["lambda1"] - lam_true) / lam_true < 0.02
+    assert row["anisotropy"] > 0.8
+    assert abs(row["total_var"] - C.trace()) < 1e-4
+
+
+def test_pca_power_iteration_filters_wrong_dims(spark):
+    from merkonvectordb_spark.operators.embedding_stats import (
+        pca_power_iteration,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5]), (3, [1.0, 0.0, 0.0])],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    assert pca_power_iteration(df, "embedding", dim=2).first()["n_vecs"] == 2

@@ -292,3 +292,73 @@ def test_hash_sample_k_exact_count_and_invariance(spark):
 
     with pytest.raises(ValueError):
         hash_sample_k(df, "id", "g", 0)
+
+
+def test_weighted_sample_k_exact_count_and_invariance(spark):
+    from merkonvectordb_spark.operators.pipeline import weighted_sample_k
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("w")
+    )
+    got = weighted_sample_k(df, "k", "w", 50)
+    rows = sorted((r.k, r.sample_rank) for r in got.collect())
+    assert len(rows) == 50
+    assert sorted(r[1] for r in rows) == list(range(1, 51))
+    # partition-invariant: a 1-partition layout picks the identical set
+    rows2 = sorted(
+        (r.k, r.sample_rank)
+        for r in weighted_sample_k(df.coalesce(1), "k", "w", 50).collect()
+    )
+    assert rows == rows2
+
+
+def test_weighted_sample_k_prefers_heavy_rows(spark):
+    """500 weight-1000 rows vs 500 weight-1 rows: the 50-row sample
+    should be nearly all heavy (P[light wins a slot] ≈ w ratio)."""
+    from merkonvectordb_spark.operators.pipeline import weighted_sample_k
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 500, 1000).otherwise(1).alias("w"),
+    )
+    got = weighted_sample_k(df, "k", "w", 50).collect()
+    heavy = sum(1 for r in got if r.k < 500)
+    assert heavy >= 45
+
+
+def test_weighted_sample_k_excludes_nonpositive_weights(spark):
+    from merkonvectordb_spark.operators.pipeline import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -2), (4, None), (5, 1)], "k INT, w INT"
+    )
+    got = {r.k for r in weighted_sample_k(df, "k", "w", 10).collect()}
+    assert got == {1, 5}
+
+
+def test_weighted_sample_k_smaller_k_is_prefix(spark):
+    """Shrinking k must keep a PREFIX of the larger sample (same race,
+    earlier cut) — consumers can tighten budgets without resampling."""
+    from merkonvectordb_spark.operators.pipeline import weighted_sample_k
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 13 + 1).alias("w")
+    )
+    big = {r.k: r.sample_rank for r in weighted_sample_k(df, "k", "w", 40).collect()}
+    small = {r.k: r.sample_rank for r in weighted_sample_k(df, "k", "w", 10).collect()}
+    assert small == {k: v for k, v in big.items() if v <= 10}
+
+
+def test_weighted_sample_k_plans_as_heap_topk(spark):
+    """The global top-k must be TakeOrderedAndProject — a full Sort of
+    the corpus by race key would serialize at 100 TB."""
+    from merkonvectordb_spark.operators.pipeline import weighted_sample_k
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), F.lit(1).alias("w")
+    )
+    plan = (
+        weighted_sample_k(df, "k", "w", 25)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -131,6 +131,12 @@ ALLOW: dict[tuple[str, str], str] = {
     ("token_zipf_fit", "single_partition_window"):
         "rank window over the top-1000 term frame (cut by "
         "TakeOrderedAndProject before the window — constant-sized)",
+    ("quality_weighted_sample", "single_partition_window"):
+        "rank window over the k-row winners frame (cut by "
+        "TakeOrderedAndProject before the window — k=100)",
+    ("embedding_pca_anisotropy", "nested_loop"):
+        "d-row matrix frame × 1-row vector/count frames per power "
+        "iteration — all sides ≤ 64 rows by construction",
     ("hll_distinct", "nested_loop"):
         "exact-count scalar (1 row) crossJoined to the 1-row HLL "
         "estimate, same shape as sketch_distinct",
