@@ -88,3 +88,95 @@ def unigram_logprob_score(
             F.round(F.avg("__lp"), 6).alias("avg_lp"),
         )
     )
+
+
+def bigram_model(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """``(bigrams, freq, total)``: corpus (w1, w2) pair counts, unigram
+    counts, and the 1-row token total — the statistics an interpolated
+    bigram LM needs.  Pair extraction is scan-local (zip of two array
+    slices, no shuffle); both count tables partial-aggregate."""
+    toks = docs.select(tokenize(F.col(text_col)).alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    freq = docs.select(
+        F.explode(tokenize(F.col(text_col))).alias("token")
+    ).groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    return bigrams, freq, total
+
+
+def bigram_logprob_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+) -> DataFrame:
+    """``(id_col, n_bigrams, avg_lp)`` — mean bigram log-probability per
+    document under the Jelinek-Mercer interpolated self-model
+
+        P(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/T
+
+    — one rung up the CCNet ladder from ``unigram_logprob_score``
+    (conditioning on the previous token separates fluent word ORDER
+    from fluent word CHOICE; boilerplate with plausible vocabulary but
+    shuffled syntax scores low here and fine there).  Documents with
+    fewer than two tokens have no bigram and drop out.
+
+    Determinism: the interpolation is one fixed expression tree over
+    exact integer counts; ``ln`` (the one libm call) micro-rounds per
+    bigram, and the per-doc mean is an exact BIGINT sum over an exact
+    count, divided once.
+
+    Scale shape: pair extraction is scan-local; the model tables are
+    DataFrames joined on their keys (never driver-broadcast vocab);
+    the score pass shuffles the bigram stream three times (pair join +
+    two unigram joins) with AQE handling stopword-pair skew; the final
+    per-doc aggregation partial-aggregates."""
+    bigrams, freq, total = bigram_model(docs, text_col)
+    toks = docs.select(F.col(id_col), tokenize(F.col(text_col)).alias("t"))
+    stream = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select(F.col(id_col), "p.w1", "p.w2")
+    c1w1 = freq.select(F.col("token").alias("w1"), F.col("c").alias("cw1"))
+    c1w2 = freq.select(F.col("token").alias("w2"), F.col("c").alias("cw2"))
+    p = (
+        F.lit(lam) * F.col("c2").cast("double") / F.col("cw1").cast("double")
+        + F.lit(1.0 - lam)
+        * F.col("cw2").cast("double")
+        / F.col("t").cast("double")
+    )
+    lp_micro = F.floor(F.log(p) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (
+        stream.join(bigrams, ["w1", "w2"])
+        .join(c1w1, "w1")
+        .join(c1w2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), lp_micro.alias("__lpm"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                (F.sum("__lpm").cast("double")
+                 / F.count(F.lit(1)).cast("double"))
+                / F.lit(1000000.0),
+                6,
+            ).alias("avg_lp"),
+        )
+    )

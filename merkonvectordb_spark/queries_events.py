@@ -592,3 +592,174 @@ def q_versioned_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Population-stability-index drift monitor: value distribution of the
+# second half of the month vs the first, per event type, over the
+# reference half's own deciles.  The "did this feature shift under me"
+# check every production scoring pipeline runs; PSI > 0.2 is the
+# conventional repartition-or-retrain alarm.
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16 00:00:00 UTC
+
+_PSI_EDGE_SQL = ", ".join(
+    f"max(CASE WHEN rn <= ({j} * n + 9) // 10 THEN value END) AS t{j}"
+    for j in range(1, 10)
+)
+
+_PSI_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) < {_PSI_SPLIT_US} AS is_ref
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev WHERE is_ref
+),
+ed AS (
+  SELECT event_type, {_PSI_EDGE_SQL}
+  FROM r GROUP BY event_type
+),
+edges AS (
+  SELECT event_type, [t1, t2, t3, t4, t5, t6, t7, t8, t9] AS e
+  FROM ed
+),
+assigned AS (
+  SELECT ev.event_type, is_ref,
+         1 + len(list_filter(e, x -> ev.value > x)) AS bin
+  FROM ev JOIN edges ON ev.event_type = edges.event_type
+),
+counts AS (
+  SELECT event_type, bin,
+         CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+         CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cc
+  FROM assigned GROUP BY 1, 2
+),
+skel AS (
+  SELECT event_type, unnest(range(1, 11)) AS bin FROM edges
+),
+filled AS (
+  SELECT skel.event_type, skel.bin,
+         coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+  FROM skel LEFT JOIN counts
+    ON skel.event_type = counts.event_type AND skel.bin = counts.bin
+),
+tot AS (
+  SELECT event_type, CAST(sum(cr) AS BIGINT) AS nr,
+         CAST(sum(cc) AS BIGINT) AS nc
+  FROM filled GROUP BY 1
+),
+terms AS (
+  SELECT f.event_type, nr, nc,
+         CAST(floor((
+             (CAST(cr + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE)
+              - CAST(cc + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))
+             * (CAST(floor(ln((CAST(cr + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE))
+                             / (CAST(cc + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE)))
+                          * 1000000000.0 + 0.5) AS BIGINT)
+                / 1000000000.0)
+           ) * 1000000000.0 + 0.5) AS BIGINT) AS term_nano
+  FROM filled f JOIN tot ON f.event_type = tot.event_type
+)
+SELECT event_type, max(nr) AS n_ref, max(nc) AS n_cur,
+       round(CAST(sum(term_nano) AS DOUBLE) / 1000000000.0, 6) AS psi,
+       sum(term_nano) > 200000000 AS drift
+FROM terms GROUP BY event_type
+""".strip()
+
+
+@register("events_psi_drift", _PSI_ORACLE)
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI = Σ_bins (p−q)·ln(p/q) with p the reference fraction and q
+    the current fraction, Laplace-smoothed (+1/+10), over the reference
+    half's own per-type deciles.
+
+    Determinism: decile edges are rank-based ORDER STATISTICS (selected
+    raw values, no interpolation); bin assignment is a fixed-order
+    array-filter count; fractions are exact IEEE divisions of integer
+    counts; ln micro-rounds at 1e-9 (the one libm call) and each bin's
+    term re-rounds to an exact BIGINT nano-unit, so the 10-term sum is
+    associative.  Scale shape: one scan splits ref/cur; the rank
+    windows partition by event_type (per-task buffer = one type's ref
+    rows; swap in operators.stats.global_ntile for a monster type);
+    edges broadcast back; everything after is |types|×10-sized."""
+    split = F.unix_micros(F.col("ts")) < F.lit(_PSI_SPLIT_US)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value", split.alias("is_ref"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("value")
+    wc = Window.partitionBy("event_type")
+    r = ev.where("is_ref").select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    edge_aggs = [
+        F.max(
+            F.when(
+                F.col("rn") <= F.expr(f"({j} * n + 9) div 10"), F.col("value")
+            )
+        ).alias(f"t{j}")
+        for j in range(1, 10)
+    ]
+    edges = r.groupBy("event_type").agg(*edge_aggs).select(
+        "event_type",
+        F.array(*[F.col(f"t{j}") for j in range(1, 10)]).alias("e"),
+    )
+    assigned = ev.join(F.broadcast(edges), "event_type").select(
+        "event_type",
+        "is_ref",
+        (
+            F.lit(1)
+            + F.size(F.filter(F.col("e"), lambda x: F.col("value") > x))
+        ).alias("bin"),
+    )
+    counts = assigned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("cr"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).cast("bigint").alias("cc"),
+    )
+    skel = edges.select(
+        "event_type", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("bin")
+    )
+    filled = (
+        skel.join(counts, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.sum("cr").cast("bigint").alias("nr"),
+        F.sum("cc").cast("bigint").alias("nc"),
+    )
+    p = (F.col("cr") + 1).cast("double") / (F.col("nr") + 10).cast("double")
+    q = (F.col("cc") + 1).cast("double") / (F.col("nc") + 10).cast("double")
+    ln_nano = F.floor(F.log(p / q) * F.lit(1000000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    term_nano = F.floor(
+        ((p - q) * (ln_nano.cast("double") / F.lit(1000000000.0)))
+        * F.lit(1000000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    terms = filled.join(F.broadcast(tot), "event_type").select(
+        "event_type", "nr", "nc", term_nano.alias("term_nano")
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("nr").alias("n_ref"),
+        F.max("nc").alias("n_cur"),
+        F.round(
+            F.sum("term_nano").cast("double") / F.lit(1000000000.0), 6
+        ).alias("psi"),
+        (F.sum("term_nano") > F.lit(200000000)).alias("drift"),
+    )

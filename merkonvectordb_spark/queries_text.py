@@ -1551,3 +1551,62 @@ def q_gopher_rules_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("bigint").alias("n_keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM scoring — conditioning on the previous token
+# (one rung up the CCNet ladder from unigram_lm_score).  The (1-λ)
+# coefficient is mirrored as an IEEE SUBTRACTION, not a 0.3 literal:
+# Python's 1.0-0.7 = 0.30000000000000004 is NOT the closest double to
+# 0.3, so a plain SQL literal would diverge in the last ulp.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2
+  FROM base, unnest(range(1, len(t))) AS i(i)
+),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2),
+cf AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS token FROM base) GROUP BY 1
+),
+tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cf),
+lp AS (
+  SELECT doc_id,
+         CAST(floor(ln(CAST(0.7 AS DOUBLE) * CAST(c2.c2 AS DOUBLE)
+                         / CAST(f1.c AS DOUBLE)
+                       + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                         * CAST(f2.c AS DOUBLE) / CAST(tt.t AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lpm
+  FROM big JOIN c2 USING (w1, w2)
+           JOIN cf f1 ON big.w1 = f1.token
+           JOIN cf f2 ON big.w2 = f2.token
+           CROSS JOIN tt
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round((CAST(sum(lpm) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             / 1000000.0, 6) AS avg_lp
+FROM lp GROUP BY doc_id
+""".strip()
+
+
+@register("bigram_lm_score", _BIGRAM_ORACLE)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the Jelinek-Mercer
+    interpolated self-model (λ=0.7) — the word-ORDER fluency signal the
+    unigram filter can't see.  See `operators.lm.bigram_logprob_score`
+    for the determinism contract (exact integer counts, one fixed
+    expression tree, micro-rounded ln, exact-BIGINT per-doc mean) and
+    the scale shape (scan-local pair extraction, model-as-DataFrame
+    joins, partial-aggregated final groupBy)."""
+    from merkonvectordb_spark.operators.lm import bigram_logprob_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob_score(docs, "doc_id", "text", lam=0.7)

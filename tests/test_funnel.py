@@ -28,3 +28,37 @@ def test_funnel_requires_strict_order(spark, monkeypatch):
     monkeypatch.setattr(QE, "load_table", lambda s, d, t: df)
     out = {r.step: r.n_users for r in QE.q_events_funnel(spark, "x").collect()}
     assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_psi_drift_flags_planted_shift(spark, tmp_path):
+    """Identical ref/cur distributions → PSI ≈ 0, no drift; a full
+    +100 location shift → every current row lands in the top bin →
+    PSI far above the 0.2 alarm."""
+    from datetime import datetime, timezone
+
+    from merkonvectordb_spark.queries_events import q_events_psi_drift
+
+    def ts(day):
+        return datetime(2024, 1, day, 12, 0, 0)
+
+    rows = []
+    eid = 0
+    for v in range(100):
+        for day, off in ((5, 0.0), (20, 0.0)):
+            rows.append((eid, ts(day), eid % 7, "stable", v + off, "{}"))
+            eid += 1
+        for day, off in ((5, 0.0), (20, 100.0)):
+            rows.append((eid, ts(day), eid % 7, "shifted", v + off, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.event_type: r for r in q_events_psi_drift(spark, str(tmp_path)).collect()}
+    assert got["stable"].n_ref == 100 and got["stable"].n_cur == 100
+    assert abs(got["stable"].psi) < 0.01
+    assert not got["stable"].drift
+    assert got["shifted"].psi > 1.0
+    assert got["shifted"].drift

@@ -174,3 +174,38 @@ def test_tokenizer_fertility_invariants(spark, sf_dir):
             assert r["fertility"] >= 1.0, r
         if r["bpe_tokens"] and r["bpe_tokens"] > 0:
             assert r["bytes_per_token"] > 0.0, r
+
+
+def test_bigram_score_prefers_fluent_word_order(spark):
+    """Two docs with IDENTICAL token multisets: the one whose bigrams
+    match the corpus-dominant pattern must score higher — the signal
+    the unigram model is blind to (it scores both identically)."""
+    import math
+
+    from merkonvectordb_spark.operators.lm import bigram_logprob_score
+
+    corpus = [(i, "a b a b a b a b") for i in range(8)]
+    corpus += [(100, "a b a b a b a b"), (101, "b a b a a a b b")]
+    docs = spark.createDataFrame(corpus, "doc_id INT, text STRING")
+    got = {
+        r.doc_id: r.avg_lp
+        for r in bigram_logprob_score(docs, "doc_id", "text").collect()
+    }
+    assert got[100] > got[101]
+    # sanity: n_bigrams = tokens - 1 for every doc (8 tokens → 7)
+    nb = {
+        r.doc_id: r.n_bigrams
+        for r in bigram_logprob_score(docs, "doc_id", "text").collect()
+    }
+    assert set(nb.values()) == {7}
+
+
+def test_bigram_score_drops_short_docs(spark):
+    from merkonvectordb_spark.operators.lm import bigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "solo"), (3, ""), (4, None)],
+        "doc_id INT, text STRING",
+    )
+    got = {r.doc_id for r in bigram_logprob_score(docs).collect()}
+    assert got == {1}

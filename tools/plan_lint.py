@@ -143,6 +143,9 @@ ALLOW: dict[tuple[str, str], str] = {
     ("unigram_lm_score", "nested_loop"):
         "corpus token-total scalar (1 row) for the LM denominator; the "
         "vocabulary itself joins on token, never broadcasts",
+    ("bigram_lm_score", "nested_loop"):
+        "corpus token-total scalar (1 row) for the interpolation "
+        "denominator; bigram/unigram tables join on their keys",
 }
 
 PATTERNS = {
