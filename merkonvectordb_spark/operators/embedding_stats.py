@@ -148,7 +148,15 @@ def pca_power_iteration(
         .crossJoin(F.broadcast(nrow))
         .select(
             "j", "k", "n",
-            (F.col("n") * F.col("c") - F.col("sj") * F.col("sk")).alias("cv"),
+            # the centering products run in DECIMAL(38,0) (HUGEINT in
+            # the oracle): n·C and Sj·Sk reach n²·unit_scale², which
+            # leaves BIGINT near n ≈ 3·10⁵ — and this frame is only d²
+            # rows, so the wide type costs nothing.  The scatter SUMS
+            # above stay BIGINT (bounded by n·unit_scale² ≈ 10⁸·n).
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
+                - F.col("sj").cast("decimal(38,0)") * F.col("sk").cast("decimal(38,0)")
+            ).alias("cv"),
         )
     )
     cov = cov.localCheckpoint(eager=True)  # 3 iterations + trace re-read it

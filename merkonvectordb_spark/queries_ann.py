@@ -1434,7 +1434,8 @@ s AS (
 ),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM y),
 cov AS (
-  SELECT c.j, c.k, n, n * c.c - s1.s * s2.s AS cv
+  SELECT c.j, c.k, n,
+         CAST(n AS HUGEINT) * c.c - CAST(s1.s AS HUGEINT) * s2.s AS cv
   FROM c JOIN s s1 ON c.j = s1.j JOIN s s2 ON c.k = s2.j CROSS JOIN nn
 ),
 rows_ AS (
