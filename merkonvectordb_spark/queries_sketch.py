@@ -427,8 +427,13 @@ def q_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared hash, register table + estimator replayed exactly in SQL.
 # ---------------------------------------------------------------------------
 
+# every literal cast to DOUBLE explicitly: DuckDB parses bare numeric
+# literals as DECIMAL, and a decimal-typed 1.079/256.0 would divide
+# under decimal rounding rules, not the IEEE tree the Spark side builds
 _HLL_RAW = (
-    "((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0)"
+    "((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+    " + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))"
+    " * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE))"
     " / CAST(f.sum_pow AS DOUBLE)"
 )
 
