@@ -503,3 +503,65 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
 def hll_distinct(df: DataFrame, column: str) -> DataFrame:
     """count(distinct column) estimated in 256 integers of state."""
     return hll_estimate(hll_registers(df, column))
+
+
+def hll_estimate_grouped(
+    registers: DataFrame, *group_cols: str
+) -> DataFrame:
+    """``hll_estimate`` per group: one row per key with the same
+    ``(est_distinct, sum_pow, n_zero_regs)`` contract.  The input is a
+    register table carrying the group columns (e.g. per-day sketches
+    merged per window) — state per group is ≤ 2^p rows, so the whole
+    aggregation is sketch-sized regardless of the data that built it."""
+    s = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {HLL_RHO_MAX} - mj)")
+        ).alias("sp"),
+    )
+    vz = F.lit(HLL_M) - F.col("np")
+    sum_pow = (
+        F.coalesce(F.col("sp"), F.lit(0))
+        + vz.cast("long") * F.lit(1 << HLL_RHO_MAX).cast("long")
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    raw = (
+        alpha
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(1 << HLL_RHO_MAX))
+        / sum_pow.cast("double")
+    )
+    linear = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / vz.cast("double")
+    )
+    est = F.when((vz > 0) & (raw <= F.lit(2.5 * HLL_M)), linear).otherwise(raw)
+    return s.select(
+        *group_cols,
+        F.round(est, 6).alias("est_distinct"),
+        sum_pow.cast("bigint").alias("sum_pow"),
+        vz.cast("bigint").alias("n_zero_regs"),
+    )
+
+
+def hll_registers_grouped(
+    df: DataFrame, column: str, *group_cols: str
+) -> DataFrame:
+    """Per-group register tables ``(*group_cols, idx, mj)`` — the
+    building block of the sketch cube: sketch once at the finest grain
+    (day, shard, partition), then answer any coarser rollup by
+    ``max(mj)``-merging register rows instead of re-scanning data."""
+    h = kmv_hash(F.col(column))
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    return (
+        df.where(F.col(column).isNotNull())
+        .select(
+            *group_cols,
+            h.bitwiseAND(F.lit(HLL_M - 1)).cast("int").alias("idx"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("mj"))
+    )

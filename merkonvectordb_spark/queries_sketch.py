@@ -509,3 +509,122 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct users over merged daily sketches — the HLL
+# cube: sketch once at day grain, answer every 7-day window by merging
+# ≤7 register tables (max per cell) instead of re-scanning events.
+# The exact recount rides along as the verification rail.
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = f"""
+WITH du AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, user_id
+  FROM events WHERE user_id IS NOT NULL
+),
+regs AS (
+  SELECT day, h & 255 AS idx,
+         max(CASE WHEN (h >> 8) = 0 THEN 53
+                  ELSE 53 - length(bin(h >> 8)) END) AS mj
+  FROM (SELECT day,
+               CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM du)
+  GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM regs),
+merged AS (
+  SELECT d.day, idx, max(mj) AS mj
+  FROM days d JOIN regs r ON r.day BETWEEN d.day - 6 AND d.day
+  GROUP BY 1, 2
+),
+f AS (
+  SELECT day,
+         CAST(coalesce(sp, 0) + CAST(256 - np AS BIGINT)
+              * (CAST(1 AS BIGINT) << 53) AS BIGINT) AS sum_pow,
+         256 - np AS vz
+  FROM (SELECT day, count(*) AS np,
+               sum(CAST(1 AS BIGINT) << (53 - mj)) AS sp
+        FROM merged GROUP BY day)
+),
+est AS (
+  SELECT day,
+         round(CASE WHEN f.vz > 0 AND {_HLL_RAW} <= 640.0
+                    THEN 256.0 * ln(256.0 / CAST(f.vz AS DOUBLE))
+                    ELSE {_HLL_RAW} END, 6) AS est_distinct,
+         f.sum_pow,
+         CAST(f.vz AS BIGINT) AS n_zero_regs
+  FROM f
+),
+exact AS (
+  SELECT d.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS exact_distinct
+  FROM days d JOIN (SELECT DISTINCT day, user_id FROM du) p
+    ON p.day BETWEEN d.day - 6 AND d.day
+  GROUP BY 1
+)
+SELECT CAST(est.day AS BIGINT) AS day, est_distinct, sum_pow, n_zero_regs,
+       exact_distinct
+FROM est JOIN exact ON est.day = exact.day
+""".strip()
+
+
+@register("sliding_distinct_users", _SLIDING_ORACLE)
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day, twice: the HLL-cube way
+    (day-grain register tables, each window = a max-merge of ≤7 sketch
+    tables — `operators.sketch.hll_registers_grouped/hll_estimate_grouped`)
+    and the exact recount.  At 100 TB only the sketch path is sane —
+    the exact side re-associates every (day, user) pair with 7 windows
+    — but at fixture scale it rides along so the driver hash verifies
+    BOTH, including the integer register state.
+
+    The day key is INTEGER division of epoch micros (UTC day number) —
+    no calendar/zone function anywhere.  Scale shape: one scan builds
+    the daily registers (map-side fold to ≤256 rows/day/task); the
+    window merge and estimator run on |days|·256 rows; the exact rail
+    shrinks to distinct (day, user) BEFORE fanning out ×7."""
+    from merkonvectordb_spark.operators.sketch import (
+        hll_estimate_grouped,
+        hll_registers_grouped,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    du = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"), "user_id"
+    )
+    daily = hll_registers_grouped(du, "user_id", "day").localCheckpoint(
+        eager=True
+    )
+    days = daily.select("day").distinct()
+    merged = (
+        F.broadcast(days.select(F.col("day").alias("wday")))
+        .join(
+            daily,
+            (F.col("day") >= F.col("wday") - 6)
+            & (F.col("day") <= F.col("wday")),
+        )
+        .groupBy(F.col("wday").alias("day"), F.col("idx"))
+        .agg(F.max("mj").alias("mj"))
+    )
+    est = hll_estimate_grouped(merged, "day")
+    pairs = du.distinct()
+    exact = (
+        F.broadcast(days.select(F.col("day").alias("wday")))
+        .join(
+            pairs,
+            (F.col("day") >= F.col("wday") - 6)
+            & (F.col("day") <= F.col("wday")),
+        )
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    )
+    return est.join(exact, "day").select(
+        F.col("day").cast("bigint").alias("day"),
+        "est_distinct",
+        "sum_pow",
+        "n_zero_regs",
+        "exact_distinct",
+    )

@@ -137,6 +137,10 @@ ALLOW: dict[tuple[str, str], str] = {
     ("embedding_pca_anisotropy", "nested_loop"):
         "d-row matrix frame × 1-row vector/count frames per power "
         "iteration — all sides ≤ 64 rows by construction",
+    ("sliding_distinct_users", "nested_loop"):
+        "30-row day frame broadcast against day-grain register/pair "
+        "tables for the trailing-window range join — |days| constant, "
+        "each row meets ≤7 windows",
     ("hll_distinct", "nested_loop"):
         "exact-count scalar (1 row) crossJoined to the 1-row HLL "
         "estimate, same shape as sketch_distinct",
