@@ -119,27 +119,63 @@ def pca_power_iteration(
     * λ₁ is the Rayleigh fold v·(Cv); the trace comes from the exact
       BIGINT diagonal.
 
-    Scale shape: the scatter build explodes |corpus|·d² skinny rows
-    with map-side combine (shuffle ≤ P·d² partials; C is symmetric, so
-    a bandwidth-tight build could halve it); everything after runs on
-    d-row / 1-row frames.  For d ≫ 10² swap the explode for a
-    per-partition outer-product accumulation in mapInPandas (BLAS) —
-    the d² shuffle stays the same.
+    Scale shape: the scatter builds as a per-partition INTEGER
+    outer-product accumulation in one mapInPandas pass (int64 matmul —
+    exact arithmetic, so the result is bit-identical to the explode
+    formulation the oracle replays); each task emits d²+d+1 partial
+    rows regardless of its data, and the (j, k) aggregation shuffles
+    ≤ P·d² partials.  Everything after runs on d-row / 1-row frames.
+    C is symmetric, so a bandwidth-tight build could halve the emit.
     """
     us = float(unit_scale)
-    y = df.where(F.size(emb_col) == dim).select(
-        F.transform(
-            F.col(emb_col),
-            lambda e: F.floor(e.cast("double") * F.lit(us) + F.lit(0.5)).cast(
-                "long"
-            ),
-        ).alias("y")
+    vecs = df.where(F.size(emb_col) == dim).select(F.col(emb_col).alias("e"))
+
+    def _scatter(batches):
+        import numpy as np
+        import pandas as pd
+
+        c_acc = np.zeros((dim, dim), dtype=np.int64)
+        s_acc = np.zeros(dim, dtype=np.int64)
+        n_acc = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            # the SAME quantization expression the oracle replays:
+            # floor(float64(e) * unit_scale + 0.5) — exact int64 after
+            yq = np.floor(x * us + 0.5).astype(np.int64)
+            c_acc += yq.T @ yq  # int64 matmul: exact, no float sum
+            s_acc += yq.sum(axis=0)
+            n_acc += yq.shape[0]
+        if n_acc == 0:
+            return
+        jj, kk = np.meshgrid(
+            np.arange(dim, dtype=np.int32),
+            np.arange(dim, dtype=np.int32),
+            indexing="ij",
+        )
+        out = pd.DataFrame(
+            {
+                "j": np.concatenate([jj.ravel(), np.arange(dim, dtype=np.int32), [-1]]),
+                "k": np.concatenate([kk.ravel(), np.full(dim, -1, dtype=np.int32), [-1]]),
+                "c": np.concatenate([c_acc.ravel(), s_acc, [n_acc]]),
+            }
+        )
+        yield out
+
+    partials = (
+        vecs.mapInPandas(_scatter, "j INT, k INT, c LONG")
+        .groupBy("j", "k")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=True)  # c/s/nrow all slice this frame
     )
-    p1 = y.select(F.posexplode("y").alias("j", "yj"), "y")
-    p2 = p1.select("j", "yj", F.posexplode("y").alias("k", "yk"))
-    c = p2.groupBy("j", "k").agg(F.sum(F.col("yj") * F.col("yk")).alias("c"))
-    s = p1.groupBy("j").agg(F.sum("yj").alias("s"))
-    nrow = y.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    c = partials.where((F.col("j") >= 0) & (F.col("k") >= 0))
+    s = partials.where((F.col("j") >= 0) & (F.col("k") == -1)).select(
+        "j", F.col("c").alias("s")
+    )
+    nrow = partials.where((F.col("j") == -1) & (F.col("k") == -1)).select(
+        F.col("c").alias("n")
+    )
     cov = (
         c.join(s.select(F.col("j").alias("__j"), F.col("s").alias("sj")),
                F.col("j") == F.col("__j"))
