@@ -103,7 +103,10 @@ def pca_power_iteration(
     collapse toward a dominant direction; a high λ₁/trace ratio says
     cosine similarities are inflated by a common component).
 
-    Returns ONE row: ``n_vecs, lambda1, total_var, anisotropy``.
+    Returns ONE row: ``n_vecs, lambda1, total_var, anisotropy``
+    (an EMPTY input returns zero rows — there is no cloud to measure;
+    note a plain-SQL mirror's ungrouped aggregates would instead emit
+    one all-NULL row, so callers comparing engines must feed ≥1 vector).
 
     Determinism (every stage exact or fixed-order):
     * elements quantize ONCE to ``unit_scale`` integer units, so the

@@ -90,6 +90,19 @@ def unigram_logprob_score(
     )
 
 
+
+def _token_pairs(toks):
+    """(w1, w2) struct array from a token array — ONE definition of the
+    slice/zip pair extraction shared by the model builder and the
+    scoring stream: the two must stay byte-identical or the self-model
+    join silently stops covering every stream pair."""
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
 def bigram_model(
     docs: DataFrame, text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -99,13 +112,7 @@ def bigram_model(
     slices, no shuffle); both count tables partial-aggregate."""
     toks = docs.select(tokenize(F.col(text_col)).alias("t"))
     pairs = toks.select(
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
-                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("p")
+        F.explode(_token_pairs(F.col("t"))).alias("p")
     ).select("p.w1", "p.w2")
     bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     freq = docs.select(
@@ -146,13 +153,7 @@ def bigram_logprob_score(
     toks = docs.select(F.col(id_col), tokenize(F.col(text_col)).alias("t"))
     stream = toks.select(
         F.col(id_col),
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
-                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("p"),
+        F.explode(_token_pairs(F.col("t"))).alias("p"),
     ).select(F.col(id_col), "p.w1", "p.w2")
     c1w1 = freq.select(F.col("token").alias("w1"), F.col("c").alias("cw1"))
     c1w2 = freq.select(F.col("token").alias("w2"), F.col("c").alias("cw2"))

@@ -599,6 +599,12 @@ def weighted_sample_k(
     re-run-stable, ``salt`` re-deals.  Rows with NULL or non-positive
     weight never sample (a zero-weight row has race key -inf).
 
+    Weights must be an INTEGRAL column (the house integer-units rule —
+    scale scores once, e.g. ``floor(quality·10⁶ + 0.5)``): a fractional
+    weight column raises rather than silently truncating to 0 in the
+    bigint cast, which would filter out every row with weight < 1 and
+    return a short/empty "sample" with no error.
+
     Determinism across engines: ``u = (h + 0.5) / 2^60`` is exact IEEE
     arithmetic on identical inputs; ``ln(u)`` is the one libm call, so
     it is micro-rounded to BIGINT per row (the PMI/Zipf precedent)
@@ -610,6 +616,17 @@ def weighted_sample_k(
     """
     if k <= 0:
         raise ValueError("k must be positive")
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    wtype = df.schema[weight_col].dataType
+    if not isinstance(wtype, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"weight_col {weight_col!r} is {wtype.simpleString()}; weights "
+            "must be integral — scale fractional scores to integer units "
+            "first (e.g. floor(quality * 1e6 + 0.5)), otherwise the "
+            "bigint cast would truncate sub-1 weights to 0 and silently "
+            "drop those rows"
+        )
     h = _hash60(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
     lnu = F.floor(F.log(u) * F.lit(1000000.0) + F.lit(0.5)).cast("long")

@@ -431,21 +431,10 @@ def hll_registers(df: DataFrame, column: str) -> DataFrame:
     shuffle carries <= P*256 tiny rows no matter the input size.
     Mergeable by construction: union register tables, re-take max(mj)
     (``hll_merge``) — the cross-partition/cross-day rollup costs
-    nothing."""
-    h = kmv_hash(F.col(column))
-    w = F.shiftright(h, HLL_P)
-    rho = F.when(w == 0, F.lit(HLL_RHO_MAX)).otherwise(
-        F.lit(HLL_RHO_MAX) - F.length(F.bin(w))
-    )
-    return (
-        df.where(F.col(column).isNotNull())
-        .select(
-            h.bitwiseAND(F.lit(HLL_M - 1)).cast("int").alias("idx"),
-            rho.cast("int").alias("rho"),
-        )
-        .groupBy("idx")
-        .agg(F.max("rho").alias("mj"))
-    )
+    nothing.  One definition: this IS ``hll_registers_grouped`` with no
+    group columns (the single-definition rule — a drifted copy would
+    silently desynchronize the global and grouped estimators)."""
+    return hll_registers_grouped(df, column)
 
 
 def hll_merge(*sketches: DataFrame) -> DataFrame:
@@ -468,36 +457,9 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     in the fixed final expression (identical literal tree in the DuckDB
     oracle).  Output carries the integer state (``sum_pow``,
     ``n_zero_regs``) alongside the estimate so an oracle hash verifies
-    the sketch exactly, not just to rounding."""
-    s = registers.agg(
-        F.count(F.lit(1)).alias("np"),
-        # shiftleft's bit count must be a literal in the Column API —
-        # the per-register shift comes from SQL text instead
-        F.sum(
-            F.expr(f"shiftleft(cast(1 as bigint), {HLL_RHO_MAX} - mj)")
-        ).alias("sp"),
-    )
-    vz = F.lit(HLL_M) - F.col("np")
-    sum_pow = (
-        F.coalesce(F.col("sp"), F.lit(0))
-        + vz.cast("long") * F.lit(1 << HLL_RHO_MAX).cast("long")
-    )
-    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
-    raw = (
-        alpha
-        * F.lit(float(HLL_M * HLL_M))
-        * F.lit(float(1 << HLL_RHO_MAX))
-        / sum_pow.cast("double")
-    )
-    linear = F.lit(float(HLL_M)) * F.log(
-        F.lit(float(HLL_M)) / vz.cast("double")
-    )
-    est = F.when((vz > 0) & (raw <= F.lit(2.5 * HLL_M)), linear).otherwise(raw)
-    return s.select(
-        F.round(est, 6).alias("est_distinct"),
-        sum_pow.cast("bigint").alias("sum_pow"),
-        vz.cast("bigint").alias("n_zero_regs"),
-    )
+    the sketch exactly, not just to rounding.  One definition: this IS
+    ``hll_estimate_grouped`` with no group columns."""
+    return hll_estimate_grouped(registers)
 
 
 def hll_distinct(df: DataFrame, column: str) -> DataFrame:

@@ -1404,12 +1404,16 @@ def q_sq8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dot/rescale/normalize, and the Rayleigh quotient.
 # ---------------------------------------------------------------------------
 
+# GREATEST guards mirror the Spark side's rank-0 protection
+# (embedding_stats: mx clamped to 1, n2 to 1e-300) so a degenerate
+# all-zero iterate stays bit-identical across engines too
 _PCA_VNEXT = (
     "SELECT list_transform(r, x -> floor(x / sqrt(n2) * 1000000.0 + 0.5)"
-    " / 1000000.0) AS v FROM (SELECT r, list_dot_product(r, r) AS n2"
+    " / 1000000.0) AS v FROM (SELECT r,"
+    " GREATEST(list_dot_product(r, r), 1e-300) AS n2"
     " FROM (SELECT list_transform(warr, x -> CAST(x AS DOUBLE) / mx) AS r"
-    " FROM (SELECT warr, CAST(list_max(list_transform(warr,"
-    " x -> abs(x))) AS DOUBLE) AS mx FROM {a})))"
+    " FROM (SELECT warr, GREATEST(CAST(list_max(list_transform(warr,"
+    " x -> abs(x))) AS DOUBLE), CAST(1 AS DOUBLE)) AS mx FROM {a})))"
 )
 
 _PCA_WSTEP = (

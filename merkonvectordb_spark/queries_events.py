@@ -629,10 +629,15 @@ edges AS (
   SELECT event_type, [t1, t2, t3, t4, t5, t6, t7, t8, t9] AS e
   FROM ed
 ),
+types AS (SELECT DISTINCT event_type FROM ev),
 assigned AS (
+  -- LEFT join + bin-1 fallback: a type with NO reference rows (a
+  -- brand-new event type — maximal drift) has no edges; an inner join
+  -- would silently drop it from the report
   SELECT ev.event_type, is_ref,
-         1 + len(list_filter(e, x -> ev.value > x)) AS bin
-  FROM ev JOIN edges ON ev.event_type = edges.event_type
+         CASE WHEN e IS NULL THEN 1
+              ELSE 1 + len(list_filter(e, x -> ev.value > x)) END AS bin
+  FROM ev LEFT JOIN edges ON ev.event_type = edges.event_type
 ),
 counts AS (
   SELECT event_type, bin,
@@ -641,7 +646,7 @@ counts AS (
   FROM assigned GROUP BY 1, 2
 ),
 skel AS (
-  SELECT event_type, unnest(range(1, 11)) AS bin FROM edges
+  SELECT event_type, unnest(range(1, 11)) AS bin FROM types
 ),
 filled AS (
   SELECT skel.event_type, skel.bin,
@@ -714,19 +719,25 @@ def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.array(*[F.col(f"t{j}") for j in range(1, 10)]).alias("e"),
     )
-    assigned = ev.join(F.broadcast(edges), "event_type").select(
+    # LEFT join + bin-1 fallback: a type with NO reference rows (a
+    # brand-new event type — maximal drift) has no edges row; an inner
+    # join would silently drop it from the report
+    assigned = ev.join(F.broadcast(edges), "event_type", "left").select(
         "event_type",
         "is_ref",
-        (
+        F.when(F.col("e").isNull(), F.lit(1))
+        .otherwise(
             F.lit(1)
             + F.size(F.filter(F.col("e"), lambda x: F.col("value") > x))
-        ).alias("bin"),
+        )
+        .alias("bin"),
     )
     counts = assigned.groupBy("event_type", "bin").agg(
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("cr"),
         F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).cast("bigint").alias("cc"),
     )
-    skel = edges.select(
+    types = ev.select("event_type").distinct()
+    skel = types.select(
         "event_type", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("bin")
     )
     filled = (

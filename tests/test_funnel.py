@@ -62,3 +62,28 @@ def test_psi_drift_flags_planted_shift(spark, tmp_path):
     assert not got["stable"].drift
     assert got["shifted"].psi > 1.0
     assert got["shifted"].drift
+
+
+def test_psi_drift_reports_brand_new_event_type(spark, tmp_path):
+    """A type with ZERO reference rows (first emitted after the split)
+    is maximal drift — it must appear in the report (single-bucket
+    fallback), not vanish through an inner edge join."""
+    from datetime import datetime
+
+    from merkonvectordb_spark.queries_events import q_events_psi_drift
+
+    rows = []
+    for v in range(50):
+        rows.append((v, datetime(2024, 1, 5, 12), v % 7, "old", float(v), "{}"))
+        rows.append((1000 + v, datetime(2024, 1, 20, 12), v % 7, "old", float(v), "{}"))
+        rows.append((2000 + v, datetime(2024, 1, 20, 12), v % 7, "brand_new", float(v), "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.event_type: r for r in q_events_psi_drift(spark, str(tmp_path)).collect()}
+    assert "brand_new" in got
+    assert got["brand_new"].n_ref == 0 and got["brand_new"].n_cur == 50
+    assert got["brand_new"].drift

@@ -362,3 +362,15 @@ def test_weighted_sample_k_plans_as_heap_topk(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_k_rejects_fractional_weights(spark):
+    """A double weight column must raise, not truncate to 0 in the
+    bigint cast and silently return an empty 'sample'."""
+    from merkonvectordb_spark.operators.pipeline import weighted_sample_k
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") / 100.0).alias("w")
+    )
+    with pytest.raises(ValueError, match="integral"):
+        weighted_sample_k(df, "k", "w", 10)

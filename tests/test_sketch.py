@@ -296,4 +296,4 @@ def test_hll_register_shuffle_is_bounded(spark):
 
     df = spark.range(100_000).select(F.col("id").alias("v"))
     plan = hll_registers(df, "v")._jdf.queryExecution().executedPlan().toString()
-    assert "partial_max" in plan.lower() or "HashAggregate" in plan
+    assert "partial_max" in plan.lower()
