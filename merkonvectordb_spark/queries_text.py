@@ -1610,3 +1610,113 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_logprob_score(docs, "doc_id", "text", lam=0.7)
+
+
+# ---------------------------------------------------------------------------
+# Cross-source quantile normalization (ECDF matching): replace each
+# document's quality with the GLOBAL quality at the same percentile
+# position — the batch-effect correction that makes per-source score
+# distributions comparable before a single corpus-wide threshold is
+# applied (one crawler's "0.6" is another's "0.4").
+# ---------------------------------------------------------------------------
+
+_QNORM_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, source,
+         CAST(floor({{qsql}} * 1000000.0 + 0.5) AS BIGINT) AS qm
+  FROM documents
+),
+r AS (
+  SELECT source, qm,
+         row_number() OVER (PARTITION BY source ORDER BY qm, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS ns
+  FROM q
+),
+gl AS (
+  SELECT qm AS target_qm,
+         row_number() OVER (ORDER BY qm, doc_id) AS g
+  FROM q
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+tgt AS (
+  SELECT source, qm, (rn * n + ns - 1) // ns AS g
+  FROM r CROSS JOIN nn
+),
+j AS (SELECT source, qm, target_qm FROM tgt JOIN gl USING (g))
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round((CAST(sum(qm) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             / 1000000.0, 6) AS mean_q,
+       round((CAST(sum(target_qm) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             / 1000000.0, 6) AS mean_q_norm
+FROM j GROUP BY source
+""".strip()
+
+
+@register(
+    "quality_quantile_normalize", _QNORM_ORACLE.format(qsql=_quality_sql("text"))
+)
+def q_quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete ECDF matching: a document at source-local rank rn of ns
+    maps to the global value at rank ceil(rn·N/ns) — all INTEGER rank
+    arithmetic on micro-unit scores, with (qm, doc_id) as the total
+    order so both engines pick identical rank holders under ties.
+
+    Scale shape: the source-local ranks are per-source windows (bounded
+    by the largest source); the GLOBAL rank comes from the house
+    two-pass range-partition + prefix-count
+    (`operators.pipeline.global_exclusive_prefix_sum` with a ones
+    column) — never a single-partition window; the rank-equality join
+    shuffles on an integer key.  rn·N stays in BIGINT up to ~10⁹ docs
+    per source — switch the product to DECIMAL(38,0) beyond."""
+    from pyspark.sql import Window
+
+    from merkonvectordb_spark.operators.pipeline import (
+        global_exclusive_prefix_sum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.floor(X.quality_score(F.col("text")) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("qm"),
+    )
+    wr = Window.partitionBy("source").orderBy("qm", "doc_id")
+    wc = Window.partitionBy("source")
+    r = q.select(
+        "source",
+        "qm",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("ns"),
+    )
+    g = global_exclusive_prefix_sum(
+        q.select("qm", "doc_id").withColumn("__one", F.lit(1)),
+        ["qm", "doc_id"],
+        "__one",
+        out_col="__r0",
+    )
+    glob = g.select(
+        (F.col("__r0") + 1).alias("g"), F.col("qm").alias("target_qm")
+    )
+    nn = q.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tgt = r.crossJoin(F.broadcast(nn)).select(
+        "source",
+        "qm",
+        F.expr("(rn * n + ns - 1) div ns").alias("g"),
+    )
+    j = tgt.join(glob, "g")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            (F.sum("qm").cast("double") / F.count(F.lit(1)).cast("double"))
+            / F.lit(1000000.0),
+            6,
+        ).alias("mean_q"),
+        F.round(
+            (F.sum("target_qm").cast("double")
+             / F.count(F.lit(1)).cast("double"))
+            / F.lit(1000000.0),
+            6,
+        ).alias("mean_q_norm"),
+    )

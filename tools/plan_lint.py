@@ -141,6 +141,9 @@ ALLOW: dict[tuple[str, str], str] = {
         "30-row day frame broadcast against day-grain register/pair "
         "tables for the trailing-window range join — |days| constant, "
         "each row meets ≤7 windows",
+    ("quality_quantile_normalize", "nested_loop"):
+        "corpus-count scalar (1 row) crossJoined for the rank-rescale "
+        "arithmetic (the quality_quantile_filter shape)",
     ("hll_distinct", "nested_loop"):
         "exact-count scalar (1 row) crossJoined to the 1-row HLL "
         "estimate, same shape as sketch_distinct",
