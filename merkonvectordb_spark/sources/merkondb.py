@@ -153,3 +153,54 @@ def migrate_merkondb(
     # metadata.id (they already went through that mapping at write time)
     store.upsert(rows, key_from_metadata=False)
     return raw.count()
+
+
+def write_merkondb(store, path: str, collections: list[str] | None = None) -> int:
+    """Export a ``VectorStore`` back to a reference-compatible database
+    file — the other half of interop: run this engine at scale, hand a
+    single-node reference deployment its native format back.
+
+    Layout written is exactly what ``iter_entries`` reads (int-keyed
+    [MessagePackObject] → array, Dictionary → map); embeddings render
+    through the engine's F2 egress codec and timestamps through the
+    "u" format (`date_format(ts, "yyyy-MM-dd HH:mm:ss'Z'")`,
+    MerkonDatabase.cs:252-254's DateTimeOffset "u" round-trip).
+
+    The reference file is single-node BY CONSTRUCTION, so this
+    ``collect()`` is the point of the operation, not an anti-pattern —
+    guard rails: refuses above 1M rows (a reference deployment could
+    not load that file anyway).  Returns the number of exported rows.
+    """
+    from pyspark.sql import functions as F
+
+    from merkonvectordb_spark.sources.ingest import encode_embedding_json
+
+    colls = collections or sorted(
+        r["collection"] for r in store.list_collections().collect()
+    )
+    frames = store.vectors().where(F.col("collection").isin(list(colls)))
+    n = frames.count()
+    if n > 1_000_000:
+        raise ValueError(
+            f"{n} rows — a reference deployment loads the whole file "
+            "into one process; export per collection instead"
+        )
+    rows = frames.select(
+        "collection",
+        "key",
+        "metadata",
+        encode_embedding_json(F.col("embedding")).alias("embedding_json"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss'Z'").alias("ts_u"),
+        "ingest_seq",
+    ).collect()
+    data: dict[str, list] = {c: [] for c in colls}
+    # reference lists are append-ordered; ingest_seq reproduces it
+    for r in sorted(rows, key=lambda r: (r["collection"], r["ingest_seq"])):
+        data[r["collection"]].append(
+            [r["key"], r["metadata"], r["embedding_json"], r["ts_u"]]
+        )
+    from merkonvectordb_spark.sources.msgpackio import packb
+
+    with open(path, "wb") as fh:
+        fh.write(packb([data]))
+    return n

@@ -167,3 +167,42 @@ def test_migrate_into_vector_store_and_search(spark, tmp_path):
     # timestamps came through the engine's own "u"-format parser
     got = {r.key: r.ts for r in store.scan("docs").select("key", "ts").collect()}
     assert got["d1"].year == 2024 and got["d1"].second == 0
+
+
+def test_export_roundtrip_through_reference_format(spark, tmp_path):
+    """migrate → export → re-read must reproduce every entry: the
+    bidirectional interop contract (run at scale here, hand the file
+    back to a single-node reference deployment)."""
+    from merkonvectordb_spark.sources.merkondb import (
+        migrate_merkondb,
+        read_merkondb,
+        write_merkondb,
+    )
+    from merkonvectordb_spark.sources.vector_store import VectorStore
+
+    src = tmp_path / "in.db"
+    src.write_bytes(
+        _reference_doc(
+            {
+                "a": [
+                    ("k1", '{"id": "k1"}', "[1.0,2.5]", "2024-03-01 10:00:00Z"),
+                    ("k2", '{"id": "k2"}', "[0.5,0.25]", "2024-03-01 10:00:01Z"),
+                ],
+            }
+        )
+    )
+    store = VectorStore(spark, str(tmp_path / "wh"))
+    store.create_table()
+    assert migrate_merkondb(spark, str(src), store) == 2
+    out = tmp_path / "out.db"
+    assert write_merkondb(store, str(out)) == 2
+    back = {
+        (r.collection, r.key): r
+        for r in read_merkondb(spark, str(out)).collect()
+    }
+    assert set(back) == {("a", "k1"), ("a", "k2")}
+    assert back[("a", "k1")].ts_u == "2024-03-01 10:00:00Z"
+    import json as _json
+
+    assert _json.loads(back[("a", "k1")].embedding_json) == [1.0, 2.5]
+    assert _json.loads(back[("a", "k2")].embedding_json) == [0.5, 0.25]
