@@ -1014,3 +1014,76 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# merkondb migration round-trip, driver-verified: synthesize a reference
+# database file from the documents table (driver-side — the reference
+# format is single-node by construction), read it back through the
+# Python DataSource, aggregate.  The oracle computes the SAME output
+# directly from documents — any byte the codec or source mangles
+# (keys, metadata strings, entry counts, collection routing) breaks
+# the hash.
+# ---------------------------------------------------------------------------
+
+_MERKONDB_RT_ORACLE = """
+SELECT source AS collection,
+       CAST(count(*) AS BIGINT) AS n_entries,
+       min(CAST(doc_id AS VARCHAR)) AS min_key,
+       max(CAST(doc_id AS VARCHAR)) AS max_key,
+       CAST(sum(length('{"id": "' || CAST(doc_id AS VARCHAR) || '"}'))
+            AS BIGINT) AS meta_chars,
+       CAST(sum(length('[' || CAST(n_chars AS VARCHAR) || '.0]'))
+            AS BIGINT) AS emb_chars
+FROM documents GROUP BY source
+""".strip()
+
+
+@register("merkondb_roundtrip", _MERKONDB_RT_ORACLE)
+def q_merkondb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → reference-format MessagePack file → DataSource read →
+    per-collection aggregate.  Exercises the full migration surface
+    (spec-derived codec encode+decode, the `merkondb` Python DataSource,
+    string fidelity) under the driver's own environment; the oracle is
+    the no-round-trip formulation, so the hash match proves the file
+    layer is lossless."""
+    import shutil
+    import tempfile
+
+    from merkonvectordb_spark.sources.merkondb import read_merkondb
+    from merkonvectordb_spark.sources.msgpackio import packb
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    data: dict[str, list] = {}
+    # driver-side build is the point: the reference file IS single-node
+    for r in sorted(docs.collect(), key=lambda r: (r["source"], r["doc_id"])):
+        data.setdefault(r["source"], []).append(
+            [
+                str(r["doc_id"]),
+                '{"id": "' + str(r["doc_id"]) + '"}',
+                "[" + str(r["n_chars"]) + ".0]",
+                "2024-01-01 00:00:00Z",
+            ]
+        )
+    root = tempfile.mkdtemp(prefix="merkondb_rt_")
+    try:
+        with open(f"{root}/rt.db", "wb") as fh:
+            fh.write(packb([data]))
+        back = read_merkondb(spark, f"{root}/rt.db")
+        out = back.groupBy("collection").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_entries"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+            F.sum(F.length("metadata")).cast("bigint").alias("meta_chars"),
+            F.sum(F.length("embedding_json")).cast("bigint").alias("emb_chars"),
+        )
+        # materialize before the temp file disappears
+        return spark.createDataFrame(
+            out.collect(),
+            "collection STRING, n_entries LONG, min_key STRING,"
+            " max_key STRING, meta_chars LONG, emb_chars LONG",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
