@@ -123,9 +123,7 @@ def read_merkondb(spark: "SparkSession", path: str) -> "DataFrame":
     return spark.read.format("merkondb").load(path)
 
 
-def migrate_merkondb(
-    spark: "SparkSession", path: str, store, batch_ts=None
-) -> int:
+def migrate_merkondb(spark: "SparkSession", path: str, store) -> int:
     """Load a reference database file into a ``VectorStore`` through the
     engine's own ingest expressions — returns the number of migrated
     rows.  Collections are created (registry) before data lands, so
