@@ -192,3 +192,61 @@ def pii_redact(text: Column) -> Column:
     """
     no_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+
+
+# fixed symbol set for the character-entropy signal: the 26 letters plus
+# space — counts come from length-difference after replace(), so the
+# whole computation is exact integers until one micro-rounded ln
+ENTROPY_ALPHABET: tuple[str, ...] = tuple("abcdefghijklmnopqrstuvwxyz") + (" ",)
+
+
+def char_entropy_nano(text: Column) -> Column:
+    """Shannon entropy (nats, as BIGINT nano-units) of the lowercased
+    character distribution over ``ENTROPY_ALPHABET`` — the classic
+    low-entropy screen for repetitive boilerplate ("aaaa…", padded
+    separators) that word-level filters miss.
+
+    Construction keeps the cross-engine contract: per-symbol counts are
+    ``length(t) − length(replace(t, ch))`` (exact integers, scan-local);
+    the total is an integer fold; each term ``−p·ln p`` micro-rounds its
+    single ``ln`` call and re-rounds to an integer nano-unit, so the
+    27-term sum is associative and the result hash-stable.  Empty /
+    NULL / out-of-alphabet-only text yields 0."""
+    t = F.lower(F.coalesce(text, F.lit("")))
+
+    def _counts(tt: Column) -> Column:
+        return F.transform(
+            F.array(*[F.lit(ch) for ch in ENTROPY_ALPHABET]),
+            lambda ch: (
+                F.length(tt) - F.length(F.replace(tt, ch, F.lit("")))
+            ).cast("long"),
+        )
+
+    # bind t once through a single-element transform (the HOF re-eval
+    # rule: a computed expression referenced inside a lambda re-runs
+    # per element — 27× here)
+    wrapped = F.transform(F.array(t), _counts)[0]
+    total = F.aggregate(
+        wrapped, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+    def _term(c: Column, tot: Column) -> Column:
+        p = c.cast("double") / tot.cast("double")
+        lnm = F.floor(F.log(p) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        return F.floor(
+            -(p * (lnm.cast("double") / F.lit(1000000.0))) * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long")
+
+    h = F.aggregate(
+        F.zip_with(
+            wrapped,
+            F.transform(wrapped, lambda _: total),
+            lambda c, tot: F.when((c > 0) & (tot > 0), _term(c, tot)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return h

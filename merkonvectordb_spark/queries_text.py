@@ -1720,3 +1720,78 @@ def q_quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_q_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# character-entropy screen: the low-entropy repetitive-boilerplate
+# filter word-level signals miss.  Exact integer counts per symbol,
+# one micro-rounded ln per term, nano-unit integer terms — the sum is
+# associative, the hash stable by construction.
+# ---------------------------------------------------------------------------
+
+_ENT_ALPH_SQL = "[" + ", ".join(
+    "'" + (ch if ch != "'" else "''") + "'" for ch in X.ENTROPY_ALPHABET
+) + "]"
+
+_ENT_TERM_SQL = (
+    "CASE WHEN c > 0 AND tot > 0 THEN CAST(floor("
+    "-((CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))"
+    " * (CAST(floor(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))"
+    "            * 1000000.0 + 0.5) AS BIGINT)"
+    "    / CAST(1000000.0 AS DOUBLE)))"
+    " * 1000000000.0 + 0.5) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+)
+
+_ENTROPY_ORACLE = f"""
+WITH cn AS (
+  SELECT source,
+         list_transform({_ENT_ALPH_SQL},
+           ch -> CAST(length(lower(coalesce(text, '')))
+                      - length(replace(lower(coalesce(text, '')), ch, ''))
+                      AS BIGINT)) AS cnts
+  FROM documents
+),
+h AS (
+  SELECT source,
+         CAST(list_sum(list_transform(cnts, c -> {_ENT_TERM_SQL}))
+              AS BIGINT) AS h_nano
+  FROM (SELECT source, cnts, CAST(list_sum(cnts) AS BIGINT) AS tot FROM cn)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round((CAST(sum(h_nano) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             / 1000000000.0, 6) AS mean_entropy,
+       round(CAST(min(h_nano) AS DOUBLE) / 1000000000.0, 6) AS min_entropy,
+       CAST(sum(CASE WHEN h_nano < 2600000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_entropy
+FROM h GROUP BY source
+""".strip()
+
+
+@register("char_entropy_screen", _ENTROPY_ORACLE)
+def q_char_entropy_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon character entropy profile (nats over the
+    a-z+space distribution) with a < 2.6-nat low-entropy alarm count —
+    natural prose sits ~2.7-3.0; repeated-token boilerplate collapses
+    toward 0.  See `functions.text.char_entropy_nano` for the exact
+    integer construction.  Scale shape: 27 scan-local replace() counts
+    per row, one partial-aggregated groupBy — scan-bound; the alarm
+    threshold compares INTEGER nano-units, no float in the predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "source", X.char_entropy_nano(F.col("text")).alias("h_nano")
+    )
+    return h.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            (F.sum("h_nano").cast("double") / F.count(F.lit(1)).cast("double"))
+            / F.lit(1000000000.0),
+            6,
+        ).alias("mean_entropy"),
+        F.round(
+            F.min("h_nano").cast("double") / F.lit(1000000000.0), 6
+        ).alias("min_entropy"),
+        F.sum(
+            F.when(F.col("h_nano") < F.lit(2600000000), 1).otherwise(0)
+        ).cast("bigint").alias("n_low_entropy"),
+    )

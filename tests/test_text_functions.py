@@ -209,3 +209,35 @@ def test_bigram_score_drops_short_docs(spark):
     )
     got = {r.doc_id for r in bigram_logprob_score(docs).collect()}
     assert got == {1}
+
+
+def test_char_entropy_collapses_on_boilerplate(spark):
+    """Repeated-symbol boilerplate must collapse toward 0 while prose
+    sits near ln(alphabet-in-use); NULL/empty/out-of-alphabet text is
+    0 (no distribution to measure)."""
+    import math
+
+    from merkonvectordb_spark.functions.text import char_entropy_nano
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaaaa"),
+            (2, "abababababab"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, ""),
+            (5, None),
+            (6, "!!!???!!!"),
+        ],
+        "i INT, t STRING",
+    )
+    got = {
+        r.i: r.h
+        for r in df.select(
+            "i", char_entropy_nano(F.col("t")).alias("h")
+        ).collect()
+    }
+    assert got[1] == 0
+    assert abs(got[2] / 1e9 - math.log(2)) < 1e-6
+    assert got[3] / 1e9 > 2.5
+    assert got[4] == 0 and got[5] == 0 and got[6] == 0
+    assert got[1] < got[2] < got[3]
