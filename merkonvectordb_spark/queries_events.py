@@ -678,65 +678,13 @@ FROM terms GROUP BY event_type
 """.strip()
 
 
-@register("events_psi_drift", _PSI_ORACLE)
-def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PSI = Σ_bins (p−q)·ln(p/q) with p the reference fraction and q
-    the current fraction, Laplace-smoothed (+1/+10), over the reference
-    half's own per-type deciles.
 
-    Determinism: decile edges are rank-based ORDER STATISTICS (selected
-    raw values, no interpolation); bin assignment is a fixed-order
-    array-filter count; fractions are exact IEEE divisions of integer
-    counts; ln micro-rounds at 1e-9 (the one libm call) and each bin's
-    term re-rounds to an exact BIGINT nano-unit, so the 10-term sum is
-    associative.  Scale shape: one scan splits ref/cur; the rank
-    windows partition by event_type (per-task buffer = one type's ref
-    rows; swap in operators.stats.global_ntile for a monster type);
-    edges broadcast back; everything after is |types|×10-sized."""
-    split = F.unix_micros(F.col("ts")) < F.lit(_PSI_SPLIT_US)
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .where(F.col("value").isNotNull())
-        .select("event_type", "value", split.alias("is_ref"))
-    )
-    wr = Window.partitionBy("event_type").orderBy("value")
-    wc = Window.partitionBy("event_type")
-    r = ev.where("is_ref").select(
-        "event_type",
-        "value",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
-    )
-    edge_aggs = [
-        F.max(
-            F.when(
-                F.col("rn") <= F.expr(f"({j} * n + 9) div 10"), F.col("value")
-            )
-        ).alias(f"t{j}")
-        for j in range(1, 10)
-    ]
-    edges = r.groupBy("event_type").agg(*edge_aggs).select(
-        "event_type",
-        F.array(*[F.col(f"t{j}") for j in range(1, 10)]).alias("e"),
-    )
-    # LEFT join + bin-1 fallback: a type with NO reference rows (a
-    # brand-new event type — maximal drift) has no edges row; an inner
-    # join would silently drop it from the report
-    assigned = ev.join(F.broadcast(edges), "event_type", "left").select(
-        "event_type",
-        "is_ref",
-        F.when(F.col("e").isNull(), F.lit(1))
-        .otherwise(
-            F.lit(1)
-            + F.size(F.filter(F.col("e"), lambda x: F.col("value") > x))
-        )
-        .alias("bin"),
-    )
-    counts = assigned.groupBy("event_type", "bin").agg(
-        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("cr"),
-        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).cast("bigint").alias("cc"),
-    )
-    types = ev.select("event_type").distinct()
+
+def _psi_report(counts: DataFrame, types: DataFrame) -> DataFrame:
+    """PSI tail shared by the batch and streaming monitors: per-(type,
+    bin) (cr, cc) counts + the type universe → the drift report.  One
+    definition so the streaming fold's verdict arithmetic can never
+    drift from the batch monitor the oracle verifies."""
     skel = types.select(
         "event_type", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("bin")
     )
@@ -774,3 +722,74 @@ def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("psi"),
         (F.sum("term_nano") > F.lit(200000000)).alias("drift"),
     )
+
+
+def _psi_edges(ev: DataFrame) -> DataFrame:
+    """Reference-half decile edges per type (rank-based order
+    statistics) — the 'trained offline' artifact the streaming monitor
+    broadcasts; shared with the batch monitor."""
+    wr = Window.partitionBy("event_type").orderBy("value")
+    wc = Window.partitionBy("event_type")
+    r = ev.where("is_ref").select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    edge_aggs = [
+        F.max(
+            F.when(
+                F.col("rn") <= F.expr(f"({j} * n + 9) div 10"), F.col("value")
+            )
+        ).alias(f"t{j}")
+        for j in range(1, 10)
+    ]
+    return r.groupBy("event_type").agg(*edge_aggs).select(
+        "event_type",
+        F.array(*[F.col(f"t{j}") for j in range(1, 10)]).alias("e"),
+    )
+
+
+def psi_assign_bins(ev: DataFrame, edges: DataFrame) -> DataFrame:
+    """(event_type, is_ref, bin) per row — LEFT join + bin-1 fallback
+    so a type with no reference rows (maximal drift) still reports."""
+    return ev.join(F.broadcast(edges), "event_type", "left").select(
+        "event_type",
+        "is_ref",
+        F.when(F.col("e").isNull(), F.lit(1))
+        .otherwise(
+            F.lit(1)
+            + F.size(F.filter(F.col("e"), lambda x: F.col("value") > x))
+        )
+        .alias("bin"),
+    )
+
+
+@register("events_psi_drift", _PSI_ORACLE)
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI = Σ_bins (p−q)·ln(p/q) with p the reference fraction and q
+    the current fraction, Laplace-smoothed (+1/+10), over the reference
+    half's own per-type deciles.
+
+    Determinism: decile edges are rank-based ORDER STATISTICS (selected
+    raw values, no interpolation); bin assignment is a fixed-order
+    array-filter count; fractions are exact IEEE divisions of integer
+    counts; ln micro-rounds at 1e-9 (the one libm call) and each bin's
+    term re-rounds to an exact BIGINT nano-unit, so the 10-term sum is
+    associative.  Scale shape: one scan splits ref/cur; the rank
+    windows partition by event_type (per-task buffer = one type's ref
+    rows; swap in operators.stats.global_ntile for a monster type);
+    edges broadcast back; everything after is |types|×10-sized."""
+    split = F.unix_micros(F.col("ts")) < F.lit(_PSI_SPLIT_US)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value", split.alias("is_ref"))
+    )
+    assigned = psi_assign_bins(ev, _psi_edges(ev))
+    counts = assigned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("cr"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).cast("bigint").alias("cc"),
+    )
+    types = ev.select("event_type").distinct()
+    return _psi_report(counts, types)

@@ -604,3 +604,94 @@ def q_streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         for (kind, tgt), (v, t) in sorted(state.items())
     ]
     return spark.createDataFrame(out, E.REPORT_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Streaming PSI drift monitoring: the batch monitor's streaming twin.
+# Edges are the "trained offline" artifact (reference-half deciles,
+# computed once in batch); each micro-batch assigns its rows on the
+# executors and the driver folds (type, is_ref, bin) counters —
+# |types|×2×10 longs of monitoring state, mergeable by addition.  The
+# verdict re-runs the IDENTICAL report arithmetic on the folded
+# counts, so fold-over-micro-batches ≡ the one-shot batch monitor and
+# the SAME oracle hash must match.
+# ---------------------------------------------------------------------------
+
+
+def _psi_oracle_twin() -> str:
+    from merkonvectordb_spark.queries_events import _PSI_ORACLE
+
+    return _PSI_ORACLE
+
+
+@register("streaming_psi_drift", _psi_oracle_twin())
+def q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous feature-drift monitoring: reference decile edges
+    broadcast to every micro-batch, bin counts folded on the driver
+    (distributive state, the streaming-sketch contract), PSI verdicts
+    derived from lifetime totals through the shared `_psi_report`
+    arithmetic — never per batch, so alarms don't flap on small
+    batches.  Hash-matching `events_psi_drift`'s oracle proves the
+    incremental path reports exactly what the batch audit would."""
+    from merkonvectordb_spark.queries_events import (
+        _PSI_SPLIT_US,
+        _psi_edges,
+        _psi_report,
+        psi_assign_bins,
+    )
+    from merkonvectordb_spark.schema import load_table
+
+    split = F.unix_micros(F.col("ts")) < F.lit(_PSI_SPLIT_US)
+    batch_ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value", split.alias("is_ref"))
+    )
+    edges = _psi_edges(batch_ev).localCheckpoint(eager=True)
+
+    work = tempfile.mkdtemp(prefix="strm_psi_")
+    src = _staged_events_split(sf_dir, work, n_files=4)
+    ev = stream_events(spark, src, max_files_per_trigger=1)
+
+    # folded monitoring state: (event_type, bin) -> [cr, cc]
+    state: dict[tuple[str, int], list[int]] = {}
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.where(F.col("value").isNotNull()).select(
+            "event_type",
+            "value",
+            (F.unix_micros(F.col("ts")) < F.lit(_PSI_SPLIT_US)).alias(
+                "is_ref"
+            ),
+        )
+        rows = (
+            psi_assign_bins(b, edges)
+            .groupBy("event_type", "bin")
+            .agg(
+                F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("cr"),
+                F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("cc"),
+            )
+            .collect()
+        )
+        for r in rows:
+            acc = state.setdefault((r["event_type"], r["bin"]), [0, 0])
+            acc[0] += r["cr"]
+            acc[1] += r["cc"]
+
+    q = (
+        ev.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming psi drift did not finish in 600s")
+    shutil.rmtree(work, ignore_errors=True)
+
+    counts = spark.createDataFrame(
+        [(t, b, cr, cc) for (t, b), (cr, cc) in sorted(state.items())],
+        "event_type STRING, bin INT, cr LONG, cc LONG",
+    )
+    types = counts.select("event_type").distinct()
+    return _psi_report(counts, types)
