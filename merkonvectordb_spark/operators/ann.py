@@ -198,6 +198,58 @@ def knn_batch_ann(
     )
 
 
+
+def knn_batch_ann_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    min_score: float = 0.0,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    planes: list[list[list[float]]] | None = None,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB 2007): probe each query's exact
+    bucket AND every Hamming-distance-1 neighbor (flip one hyperplane
+    bit) — near-misses on a single plane are the dominant LSH failure
+    mode, so (1+n_bits)× probes buys most of the recall extra tables
+    would, WITHOUT growing the index (same ``ann_index``, same storage,
+    same bucketed layout).
+
+    Scale shape: identical to ``knn_batch_ann`` except the probe side
+    carries (1+n_bits)·n_tables rows per query — still query-set-sized;
+    the candidate set grows to the probed buckets' union, and the exact
+    re-rank stays candidate-bound.  Deterministic: the probe expansion
+    is integer XOR, the rest is the shared re-rank."""
+    planes = planes or HYPERPLANES
+    n_bits = len(planes[0])
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    cidx = ann_index(corpus.repartition(par), id_col, emb_col, planes)
+    qidx = ann_index(
+        queries.select(F.col(query_id_col), F.col(emb_col)),
+        query_id_col,
+        emb_col,
+        planes,
+    ).withColumnRenamed(query_id_col, "__qid")
+    probe_arr = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)],
+    )
+    probes = qidx.select(
+        "__qid", "table_id", F.explode(probe_arr).alias("bucket")
+    )
+    cand = (
+        probes.join(cidx, ["table_id", "bucket"])
+        .select("__qid", id_col)
+        .distinct()
+        .join(corpus.select(id_col, emb_col, *extra_cols), id_col)
+    )
+    return rerank_topk(
+        cand, queries, k, min_score, id_col, emb_col, query_id_col
+    )
+
+
 def embedding_near_pairs(
     df: DataFrame,
     threshold: float,

@@ -1490,3 +1490,65 @@ def q_embedding_pca_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_power_iteration(emb, "embedding", A.DIM, iters=3)
+
+
+# ---------------------------------------------------------------------------
+# multi-probe LSH (Lv et al. 2007): same index, Hamming-1 probe
+# expansion — the probe set is mirrored as integer XOR in SQL.
+# ---------------------------------------------------------------------------
+
+_MP_PROBES = ", ".join(
+    ["bucket"] + [f"xor(bucket, {1 << b})" for b in range(A.N_BITS)]
+)
+
+_KNN_ANN_MP_ORACLE = f"""
+WITH edim AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE len(embedding) = {A.DIM}
+),
+cbuck AS (
+  {_bucket_cte_sql("edim", "vec_id", "emb")}
+),
+qb AS (SELECT id AS query_id, table_id, bucket FROM cbuck WHERE id < 5),
+qprobe AS (
+  SELECT DISTINCT query_id, table_id,
+         unnest([{_MP_PROBES}]) AS bucket
+  FROM qb
+),
+cand AS (
+  SELECT DISTINCT qp.query_id, cb.id AS vec_id
+  FROM qprobe qp
+  JOIN cbuck cb ON qp.table_id = cb.table_id AND qp.bucket = cb.bucket
+),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM edim WHERE vec_id < 5),
+scored AS (
+  SELECT c.query_id, c.vec_id, e.label,
+         {_COS_RAW.format(a="e.emb", b="q.qv")} AS raw
+  FROM cand c
+  JOIN edim e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+  WHERE sqrt(list_dot_product(e.emb, e.emb)) > 0
+    AND sqrt(list_dot_product(q.qv, q.qv)) > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, vec_id ASC) AS rn
+  FROM scored WHERE raw >= 0.0
+)
+SELECT query_id, vec_id, label, round(raw, 6) AS score FROM ranked WHERE rn <= 3
+""".strip()
+
+
+@register("knn_batch_ann_multiprobe", _KNN_ANN_MP_ORACLE)
+def q_knn_batch_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-3: the exact bucket plus every Hamming-1
+    neighbor per (query, table) — near-boundary recall without a bigger
+    index.  See `operators.ann.knn_batch_ann_multiprobe`; the oracle
+    replays the XOR probe expansion and both rankings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qset = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = A.knn_batch_ann_multiprobe(
+        emb, qset, k=3, min_score=0.0, extra_cols=("label",)
+    )
+    return out.select("query_id", "vec_id", "label", "score")

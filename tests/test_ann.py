@@ -658,3 +658,25 @@ def test_pca_power_iteration_filters_wrong_dims(spark):
         "vec_id INT, embedding ARRAY<FLOAT>",
     )
     assert pca_power_iteration(df, "embedding", dim=2).first()["n_vecs"] == 2
+
+
+def test_multiprobe_recall_dominates_single_probe(clustered):
+    """Hamming-1 probe expansion: candidates are a SUPERSET of the
+    single-probe candidates (the exact bucket is probed too), so
+    multi-probe recall can never be lower — and on clustered data it
+    should reach exact-recall territory."""
+    from merkonvectordb_spark.operators.ann import knn_batch_ann_multiprobe
+
+    queries = clustered.where(F.col("vec_id") % 6 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_batch(clustered, queries, k=3, min_score=-1.0, tie_break="vec_id")
+    single = knn_batch_ann(clustered, queries, k=3, min_score=-1.0)
+    multi = knn_batch_ann_multiprobe(clustered, queries, k=3, min_score=-1.0)
+    want = {(r.query_id, r.vec_id) for r in exact.collect()}
+    got_s = {(r.query_id, r.vec_id) for r in single.collect()}
+    got_m = {(r.query_id, r.vec_id) for r in multi.collect()}
+    rec_s = len(want & got_s) / len(want)
+    rec_m = len(want & got_m) / len(want)
+    assert rec_m >= rec_s
+    assert rec_m >= 0.95, f"multi-probe recall {rec_m:.2f} < 0.95"
