@@ -211,7 +211,15 @@ def char_entropy_nano(text: Column) -> Column:
     the total is an integer fold; each term ``−p·ln p`` micro-rounds its
     single ``ln`` call and re-rounds to an integer nano-unit, so the
     27-term sum is associative and the result hash-stable.  Empty /
-    NULL / out-of-alphabet-only text yields 0."""
+    NULL / out-of-alphabet-only text yields 0.
+
+    HOF binding discipline (expressions referenced inside a lambda
+    re-evaluate PER ELEMENT, and HOFs are CodegenFallback — no
+    subexpression elimination): the text binds once through the outer
+    single-element transform, and the COUNTS array binds once through
+    the inner one, so the 27 replace() scans run exactly once per row;
+    only the cheap 27-int total fold re-evaluates inside the term
+    lambda."""
     t = F.lower(F.coalesce(text, F.lit("")))
 
     def _counts(tt: Column) -> Column:
@@ -222,14 +230,6 @@ def char_entropy_nano(text: Column) -> Column:
             ).cast("long"),
         )
 
-    # bind t once through a single-element transform (the HOF re-eval
-    # rule: a computed expression referenced inside a lambda re-runs
-    # per element — 27× here)
-    wrapped = F.transform(F.array(t), _counts)[0]
-    total = F.aggregate(
-        wrapped, F.lit(0).cast("long"), lambda acc, x: acc + x
-    )
-
     def _term(c: Column, tot: Column) -> Column:
         p = c.cast("double") / tot.cast("double")
         lnm = F.floor(F.log(p) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
@@ -238,15 +238,20 @@ def char_entropy_nano(text: Column) -> Column:
             + F.lit(0.5)
         ).cast("long")
 
-    h = F.aggregate(
-        F.zip_with(
-            wrapped,
-            F.transform(wrapped, lambda _: total),
-            lambda c, tot: F.when((c > 0) & (tot > 0), _term(c, tot)).otherwise(
+    def _entropy(w: Column) -> Column:
+        # w is a bound lambda variable: re-referencing it is free;
+        # `tot` is a 27-int fold over it — cheap to re-evaluate per term
+        tot = F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + x)
+        return F.aggregate(
+            w,
+            F.lit(0).cast("long"),
+            lambda acc, c: acc
+            + F.when((c > 0) & (tot > 0), _term(c, tot)).otherwise(
                 F.lit(0).cast("long")
             ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return h
+        )
+
+    return F.transform(
+        F.array(t),
+        lambda tt: F.transform(F.array(_counts(tt)), _entropy)[0],
+    )[0]

@@ -158,6 +158,52 @@ def ann_index(
     )
 
 
+def _ann_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    emb_col: str,
+    query_id_col: str,
+    planes: list[list[list[float]]],
+    extra_cols: Sequence[str],
+    probe_hamming1: bool,
+) -> DataFrame:
+    """Shared LSH candidate generation for the single- and multi-probe
+    search paths (ONE definition — a fix to the index build or the
+    candidate join can never reach one path and miss the other).
+    ``probe_hamming1`` expands each query bucket with its n_bits
+    one-bit-flip neighbors (integer XOR)."""
+    # bucket computation is CPU-bound: spread it across all cores even when
+    # the corpus arrives as 1-2 scan splits (small-file fixture artifact; a
+    # many-file 100 TB table parallelizes naturally and skips this shuffle)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    cidx = ann_index(corpus.repartition(par), id_col, emb_col, planes)
+    qidx = ann_index(
+        queries.select(F.col(query_id_col), F.col(emb_col)),
+        query_id_col,
+        emb_col,
+        planes,
+    ).withColumnRenamed(query_id_col, "__qid")
+    if probe_hamming1:
+        n_bits = len(planes[0])
+        probe_arr = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                for b in range(n_bits)
+            ],
+        )
+        qidx = qidx.select(
+            "__qid", "table_id", F.explode(probe_arr).alias("bucket")
+        )
+    return (
+        qidx.join(cidx, ["table_id", "bucket"])
+        .select("__qid", id_col)
+        .distinct()
+        .join(corpus.select(id_col, emb_col, *extra_cols), id_col)
+    )
+
+
 def knn_batch_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -179,24 +225,13 @@ def knn_batch_ann(
     ``knn_batch`` never materializes.
     """
     planes = planes or HYPERPLANES
-    # bucket computation is CPU-bound: spread it across all cores even when
-    # the corpus arrives as 1-2 scan splits (small-file fixture artifact; a
-    # many-file 100 TB table parallelizes naturally and skips this shuffle)
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    cidx = ann_index(corpus.repartition(par), id_col, emb_col, planes)
-    qidx = ann_index(
-        queries.select(F.col(query_id_col), F.col(emb_col)), query_id_col, emb_col, planes
-    ).withColumnRenamed(query_id_col, "__qid")
-    cand = (
-        qidx.join(cidx, ["table_id", "bucket"])
-        .select("__qid", id_col)
-        .distinct()
-        .join(corpus.select(id_col, emb_col, *extra_cols), id_col)
+    cand = _ann_candidates(
+        corpus, queries, id_col, emb_col, query_id_col, planes,
+        extra_cols, probe_hamming1=False,
     )
     return rerank_topk(
         cand, queries, k, min_score, id_col, emb_col, query_id_col
     )
-
 
 
 def knn_batch_ann_multiprobe(
@@ -217,33 +252,14 @@ def knn_batch_ann_multiprobe(
     would, WITHOUT growing the index (same ``ann_index``, same storage,
     same bucketed layout).
 
-    Scale shape: identical to ``knn_batch_ann`` except the probe side
-    carries (1+n_bits)·n_tables rows per query — still query-set-sized;
-    the candidate set grows to the probed buckets' union, and the exact
-    re-rank stays candidate-bound.  Deterministic: the probe expansion
-    is integer XOR, the rest is the shared re-rank."""
+    Scale shape: identical to ``knn_batch_ann`` (one shared candidate
+    builder) except the probe side carries (1+n_bits)·n_tables rows per
+    query — still query-set-sized; the candidate set grows to the
+    probed buckets' union, and the exact re-rank stays candidate-bound."""
     planes = planes or HYPERPLANES
-    n_bits = len(planes[0])
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    cidx = ann_index(corpus.repartition(par), id_col, emb_col, planes)
-    qidx = ann_index(
-        queries.select(F.col(query_id_col), F.col(emb_col)),
-        query_id_col,
-        emb_col,
-        planes,
-    ).withColumnRenamed(query_id_col, "__qid")
-    probe_arr = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)],
-    )
-    probes = qidx.select(
-        "__qid", "table_id", F.explode(probe_arr).alias("bucket")
-    )
-    cand = (
-        probes.join(cidx, ["table_id", "bucket"])
-        .select("__qid", id_col)
-        .distinct()
-        .join(corpus.select(id_col, emb_col, *extra_cols), id_col)
+    cand = _ann_candidates(
+        corpus, queries, id_col, emb_col, query_id_col, planes,
+        extra_cols, probe_hamming1=True,
     )
     return rerank_topk(
         cand, queries, k, min_score, id_col, emb_col, query_id_col

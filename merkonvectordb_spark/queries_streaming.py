@@ -618,13 +618,10 @@ def q_streaming_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _psi_oracle_twin() -> str:
-    from merkonvectordb_spark.queries_events import _PSI_ORACLE
-
-    return _PSI_ORACLE
+from merkonvectordb_spark.queries_events import _PSI_ORACLE  # noqa: E402
 
 
-@register("streaming_psi_drift", _psi_oracle_twin())
+@register("streaming_psi_drift", _PSI_ORACLE)
 def q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous feature-drift monitoring: reference decile edges
     broadcast to every micro-batch, bin counts folded on the driver

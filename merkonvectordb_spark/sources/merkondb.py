@@ -44,10 +44,13 @@ RAW_DDL = (
 
 def _db_files(path: str) -> list[str]:
     if os.path.isdir(path):
+        # regular files only: a subdirectory or checkpoint artifact in a
+        # many-databases directory must not become a doomed partition
         return sorted(
-            os.path.join(path, f)
+            p
             for f in os.listdir(path)
             if not f.startswith(".") and not f.startswith("_")
+            and os.path.isfile(p := os.path.join(path, f))
         )
     return [path]
 
@@ -118,8 +121,9 @@ def read_merkondb(spark: "SparkSession", path: str) -> "DataFrame":
     of them), registering the data source if needed."""
     try:
         spark.dataSource.register(MerkonDBDataSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as e:  # re-registration is fine; anything else isn't
+        if "exist" not in str(e).lower():
+            raise
     return spark.read.format("merkondb").load(path)
 
 
@@ -173,8 +177,14 @@ def write_merkondb(store, path: str, collections: list[str] | None = None) -> in
 
     from merkonvectordb_spark.sources.ingest import encode_embedding_json
 
-    colls = collections or sorted(
-        r["collection"] for r in store.list_collections().collect()
+    # `is not None`: an explicitly EMPTY list means "export nothing",
+    # not "export everything"
+    colls = (
+        collections
+        if collections is not None
+        else sorted(
+            r["collection"] for r in store.list_collections().collect()
+        )
     )
     frames = store.vectors().where(F.col("collection").isin(list(colls)))
     n = frames.count()

@@ -22,6 +22,16 @@ def _too_short(need: int, have: int) -> ValueError:
     return ValueError(f"truncated msgpack: need {need} bytes, have {have}")
 
 
+def _unpack(fmt: str, buf: bytes, pos: int) -> tuple:
+    """struct.unpack_from with the module's truncation contract: a cut
+    inside a fixed-width payload raises ValueError like every other
+    truncation, never struct.error/IndexError."""
+    size = struct.calcsize(fmt)
+    if pos + size > len(buf):
+        raise _too_short(pos + size, len(buf))
+    return struct.unpack_from(fmt, buf, pos)
+
+
 def _decode(buf: bytes, pos: int) -> tuple[Any, int]:
     if pos >= len(buf):
         raise _too_short(pos + 1, len(buf))
@@ -45,63 +55,65 @@ def _decode(buf: bytes, pos: int) -> tuple[Any, int]:
     if b == 0xC3:
         return True, pos
     if b == 0xC4:  # bin8
-        (n,) = struct.unpack_from(">B", buf, pos)
+        (n,) = _unpack(">B", buf, pos)
         return _decode_bin(buf, pos + 1, n)
     if b == 0xC5:  # bin16
-        (n,) = struct.unpack_from(">H", buf, pos)
+        (n,) = _unpack(">H", buf, pos)
         return _decode_bin(buf, pos + 2, n)
     if b == 0xC6:  # bin32
-        (n,) = struct.unpack_from(">I", buf, pos)
+        (n,) = _unpack(">I", buf, pos)
         return _decode_bin(buf, pos + 4, n)
     if b == 0xCA:  # float32
-        (v,) = struct.unpack_from(">f", buf, pos)
+        (v,) = _unpack(">f", buf, pos)
         return v, pos + 4
     if b == 0xCB:  # float64
-        (v,) = struct.unpack_from(">d", buf, pos)
+        (v,) = _unpack(">d", buf, pos)
         return v, pos + 8
     if b == 0xCC:
+        if pos >= len(buf):
+            raise _too_short(pos + 1, len(buf))
         return buf[pos], pos + 1
     if b == 0xCD:
-        (v,) = struct.unpack_from(">H", buf, pos)
+        (v,) = _unpack(">H", buf, pos)
         return v, pos + 2
     if b == 0xCE:
-        (v,) = struct.unpack_from(">I", buf, pos)
+        (v,) = _unpack(">I", buf, pos)
         return v, pos + 4
     if b == 0xCF:
-        (v,) = struct.unpack_from(">Q", buf, pos)
+        (v,) = _unpack(">Q", buf, pos)
         return v, pos + 8
     if b == 0xD0:
-        (v,) = struct.unpack_from(">b", buf, pos)
+        (v,) = _unpack(">b", buf, pos)
         return v, pos + 1
     if b == 0xD1:
-        (v,) = struct.unpack_from(">h", buf, pos)
+        (v,) = _unpack(">h", buf, pos)
         return v, pos + 2
     if b == 0xD2:
-        (v,) = struct.unpack_from(">i", buf, pos)
+        (v,) = _unpack(">i", buf, pos)
         return v, pos + 4
     if b == 0xD3:
-        (v,) = struct.unpack_from(">q", buf, pos)
+        (v,) = _unpack(">q", buf, pos)
         return v, pos + 8
     if b == 0xD9:  # str8
-        (n,) = struct.unpack_from(">B", buf, pos)
+        (n,) = _unpack(">B", buf, pos)
         return _decode_str(buf, pos + 1, n)
     if b == 0xDA:  # str16
-        (n,) = struct.unpack_from(">H", buf, pos)
+        (n,) = _unpack(">H", buf, pos)
         return _decode_str(buf, pos + 2, n)
     if b == 0xDB:  # str32
-        (n,) = struct.unpack_from(">I", buf, pos)
+        (n,) = _unpack(">I", buf, pos)
         return _decode_str(buf, pos + 4, n)
     if b == 0xDC:  # array16
-        (n,) = struct.unpack_from(">H", buf, pos)
+        (n,) = _unpack(">H", buf, pos)
         return _decode_array(buf, pos + 2, n)
     if b == 0xDD:  # array32
-        (n,) = struct.unpack_from(">I", buf, pos)
+        (n,) = _unpack(">I", buf, pos)
         return _decode_array(buf, pos + 4, n)
     if b == 0xDE:  # map16
-        (n,) = struct.unpack_from(">H", buf, pos)
+        (n,) = _unpack(">H", buf, pos)
         return _decode_map(buf, pos + 2, n)
     if b == 0xDF:  # map32
-        (n,) = struct.unpack_from(">I", buf, pos)
+        (n,) = _unpack(">I", buf, pos)
         return _decode_map(buf, pos + 4, n)
     raise ValueError(f"unsupported msgpack type byte 0x{b:02x} at {pos - 1}")
 
