@@ -37,6 +37,13 @@ def main() -> int:
     only = sys.argv[1:]  # optional query-name filter for local iteration
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # keep EVERY observation hook out of the timed path (VERDICT r5 #4):
+    # ENVPROBE=0 disables record_env_once's fingerprint scan (which would
+    # otherwise ride the first timed query's load_table) and maybe_probe's
+    # per-query oracle replays.  The bench's OWN fingerprint below calls
+    # env_fingerprint()/inproc_check() directly — those are not gated —
+    # so the committed BENCH_r{N}.json evidence is unchanged.
+    os.environ.setdefault("ENVPROBE", "0")
     import __spark_entry__ as entrymod
     from merkonvectordb_spark import get_spark
 

@@ -711,12 +711,117 @@ def hard_negatives(
     )
 
 
+SEMDEDUP_MAX_SUBCENTROIDS = 64  # literal cap keeps seed scoring O(64·|c|)
+
+
+def _split_oversized_clusters(
+    assigned: DataFrame, id_col: str, cap: int
+) -> DataFrame:
+    """Skew guard for ``semantic_dedup``'s pairwise stage: re-bucket any
+    cluster larger than ``cap`` so no self-join partition goes quadratic.
+
+    Input ``assigned`` carries (id, cid, __csim, __e, __eu — unit
+    vectors).  Output adds ``__sub`` (sub-centroid id) and ``__hsp``
+    (residual hash split), both 0 for clusters within the cap.
+
+    Mechanics, all deterministic dataflow:
+      1. per-cluster counts → the |oversized-clusters|-row frame
+         broadcasts (index-metadata-sized);
+      2. each oversized cluster takes ``min(ceil(n/cap), 64)``
+         sub-centroids — its lowest-id members (the IVF seeding scheme);
+         the seed pick is a per-cluster window with a LITERAL rank bound
+         so Spark plans a partial WindowGroupLimit, not a full sort of
+         the mega-cluster;
+      3. members score against ONLY their own cluster's seeds (hash
+         join on cid — never a corpus × seeds cross) and take the
+         argmax dot (unit vectors: dot ≡ cosine) via the same
+         partial-agg max-of-struct as the coarse assignment;
+      4. clusters beyond 64·cap get a residual deterministic
+         ``xxhash64 % ceil(n/(64·cap))`` split so the bound holds for
+         ANY skew, not just 64×.
+    """
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("__n"))
+    over = sizes.where(F.col("__n") > cap).select(
+        "cid",
+        F.least(
+            F.ceil(F.col("__n") / cap),
+            F.lit(SEMDEDUP_MAX_SUBCENTROIDS),
+        )
+        .cast("int")
+        .alias("__ncent"),
+        F.greatest(
+            F.ceil(
+                F.col("__n") / (cap * SEMDEDUP_MAX_SUBCENTROIDS)
+            ),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("__hfan"),
+    )
+    over_members = assigned.join(F.broadcast(over), "cid")
+    wseed = Window.partitionBy("cid").orderBy(id_col)
+    seeds = (
+        over_members.withColumn("__rk", F.row_number().over(wseed))
+        # literal bound first: enables the partial WindowGroupLimit
+        # rewrite (each map task forwards ≤64 rows per cid)
+        .where(
+            (F.col("__rk") <= SEMDEDUP_MAX_SUBCENTROIDS)
+            & (F.col("__rk") <= F.col("__ncent"))
+        )
+        .select(
+            F.col("cid").alias("__scid"),
+            F.col("__rk").alias("__seed_idx"),
+            F.col("__eu").alias("__sv"),
+        )
+    )
+    sub_assigned = (
+        over_members.join(
+            seeds, over_members["cid"] == seeds["__scid"]
+        )
+        .withColumn(
+            "__sc", dot_product(F.col("__eu"), F.col("__sv"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__sc").alias("c"),
+                    (-F.col("__seed_idx")).alias("ni"),
+                    F.col("__seed_idx").alias("idx"),
+                )
+            ).alias("__bb"),
+            F.first("__hfan").alias("__hf"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__bb.idx").alias("__sub_over"),
+            F.col("__hf"),
+        )
+    )
+    return (
+        assigned.join(sub_assigned, id_col, "left")
+        .withColumn(
+            "__sub", F.coalesce(F.col("__sub_over"), F.lit(0))
+        )
+        .withColumn(
+            "__hsp",
+            F.when(
+                F.col("__hf").isNull() | (F.col("__hf") <= 1), F.lit(0)
+            ).otherwise(
+                F.pmod(F.xxhash64(F.col(id_col)), F.col("__hf"))
+            ),
+        )
+        .drop("__sub_over", "__hf")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: DataFrame,
     tau: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
     drop semantic duplicates WITHIN each cluster — pairs whose cosine
@@ -737,6 +842,23 @@ def semantic_dedup(
     assignment reuses the partial-agg argmax (no window over the
     corpus); both sides of the pair join arrive hash-partitioned on
     ``cid`` — one exchange feeds the self-join.
+
+    ``max_cluster_size`` is the SKEW GUARD (VERDICT r5 #6): K ∝ N bounds
+    the *average* cluster, but one degenerate hot cluster (boilerplate,
+    empty-ish embeddings) still goes quadratic.  When set, clusters over
+    the cap are re-clustered before the pairwise stage: up to
+    ``SEMDEDUP_MAX_SUBCENTROIDS`` deterministic sub-centroids (lowest-id
+    members, the IVF seeding scheme) keep genuinely diverse content
+    grouped with its near-duplicates, and a residual deterministic hash
+    split covers clusters beyond 64× the cap — so per-bucket size is
+    ~cap and pair work is Σ|c|·cap instead of Σ|c|².  Cost of the guard
+    itself: one |oversized|-row broadcast, ≤64 dot folds per overflow
+    member, zero extra work for clusters under the cap.  Trade-off: a
+    duplicate pair split across buckets is missed — in a degenerate
+    near-identical mega-cluster that leaves ~one extra survivor per
+    bucket (the bucket-best), a vanishing fraction of the removals.
+    Default ``None`` preserves exact published semantics (and the
+    registered oracle's replay).
     """
     scored = (
         corpus.select(F.col(id_col), F.col(emb_col))
@@ -778,14 +900,26 @@ def semantic_dedup(
     assigned = assigned.withColumn(
         "__eu", l2_normalize(F.col("__e"))
     ).persist()
+    if max_cluster_size is not None:
+        assigned = _split_oversized_clusters(
+            assigned, id_col, int(max_cluster_size)
+        ).persist()
+        pair_keys = ("cid", "__sub", "__hsp")
+    else:
+        pair_keys = ("cid",)
     x = assigned.alias("x")
     y = assigned.alias("y")
     xid, yid = F.col(f"x.{id_col}"), F.col(f"y.{id_col}")
     beaten = (F.col("y.__csim") < F.col("x.__csim")) | (
         (F.col("y.__csim") == F.col("x.__csim")) & (yid < xid)
     )
+    same_bucket = (xid != yid)
+    for kcol in pair_keys:
+        same_bucket = same_bucket & (
+            F.col(f"x.{kcol}") == F.col(f"y.{kcol}")
+        )
     removed = (
-        x.join(y, (F.col("x.cid") == F.col("y.cid")) & (xid != yid))
+        x.join(y, same_bucket)
         .where(
             (dot_product(F.col("x.__eu"), F.col("y.__eu")) > F.lit(float(tau)))
             & beaten

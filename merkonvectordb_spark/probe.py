@@ -30,10 +30,12 @@ import time
 
 PROBE_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ENVPROBE.jsonl")
 
-# the r4 driver-red queries + the sessionize bisect variants: these get
-# the expensive per-query in-process oracle comparison at the
-# correctness SF (sf0.01); everything else only contributes to the
-# one-shot environment fingerprint.
+# the r4/r5 driver-red queries (the HUGEINT-oracle family, fixed in r6
+# by CASTing every integer aggregate to BIGINT) + the sessionize bisect
+# variants: these get the expensive per-query in-process oracle
+# comparison at the correctness SF (sf0.01); everything else only
+# contributes to the one-shot environment fingerprint.  r6 adds the two
+# r5-NEW reds that had no probe row last round (VERDICT r5 #5).
 WATCHED = {
     "events_sessionize",
     "events_sessionize_v_nevents",
@@ -46,6 +48,8 @@ WATCHED = {
     "events_gap_fill_locf",
     "streaming_window_agg",
     "streaming_sessionize_closed",
+    "events_hierarchical_rollup",
+    "streaming_sessionize_python",
 }
 
 _env_recorded: set[str] = set()
@@ -87,6 +91,7 @@ def _append(line: dict) -> None:
 # single source of truth shared with tools/oracle_check.py — the probe's
 # verdicts must be byte-identical to the gate stand-in's
 from merkonvectordb_spark.canon import canon_rows as _canon_rows  # noqa: E402
+from merkonvectordb_spark.canon import canon_rows_arrow as _canon_rows_arrow  # noqa: E402
 
 
 def env_fingerprint(spark, sf_dir: str, heavy: bool | None = None) -> dict:
@@ -235,13 +240,32 @@ def inproc_check(spark, sf_dir: str, names=None) -> dict:
                 ocols = rel.columns
                 orows = rel.fetchall()
                 ohash, olines = _canon_rows(ocols, orows)
+                # BOTH oracle fetch paths, recorded even on match: the
+                # external gate fetches via pandas/arrow (r5 root cause:
+                # HUGEINT → float64/decimal128 there, native int via
+                # fetchall), so a fetchall-only verdict can blind-spot
+                # exactly the class that bit r4/r5 (VERDICT r5 #5).
+                try:
+                    oahash, _ = _canon_rows_arrow(con.sql(oracles[name]))
+                except Exception as e:  # pragma: no cover - diagnostics
+                    oahash = f"err:{e!r}"[:120]
                 r["spark_rows"] = len(srows)
                 r["duck_rows"] = len(orows)
                 r["cols_match"] = sorted(scols) == sorted(ocols)
                 r["hash_match"] = shash == ohash and r["cols_match"]
+                r["spark_hash"] = shash
+                r["duck_hash_fetchall"] = ohash
+                r["duck_hash_arrow"] = oahash
+                r["fetch_paths_agree"] = oahash == ohash
                 r["spark_dtypes"] = dict(sdf.dtypes)
                 r["duck_types"] = [
                     [d[0], str(d[1])] for d in (rel.description or [])
+                ]
+                # canonical-line samples even on match: if the driver's
+                # gate still reports red while this says green, the
+                # recorded lines name the byte-level difference
+                r["sample_lines"] = [
+                    s.replace("\x1f", "|")[:160] for s in slines[:2]
                 ]
                 if not r["hash_match"]:
                     sset, oset = set(slines), set(olines)

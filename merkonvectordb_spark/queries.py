@@ -795,38 +795,49 @@ from merkonvectordb_spark import queries_spans  # noqa: E402,F401
 from merkonvectordb_spark import queries_expectations  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# round-5 verification priority: the external harness oracle-checks only
-# the first 50 registry entries per round.  This round's block = the 8
-# r4 driver-red queries (instrumented: probe.py + the sessionize bisect
-# variants) + the 39 queries that have never had a driver row — exactly
-# 50, clearing the cumulative verification debt if green (VERDICT r4
-# next-round #4).  Long-green sentinels rotate back in round 6.
+# round-6 verification priority: the external harness oracle-checks only
+# the first 50 registry entries per round.  This round's block =
+#   (a) the 13 r5 driver-red queries — all one root cause, now fixed
+#       (DuckDB HUGEINT output columns: every integer sum cast to
+#       BIGINT in the oracles; VERDICT r5 next-round #1);
+#   (b) the 27 queries that have never had a driver CORRECTNESS row
+#       (VERDICT r5 next-round #3);
+#   (c) router_knn_batch, new this round (VERDICT r5 next-round #8);
+#   (d) 9 long-green sentinels — including events_window_agg and
+#       events_rollup, which carried the same LATENT HUGEINT oracle bug
+#       (green in r3 under the pre-r4 harness) and were fixed with the
+#       red 13, so their re-check is load-bearing.
+# = exactly 50.  If green, every registry entry has a cumulative
+# driver-green row — the project's stated verification bar.
 # ---------------------------------------------------------------------------
 
 from merkonvectordb_spark.registry import set_priority as _set_priority  # noqa: E402
 
 _set_priority([
-    # r4 driver-red (8) + bisect variants for the 3-round repeat offender
+    # (a) r5 driver-red, HUGEINT-oracle class, fixed this round (13)
     "events_sessionize",
     "events_sessionize_v_nevents", "events_sessionize_v_cents",
     "events_sessionize_v_bounds",
     "skew_salted_join", "tpch_q12", "events_range_join",
     "events_time_window_agg", "events_gap_fill_locf",
     "streaming_window_agg", "streaming_sessionize_closed",
-    # never driver-checked (39)
-    "dedup_incremental", "dedup_quality_survivors", "unigram_lm_score",
-    "top_docs_per_source", "repetition_signals", "bpe_merge_pairs",
-    "term_pmi_topk", "bpe_train_merges", "bpe_apply_report",
-    "cdc_apply_changes", "events_transition_matrix",
-    "matview_incremental_refresh", "versioned_table_diff",
-    "knn_batch_ivf_persisted", "label_centroid_outliers",
-    "semantic_dedup", "knn_batch_pq", "knn_batch_ivfpq",
-    "ann_recall_report", "embedding_drift_report",
-    "lineitem_cube", "events_pivot", "zorder_key", "bloom_semi_join",
-    "lineitem_profile", "lineitem_correlations", "key_skew_report",
-    "events_hierarchical_rollup", "events_value_trend",
-    "streaming_sessionize_python", "streaming_cms_freq",
-    "hist_quantiles", "cms_freq_estimate", "kmv_join_cardinality",
-    "url_domain_cap", "training_shards", "late_interaction_maxsim",
-    "dup_span_stats", "dup_span_removal",
+    "events_hierarchical_rollup", "streaming_sessionize_python",
+    # (b) never driver-checked (27)
+    "knn_batch_prenorm", "knn_batch_ann_multiprobe",
+    "knn_batch_ivf_appended", "merkondb_roundtrip",
+    "data_expectations", "streaming_expectations", "hll_distinct",
+    "bigram_lm_score", "semantic_decontam", "cross_source_overlap",
+    "split_leakage_audit", "minhash_calibration", "gopher_rules_report",
+    "token_zipf_fit", "quality_robust_stats", "quality_weighted_sample",
+    "quality_quantile_normalize", "domain_quality_prior",
+    "events_psi_drift", "streaming_psi_drift", "sliding_distinct_users",
+    "sq8_quantization_error", "embedding_pca_anisotropy",
+    "char_entropy_screen", "doc_fixed_k_sample",
+    "tokenizer_fertility", "packing_efficiency",
+    # (c) new this round (1)
+    "router_knn_batch",
+    # (d) long-green sentinels + the 2 latent-HUGEINT fixes (9)
+    "events_window_agg", "events_rollup",
+    "knn_topk", "upsert_roundtrip", "dedup_near", "knn_batch",
+    "tpch_q1", "dedup_exact", "delete_semantics",
 ])

@@ -1552,3 +1552,124 @@ def q_knn_batch_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, qset, k=3, min_score=0.0, extra_cols=("label",)
     )
     return out.select("query_id", "vec_id", "label", "score")
+
+
+# ---------------------------------------------------------------------------
+# cost-based retrieval routing under oracle (VERDICT r5 next-round #8):
+# four rigged routings, one per backend, each asserted to have picked
+# the expected strategy and each bit-identical to its already-verified
+# standalone pipeline.
+# ---------------------------------------------------------------------------
+
+
+def _router_oracle() -> str:
+    from merkonvectordb_spark.registry import oracle_sql as _osql
+
+    o = _osql()
+    # each arm IS the already-registered (and driver-verified) oracle of
+    # the backend the router is forced to pick — the router's contract
+    # is "same results as calling the chosen operator directly", so the
+    # composed oracle proves routing adds nothing and loses nothing.
+    # DuckDB permits a full WITH...SELECT as a CTE body (nested CTEs).
+    return f"""
+WITH brute AS (
+{o["knn_batch"]}
+),
+lsh AS (
+{o["knn_batch_ann"]}
+),
+sq8 AS (
+{o["knn_batch_sq8"]}
+),
+ivfpq AS (
+{o["knn_batch_ivfpq"]}
+)
+SELECT 'brute' AS strategy, query_id, vec_id, label, score FROM brute
+UNION ALL
+SELECT 'ann', query_id, vec_id, label, score FROM lsh
+UNION ALL
+SELECT 'sq8', query_id, vec_id, label, score FROM sq8
+UNION ALL
+SELECT 'ivfpq', query_id, vec_id, label, score FROM ivfpq
+""".strip()
+
+
+@register("router_knn_batch", _router_oracle())
+def q_router_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cost-based retrieval router end-to-end (plans.router): four
+    routings with rigged budgets/estimates force each backend in turn —
+    under-budget → brute, flop budget blown → LSH, byte budget blown →
+    SQ8, both blown (with centroids available) → IVF-PQ — and each
+    routed plan must equal the standalone operator's verified pipeline.
+    The decision is ASSERTED in-query (a mis-route raises, turning the
+    driver row red) and the result rows are hash-checked against the
+    four backend oracles composed as CTEs.
+
+    ``est_rows`` is caller-supplied in all four calls, so the routing
+    decision is a pure function of the budgets — no dependence on the
+    local fixture's catalog statistics.  At 100 TB this is exactly the
+    production posture: the metastore row count feeds the router, and
+    the router's output plan is what Catalyst optimizes."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from merkonvectordb_spark.functions.vector import l2_norm
+    from merkonvectordb_spark.plans.router import route_knn_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_dim = emb.where(F.size("embedding") == A.DIM)
+    emb_pq = emb_dim.where(l2_norm(F.col("embedding")) > 0)
+    qset = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = emb_pq.where(F.col("vec_id") < A.IVF_K).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    big = 10**9  # corpus-size estimate that blows any small budget
+    plans = []
+    for expect, binding, corpus, kwargs in (
+        # under both budgets → exact brute force
+        ("brute", "none", emb, dict(
+            flop_budget=1e18, byte_budget=1e18,
+            brute_kwargs=dict(min_score=0.0, tie_break="vec_id"),
+        )),
+        # compute-bound → LSH candidate pruning
+        ("ann", "flops", emb, dict(
+            flop_budget=1.0, byte_budget=1e18,
+            ann_kwargs=dict(min_score=0.0, extra_cols=("label",)),
+        )),
+        # IO-bound → SQ8 byte reduction
+        ("sq8", "bytes", emb_dim, dict(
+            flop_budget=1e18, byte_budget=1.0,
+            sq8_kwargs=dict(refine=4, min_score=0.0,
+                            extra_cols=("label",)),
+        )),
+        # both bound + centroids on hand → IVF-PQ
+        ("ivfpq", "flops+bytes", emb_pq, dict(
+            flop_budget=1.0, byte_budget=1.0,
+            ivfpq_kwargs=dict(
+                centroids=cents, n_probe=A.IVF_N_PROBE,
+                refine=A.PQ_REFINE, min_score=0.0,
+                extra_cols=("label",),
+            ),
+        )),
+    ):
+        decision, routed = route_knn_batch(
+            corpus, qset, k=3, dim=A.DIM, n_queries=5,
+            est_rows=big, **kwargs,
+        )
+        if decision.strategy != expect or decision.binding_resource != binding:
+            raise RuntimeError(
+                f"router mis-route: expected ({expect}, {binding}), got "
+                f"({decision.strategy}, {decision.binding_resource})"
+            )
+        plans.append(
+            routed.select(
+                F.lit(expect).alias("strategy"),
+                "query_id", "vec_id", "label", "score",
+            )
+        )
+    out = plans[0]
+    for p in plans[1:]:
+        out = out.unionByName(p)
+    return out

@@ -25,7 +25,7 @@ SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS window
        event_type,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events
 GROUP BY 1, 2
 """.strip(),
@@ -76,7 +76,12 @@ flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+  -- CAST ... AS BIGINT on every integer sum (incl. this windowed one):
+  -- DuckDB widens integer sum() to HUGEINT (int128), which the external
+  -- gate fetches via pandas/arrow where it lands as float64/decimal128
+  -- and hash-mismatches Spark's plain BIGINT even though the values are
+  -- numerically identical (root cause of the r4/r5 driver-red family)
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
   FROM flagged
 ),
 rolled AS (
@@ -84,7 +89,7 @@ rolled AS (
          count(*) AS n_events,
          epoch_us(min(ts)) AS start_us,
          epoch_us(max(ts)) AS end_us,
-         sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
   FROM sessions GROUP BY user_id, session_seq
 )
 """

@@ -232,7 +232,7 @@ SELECT coalesce(event_type, '<all>') AS event_type,
        coalesce(CAST(extract(hour FROM ts) AS BIGINT), -1) AS hr,
        CAST(GROUPING(event_type, extract(hour FROM ts)) AS BIGINT) AS gid,
        count(*) AS n_events,
-       sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events
 GROUP BY ROLLUP (event_type, extract(hour FROM ts))
 """.strip(),
@@ -415,7 +415,7 @@ WITH dim AS (
 )
 SELECT e.event_type,
        count(*) AS n_events,
-       sum(CAST(floor(e.value * d.weight * 100 + 0.5) AS BIGINT)) AS weighted_cents
+       CAST(sum(CAST(floor(e.value * d.weight * 100 + 0.5) AS BIGINT)) AS BIGINT) AS weighted_cents
 FROM events e
 JOIN dim d USING (event_type)
 GROUP BY e.event_type

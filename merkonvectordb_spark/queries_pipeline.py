@@ -437,10 +437,10 @@ def _packing_efficiency_oracle() -> str:
     return f"""
 SELECT split,
        count(*) AS n_chunks,
-       sum(chunk_tokens) AS total_tokens,
+       CAST(sum(chunk_tokens) AS BIGINT) AS total_tokens,
        max(seq_id) + 1 AS n_seqs,
        max(shard_id) + 1 AS n_shards,
-       sum(CASE WHEN straddles THEN 1 ELSE 0 END) AS n_straddles,
+       CAST(sum(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddles,
        round(sum(chunk_tokens) / ((max(seq_id) + 1) * 256.0), 6)
          AS fill_ratio
 FROM ({_training_shards_oracle()}) s

@@ -90,7 +90,7 @@ def _run_to_memory(
 SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS window_start_us,
        event_type,
        count(*) AS n_events,
-       sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events
 GROUP BY 1, 2
 """.strip(),
@@ -140,7 +140,7 @@ flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_seq
   FROM flagged
 ),
 rolled AS (
@@ -148,7 +148,7 @@ rolled AS (
          epoch_us(min(ts)) AS start_us,
          epoch_us(max(ts)) AS end_us,
          count(*) AS n_events,
-         sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
   FROM sessions GROUP BY user_id, session_seq
 )
 SELECT user_id, start_us, end_us, n_events, sum_cents
@@ -215,7 +215,7 @@ flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
   FROM flagged
 ),
 rolled AS (
@@ -223,7 +223,7 @@ rolled AS (
          epoch_us(min(ts)) AS start_us,
          epoch_us(max(ts)) AS end_us,
          count(*) AS n_events,
-         sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
   FROM sessions GROUP BY user_id, session_seq
 )
 SELECT user_id, start_us, end_us, n_events, sum_cents

@@ -97,7 +97,7 @@ inc AS (
 )
 SELECT i.incident_id,
        count(*) AS n_events,
-       sum(CAST(floor(e.value * 100) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM inc i
 JOIN ev e
   ON e.user_id = i.user_id AND e.ts >= i.w_start AND e.ts < i.w_end
@@ -222,7 +222,7 @@ def q_events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_time_window_agg",
     """
 SELECT event_id, user_id,
-       sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS sum_cents_1h,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_cents_1h,
        count(*) OVER w AS n_1h
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
@@ -259,7 +259,7 @@ def q_events_time_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH hourly AS (
   SELECT user_id, time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
-         sum(CAST(floor(value * 100) AS BIGINT)) AS v
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
   FROM events WHERE user_id < 20
   GROUP BY 1, 2
 ),
@@ -367,17 +367,17 @@ def q_events_outliers_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH lvl_minute AS (
   SELECT 'minute' AS lvl, time_bucket(INTERVAL '1 minute', ts) AS bucket_ts,
          event_type, count(*) AS n_events,
-         sum(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
   FROM events GROUP BY 2, 3
 ),
 lvl_hour AS (
   SELECT 'hour', time_bucket(INTERVAL '1 hour', ts), event_type, count(*),
-         sum(CAST(floor(value * 100) AS BIGINT))
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
   FROM events GROUP BY 2, 3
 ),
 lvl_day AS (
   SELECT 'day', time_bucket(INTERVAL '1 day', ts), event_type, count(*),
-         sum(CAST(floor(value * 100) AS BIGINT))
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
   FROM events GROUP BY 2, 3
 )
 SELECT lvl, epoch_us(bucket_ts) AS bucket_us, event_type, n_events, sum_cents

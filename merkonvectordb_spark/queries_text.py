@@ -1060,9 +1060,9 @@ def q_bpe_apply_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 SELECT lang, source,
        count(*) AS n_docs,
-       sum({_BPE_CNT_SQL.format(c="text")}) AS bpe_tokens,
-       sum({_TOK_CNT_SQL.format(c="text")}) AS ws_tokens,
-       sum(strlen(text)) AS text_bytes,
+       CAST(sum({_BPE_CNT_SQL.format(c="text")}) AS BIGINT) AS bpe_tokens,
+       CAST(sum({_TOK_CNT_SQL.format(c="text")}) AS BIGINT) AS ws_tokens,
+       CAST(sum(strlen(text)) AS BIGINT) AS text_bytes,
        round(sum({_BPE_CNT_SQL.format(c="text")})
              / nullif(sum({_TOK_CNT_SQL.format(c="text")}), 0), 6)
          AS fertility,

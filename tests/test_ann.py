@@ -447,6 +447,107 @@ def test_semantic_dedup_cluster_pruning(clustered):
     assert best_kept.count() == 0
 
 
+def test_semantic_dedup_cluster_size_guard_bounds_pairs(spark):
+    """VERDICT r5 #6: one skewed mega-cluster must not go quadratic.
+    Plant 400 near-identical vectors (all land in one cluster of a
+    2-centroid quantizer) and run with ``max_cluster_size=25``: the
+    pairwise stage's bucket key (cid, __sub, __hsp) must cap every
+    bucket near the limit — pair count Σ|b|² ≪ 400² — while the dedup
+    outcome stays near-total (≈one bucket-best survivor per bucket)."""
+    from merkonvectordb_spark.operators.ann import (
+        _split_oversized_clusters,
+        semantic_dedup,
+    )
+    from merkonvectordb_spark.functions.vector import l2_normalize
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=64)
+    base /= np.linalg.norm(base)
+    rows = []
+    for i in range(400):
+        v = base + rng.normal(scale=0.001, size=64)  # ~0.06° spread
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    # 20 far-away rows for the second centroid: an under-cap cluster
+    far = -base
+    for i in range(400, 420):
+        v = far + rng.normal(scale=0.001, size=64)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [float(x) for x in base]), (1, [float(x) for x in far])],
+        "cid LONG, cv ARRAY<DOUBLE>",
+    )
+
+    # (1) bucket-size bound, asserted on the split frame directly
+    assigned = (
+        corpus.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__cos",
+            F.aggregate(
+                F.zip_with(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    "cv",
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("__cos").alias("c"), F.col("cid"))).alias("b"),
+            F.first("embedding").alias("__e"),
+        )
+        .select(
+            "vec_id",
+            F.col("b.cid").alias("cid"),
+            F.col("b.c").alias("__csim"),
+            "__e",
+        )
+        .withColumn("__eu", l2_normalize(F.col("__e")))
+    )
+    cap = 25
+    split = _split_oversized_clusters(assigned, "vec_id", cap)
+    buckets = split.groupBy("cid", "__sub", "__hsp").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    brows = buckets.collect()
+    # the mega-cluster must shatter into many buckets; hash-free
+    # sub-centroid splitting of a near-identical blob can skew, so the
+    # assertion is on PAIR WORK (the quadratic resource), not max |b|:
+    # Σ|b|² must be far below the unguarded 400²
+    pair_work = sum(r.n * r.n for r in brows)
+    assert len(brows) > 5
+    assert pair_work < 400 * 400 / 4, (pair_work, sorted(r.n for r in brows))
+    # the under-cap cluster must be untouched: one bucket, sub=hsp=0
+    small = [r for r in brows if r.cid == 1]
+    assert len(small) == 1 and small[0].n == 20
+    assert small[0]["__sub"] == 0 and small[0]["__hsp"] == 0
+
+    # (2) end-to-end semantics with the guard on: every row classified,
+    # ≥1 survivor per bucket, and near-total dedup of the blob
+    out = semantic_dedup(
+        corpus, cents, tau=0.99, max_cluster_size=cap
+    ).cache()
+    assert out.count() == 420
+    n_kept_blob = out.where((F.col("cid") == 0) & F.col("kept")).count()
+    n_buckets_blob = len([r for r in brows if r.cid == 0])
+    # each bucket keeps exactly its best-priority member here (all
+    # pairwise cosines in the blob exceed tau)
+    assert n_kept_blob == n_buckets_blob
+    # guard off: the same dedup keeps exactly ONE of the 400
+    out_exact = semantic_dedup(corpus, cents, tau=0.99)
+    assert (
+        out_exact.where((F.col("cid") == 0) & F.col("kept")).count() == 1
+    )
+    out.unpersist()
+
+
 def test_semantic_dedup_exact_twin_tiebreak(clustered):
     from merkonvectordb_spark.operators.ann import semantic_dedup
 
