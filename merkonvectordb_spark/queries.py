@@ -834,10 +834,10 @@ _set_priority([
     "sq8_quantization_error", "embedding_pca_anisotropy",
     "char_entropy_screen", "doc_fixed_k_sample",
     "tokenizer_fertility", "packing_efficiency",
-    # (c) new this round (1)
-    "router_knn_batch",
-    # (d) long-green sentinels + the 2 latent-HUGEINT fixes (9)
+    # (c) new this round (2)
+    "router_knn_batch", "k_anonymity_audit",
+    # (d) long-green sentinels + the 2 latent-HUGEINT fixes (8)
     "events_window_agg", "events_rollup",
     "knn_topk", "upsert_roundtrip", "dedup_near", "knn_batch",
-    "tpch_q1", "dedup_exact", "delete_semantics",
+    "tpch_q1", "dedup_exact",
 ])

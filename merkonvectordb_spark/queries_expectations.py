@@ -154,3 +154,66 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fk1)
         .unionByName(fk2)
     )
+
+
+# ---------------------------------------------------------------------------
+# privacy QA: k-anonymity + l-diversity of quasi-identifiers
+# (operators.privacy) — the re-identification-surface audit next to the
+# PII detect/redact pair.  Subjects = users; quasi-identifiers =
+# (event_type, hour-of-day, value decade); sensitive = user_id, so
+# l-diversity measures how many distinct subjects hide in each QI cell.
+# ---------------------------------------------------------------------------
+
+_K_ANON_K = 25
+_K_ANON_L = 5
+
+_K_ANON_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hr,
+         CAST(least(9, greatest(0, floor(value / 10.0))) AS BIGINT)
+           AS val_bucket,
+         count(*) AS n_rows,
+         count(DISTINCT user_id) AS n_sensitive
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, hr, val_bucket, n_rows, n_sensitive,
+       n_rows >= {_K_ANON_K} AS k_ok,
+       n_sensitive >= {_K_ANON_L} AS l_ok
+FROM cells
+""".strip()
+
+
+@register("k_anonymity_audit", _K_ANON_ORACLE)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-QI-cell k-anonymity/l-diversity audit of the events stream:
+    one partial-aggregable groupBy on (event_type, hour-of-day, value
+    decade) with a count and ONE count-distinct — a |cells|-row shuffle
+    at any corpus size; the cell frame is the actionable artifact
+    (which combinations to generalize or suppress before release).
+    Hour-of-day comes from integer epoch division (zone-free, no
+    calendar function — house style); all outputs are STRING/BIGINT/
+    BOOLEAN."""
+    from merkonvectordb_spark.operators.privacy import k_anonymity_report
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.select(
+        "event_type",
+        (
+            F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)) % 24
+        ).alias("hr"),
+        F.least(
+            F.lit(9),
+            F.greatest(F.lit(0), F.floor(F.col("value") / 10.0)),
+        )
+        .cast("bigint")
+        .alias("val_bucket"),
+        "user_id",
+    )
+    return k_anonymity_report(
+        cells,
+        qi_cols=("event_type", "hr", "val_bucket"),
+        sensitive_col="user_id",
+        k=_K_ANON_K,
+        l_div=_K_ANON_L,
+    )

@@ -35,7 +35,7 @@ def test_first_50_are_the_verification_priority_block():
         "char_entropy_screen", "doc_fixed_k_sample",
         "tokenizer_fertility", "packing_efficiency",
         # new this round
-        "router_knn_batch",
+        "router_knn_batch", "k_anonymity_audit",
         # latent-HUGEINT fixes, re-check is load-bearing
         "events_window_agg", "events_rollup",
     }
