@@ -74,5 +74,9 @@ def canon_rows_arrow(rel) -> tuple[str, list[str]]:
     """
     tb = rel.arrow()
     cols = list(tb.schema.names)
-    pyrows = [tuple(d[c] for c in cols) for d in tb.to_pylist()]
+    # positional column extraction — to_pylist() returns dicts, which
+    # would silently collapse duplicate output column names onto the
+    # LAST column's values and hash a row that was never fetched
+    colvals = [tb.column(i).to_pylist() for i in range(tb.num_columns)]
+    pyrows = [tuple(vals) for vals in zip(*colvals)] if colvals else []
     return canon_rows(cols, pyrows)

@@ -735,7 +735,10 @@ def _split_oversized_clusters(
       3. members score against ONLY their own cluster's seeds (hash
          join on cid — never a corpus × seeds cross) and take the
          argmax dot (unit vectors: dot ≡ cosine) via the same
-         partial-agg max-of-struct as the coarse assignment;
+         partial-agg max-of-struct as the coarse assignment; exact dot
+         TIES break by a per-(member, seed) hash, so a cluster of
+         byte-identical embeddings spreads uniformly across its seeds
+         instead of collapsing into one sub-bucket;
       4. clusters beyond 64·cap get a residual deterministic
          ``xxhash64 % ceil(n/(64·cap))`` split so the bound holds for
          ANY skew, not just 64×.
@@ -786,7 +789,17 @@ def _split_oversized_clusters(
             F.max(
                 F.struct(
                     F.col("__sc").alias("c"),
-                    (-F.col("__seed_idx")).alias("ni"),
+                    # tie-break by a per-(member, seed) hash, NOT by
+                    # seed index: a cluster of byte-identical embeddings
+                    # (the common boilerplate-dup pattern) ties on EVERY
+                    # seed dot, and an index tie-break would send the
+                    # whole cluster to one sub-bucket — the exact
+                    # quadratic blowup this guard exists to prevent.
+                    # The hash spreads exact ties uniformly over the
+                    # ceil(n/cap) seeds; non-tied rows are unaffected.
+                    F.xxhash64(F.col(id_col), F.col("__seed_idx")).alias(
+                        "hj"
+                    ),
                     F.col("__seed_idx").alias("idx"),
                 )
             ).alias("__bb"),

@@ -62,6 +62,8 @@ def decode_png(content: bytes) -> np.ndarray:
             raise ValueError("truncated PNG chunk")
         pos += 12 + clen  # len + type + data + crc
         if ctype == b"IHDR":
+            if clen != 13:
+                raise ValueError(f"bad PNG IHDR length {clen}")
             width, height, depth, color, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
@@ -78,7 +80,10 @@ def decode_png(content: bytes) -> np.ndarray:
             break
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
@@ -153,12 +158,15 @@ def encode_png(pixels: np.ndarray) -> bytes:
 def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     """Decode RIFF/PCM WAV bytes to ``(samples, sample_rate)`` — samples
     as float64 in [-1, 1], shape ``(n_frames, n_channels)``."""
-    with wave.open(io.BytesIO(content), "rb") as wf:
-        n = wf.getnframes()
-        sw = wf.getsampwidth()
-        ch = wf.getnchannels()
-        rate = wf.getframerate()
-        frames = wf.readframes(n)
+    try:
+        with wave.open(io.BytesIO(content), "rb") as wf:
+            n = wf.getnframes()
+            sw = wf.getsampwidth()
+            ch = wf.getnchannels()
+            rate = wf.getframerate()
+            frames = wf.readframes(n)
+    except (wave.Error, EOFError, struct.error) as exc:
+        raise ValueError(f"malformed WAV: {exc}") from exc
     if sw == 1:  # unsigned 8-bit
         arr = np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
         arr = (arr - 128.0) / 128.0
@@ -200,12 +208,19 @@ def parse_mp4(content: bytes) -> dict[str, Any]:
     boxes: dict[str, Any] = {"n_tracks": 0, "handlers": []}
 
     def walk(lo: int, hi: int, depth: int) -> None:
+        # spec-realistic trees are <10 deep; a crafted chain of nested
+        # container boxes must hit the documented ValueError, not
+        # RecursionError inside the mapInPandas task
+        if depth > 32:
+            raise ValueError("MP4 box nesting too deep")
         pos = lo
         while pos + 8 <= hi:
             (size,) = struct.unpack(">I", content[pos : pos + 4])
             btype = content[pos + 4 : pos + 8]
             head = 8
             if size == 1:
+                if pos + 16 > hi:
+                    raise ValueError("truncated MP4 largesize header")
                 (size,) = struct.unpack(">Q", content[pos + 8 : pos + 16])
                 head = 16
             elif size == 0:  # box extends to end of enclosing scope
@@ -218,8 +233,12 @@ def parse_mp4(content: bytes) -> dict[str, Any]:
                     boxes["n_tracks"] += 1
                 walk(body_lo, body_hi, depth + 1)
             elif btype == b"mvhd":
+                if body_hi - body_lo < 20:
+                    raise ValueError("truncated MP4 mvhd box")
                 ver = content[body_lo]
                 if ver == 1:
+                    if body_hi - body_lo < 32:
+                        raise ValueError("truncated MP4 mvhd v1 box")
                     ts, dur = struct.unpack(
                         ">IQ", content[body_lo + 20 : body_lo + 32]
                     )
@@ -230,6 +249,8 @@ def parse_mp4(content: bytes) -> dict[str, Any]:
                 boxes["timescale"] = ts
                 boxes["duration_ms"] = int(dur * 1000 / ts) if ts else 0
             elif btype == b"hdlr":
+                if body_hi - body_lo < 12:
+                    raise ValueError("truncated MP4 hdlr box")
                 boxes["handlers"].append(
                     content[body_lo + 8 : body_lo + 12].decode(
                         "ascii", "replace"

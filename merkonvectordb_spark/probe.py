@@ -216,11 +216,10 @@ def inproc_check(spark, sf_dir: str, names=None) -> dict:
 
         qs = entrymod.queries()
         oracles = entrymod.oracle_sql()
+        from merkonvectordb_spark.schema import TESTDATA_TABLES
+
         con = duckdb.connect()
-        for t in (
-            "region nation customer supplier part orders lineitem events "
-            "documents embeddings".split()
-        ):
+        for t in TESTDATA_TABLES:
             p = os.path.join(sf_dir, f"{t}.parquet")
             if os.path.exists(p):
                 con.execute(

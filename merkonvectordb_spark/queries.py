@@ -802,8 +802,9 @@ from merkonvectordb_spark import queries_expectations  # noqa: E402,F401
 #       BIGINT in the oracles; VERDICT r5 next-round #1);
 #   (b) the 27 queries that have never had a driver CORRECTNESS row
 #       (VERDICT r5 next-round #3);
-#   (c) router_knn_batch, new this round (VERDICT r5 next-round #8);
-#   (d) 9 long-green sentinels — including events_window_agg and
+#   (c) the 2 queries new this round: router_knn_batch (VERDICT r5
+#       next-round #8) and k_anonymity_audit;
+#   (d) 8 long-green sentinels — including events_window_agg and
 #       events_rollup, which carried the same LATENT HUGEINT oracle bug
 #       (green in r3 under the pre-r4 harness) and were fixed with the
 #       red 13, so their re-check is load-bearing.

@@ -565,6 +565,53 @@ def test_semantic_dedup_exact_twin_tiebreak(clustered):
     assert got[0] is True and got[999] is False
 
 
+def test_semantic_dedup_guard_shatters_exact_duplicate_cluster(spark):
+    """Regression (r6 review): a cluster of BYTE-IDENTICAL embeddings
+    ties on every seed dot, so a seed-index tie-break would send all
+    n rows to sub-centroid 1 — and with cap < n ≤ 64·cap the residual
+    hash fan is 1, making the guard a no-op and the pairwise stage
+    quadratic.  The per-(member, seed) hash tie-break must spread exact
+    ties uniformly: plant 400 identical vectors (cap=25, well inside
+    the 64·cap window) and assert bounded pair work."""
+    from merkonvectordb_spark.functions.vector import l2_normalize
+    from merkonvectordb_spark.operators.ann import (
+        _split_oversized_clusters,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=64)
+    base /= np.linalg.norm(base)
+    vec = [float(x) for x in base]
+    corpus = spark.createDataFrame(
+        [(i, vec) for i in range(400)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [float(x) for x in base])], "cid LONG, cv ARRAY<DOUBLE>"
+    )
+    assigned = corpus.select(
+        "vec_id",
+        F.lit(0).cast("long").alias("cid"),
+        F.lit(1.0).alias("__csim"),
+        F.col("embedding").alias("__e"),
+        l2_normalize(F.col("embedding")).alias("__eu"),
+    )
+    cap = 25
+    split = _split_oversized_clusters(assigned, "vec_id", cap)
+    brows = split.groupBy("cid", "__sub", "__hsp").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    pair_work = sum(r.n * r.n for r in brows)
+    assert len(brows) > 5, brows
+    assert pair_work < 400 * 400 / 4, (pair_work, sorted(r.n for r in brows))
+    # end to end: every row classified, one best-priority survivor per
+    # bucket (identical vectors: every within-bucket pair exceeds tau)
+    out = semantic_dedup(corpus, cents, tau=0.99, max_cluster_size=cap)
+    assert out.count() == 400
+    assert out.where(F.col("kept")).count() == len(brows)
+
+
 # ---------------------------------------------------------------------------
 # product quantization (PQ/ADC)
 # ---------------------------------------------------------------------------

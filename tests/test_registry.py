@@ -9,7 +9,8 @@ def test_first_50_are_the_verification_priority_block():
     """The external harness hash-checks only the first 50 registry
     entries; round 6 front-loads the 13 r5 driver-red queries (HUGEINT
     oracle class, fixed), the 27 never-driver-checked ones, the new
-    router oracle, and 9 sentinels incl. the 2 latent-HUGEINT fixes —
+    2 new-this-round oracles (router + k-anonymity), and 8 sentinels
+    incl. the 2 latent-HUGEINT fixes —
     exactly 50.  Pin the block so a refactor can't silently reorder it."""
     names = list(entry.queries())
     first = set(names[:50])
@@ -75,11 +76,10 @@ def test_every_query_has_an_oracle_or_is_documented():
 def _duck_con(sf):
     import duckdb
 
+    from merkonvectordb_spark.schema import TESTDATA_TABLES
+
     con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings".split()
-    ):
+    for t in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf}/{t}.parquet')"
@@ -148,10 +148,9 @@ def test_arrow_fetch_canon_agrees_with_fetchall_canon(sf_dir):
 def test_oracles_reference_only_preregistered_views():
     import re
 
-    allowed = {
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings",
-    }
+    from merkonvectordb_spark.schema import TESTDATA_TABLES
+
+    allowed = set(TESTDATA_TABLES)
     for name, sql in entry.oracle_sql().items():
         # CTE names defined inside the query are fine; just check the
         # obvious FROM <bare_name> tables that aren't CTEs or subqueries
