@@ -514,6 +514,71 @@ def mixture_sample(
     return joined.where(keep).drop("__s", "__mass")
 
 
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    tokens_col: str,
+    budget_tokens: int,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling at T=2: stratum ``s`` with
+    token mass ``m_s`` targets a share proportional to ``m_s^(1/T)``
+    — the standard multilingual-pretraining re-balancer (smaller
+    languages are UP-weighted relative to their raw mass; raw
+    proportional sampling is the T=1 degenerate case ``mixture_sample``
+    already covers with explicit weights).
+
+    Unlike ``mixture_sample`` the weights are DATA-DERIVED inside the
+    plan: ``w_s = floor(sqrt(m_s))``.  ``isqrt`` is exact cross-engine
+    for ``m_s < 2^53`` — IEEE double sqrt is correctly rounded, so
+    ``floor(sqrt(BIGINT))`` agrees bit-for-bit between Spark and any
+    oracle engine.  The survival test then reuses the wide-integer
+    mixture inequality (DECIMAL(38,0); BIGINT would overflow once
+    Σw·m_s passes ~9·10^12):
+
+        bucket(key) · Σw · m_s  <  budget · w_s · 10^6
+
+    so the surviving set is bit-exactly reproducible, and a stratum
+    under its target (rate ≥ 1) passes through whole.  A stratum whose
+    target exceeds its mass simply keeps everything — the excess budget
+    is NOT re-distributed (single-pass, no waterfilling loop); the
+    caller sees the shortfall in the kept-token counts.
+
+    Scale shape: one per-stratum aggregation (|strata|-row result,
+    broadcast back) + a 1-row total joined the same way; the filter is
+    a pure projection over the corpus — no data shuffle.
+    """
+    if budget_tokens < 0:
+        raise ValueError("budget must be non-negative")
+    denom = 1_000_000
+    mass = df.groupBy(F.col(strata_col).alias("__s")).agg(
+        F.sum(F.col(tokens_col).cast("bigint")).alias("__mass")
+    )
+    weighted = mass.withColumn(
+        "__w", F.floor(F.sqrt(F.col("__mass").cast("double"))).cast("bigint")
+    )
+    totals = weighted.agg(F.sum("__w").alias("__wsum"))
+    bucket = F.pmod(
+        _hash60(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        F.lit(denom),
+    )
+    joined = df.join(
+        F.broadcast(weighted), F.col(strata_col) == F.col("__s"), "left"
+    ).crossJoin(F.broadcast(totals))
+    wide = "decimal(38,0)"
+    keep = (
+        bucket.cast(wide)
+        * F.coalesce(F.col("__wsum"), F.lit(0)).cast(wide)
+        * F.coalesce(F.col("__mass"), F.lit(0)).cast(wide)
+    ) < (
+        F.lit(budget_tokens).cast(wide)
+        * F.coalesce(F.col("__w"), F.lit(0)).cast(wide)
+        * F.lit(denom).cast(wide)
+    )
+    return joined.where(keep).drop("__s", "__mass", "__w", "__wsum")
+
+
 def prepare_training_shards(
     docs: DataFrame,
     quality_min: float = 0.5,

@@ -586,3 +586,44 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w_micro"),
     )
     return weighted_sample_k(docs, "doc_id", "w_micro", 100)
+
+
+@register(
+    "lang_temperature_mix",
+    """
+WITH mass AS (
+  SELECT lang AS s,
+         CAST(sum(n_chars) AS BIGINT) AS m,
+         CAST(floor(sqrt(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)))
+              AS BIGINT) AS w
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM mass),
+b AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'tau'), 1, 15))
+              AS BIGINT) % 1000000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, n_chars
+FROM b JOIN mass ON b.lang = mass.s CROSS JOIN tot
+WHERE CAST(bucket AS HUGEINT) * CAST(wsum AS HUGEINT) * CAST(m AS HUGEINT)
+    < CAST(60000 AS HUGEINT) * CAST(w AS HUGEINT) * 1000000
+""".strip(),
+)
+def q_lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-T=2 language re-balancing into a 60k-char budget:
+    each language's share is proportional to sqrt(its char mass), the
+    standard multilingual-pretraining up-weighting of small languages
+    (`operators.pipeline.temperature_sample`).  Unlike
+    `doc_mixture_sample` the weights are DATA-DERIVED in-plan —
+    `floor(sqrt(mass))` is bit-exact cross-engine for mass < 2^53 —
+    and the survival test is the same wide-integer inequality, so the
+    oracle proves the exact surviving document set."""
+    from merkonvectordb_spark.operators.pipeline import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = temperature_sample(
+        docs, "doc_id", "lang", "n_chars", budget_tokens=60_000, salt="tau"
+    )
+    return kept.select("doc_id", "lang", "n_chars")

@@ -374,3 +374,43 @@ def test_weighted_sample_k_rejects_fractional_weights(spark):
     )
     with pytest.raises(ValueError, match="integral"):
         weighted_sample_k(df, "k", "w", 10)
+
+
+def test_temperature_sample_upweights_small_strata(spark):
+    from merkonvectordb_spark.operators.pipeline import temperature_sample
+
+    # skewed masses: big stratum 16k tokens, small stratum 1k tokens —
+    # sqrt weights 126 vs ~31, so the SMALL stratum's keep-RATE must be
+    # ~4× the big one's (that is the whole point of T=2 sampling)
+    df = spark.range(1700).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1600, "big").otherwise("small").alias("lang"),
+        F.lit(10).alias("toks"),
+    )
+    kept = temperature_sample(df, "doc_id", "lang", "toks", 6_000)
+    by = {
+        r.lang: r.n
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rate_big = by.get("big", 0) / 1600.0
+    rate_small = by.get("small", 0) / 100.0
+    assert rate_small > 2.0 * rate_big, (rate_big, rate_small)
+    # total kept tokens ≈ budget (waterfill-free single pass)
+    assert abs((by.get("big", 0) + by.get("small", 0)) * 10 - 6000) < 1500
+
+    # a huge budget passes every stratum through whole
+    assert temperature_sample(df, "doc_id", "lang", "toks", 10**9).count() == 1700
+    # zero budget keeps nothing; negative raises
+    assert temperature_sample(df, "doc_id", "lang", "toks", 0).count() == 0
+    with pytest.raises(ValueError):
+        temperature_sample(df, "doc_id", "lang", "toks", -1)
+
+    # partition-invariance: same surviving set at any parallelism
+    a = {r.doc_id for r in kept.collect()}
+    b = {
+        r.doc_id
+        for r in temperature_sample(
+            df.repartition(7), "doc_id", "lang", "toks", 6_000
+        ).collect()
+    }
+    assert a == b

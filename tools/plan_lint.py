@@ -65,6 +65,8 @@ ALLOW: dict[tuple[str, str], str] = {
     # |corpus|×K with K constant — linear, never quadratic.
     ("tpch_q11", "nested_loop"):
         "scalar subquery: global value total crossJoined back (1 row)",
+    ("lang_temperature_mix", "nested_loop"):
+        "scalar subquery: 1-row Σw weight total crossJoined back",
     ("tpch_q22", "nested_loop"):
         "scalar subquery: average account balance (1 row)",
     ("sketch_distinct", "nested_loop"):
