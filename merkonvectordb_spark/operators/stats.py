@@ -233,3 +233,70 @@ def global_ntile(
             + 1
         )
     return ranked.withColumn(out_col, tile).drop("__one", "__rank", *drop)
+
+
+def exact_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact Mann-Whitney AUC of an integer ``score_col`` against a 0/1
+    ``label_col`` — "does the score rank positives above negatives?" —
+    the evaluation rail for any quality/classifier column before it
+    gates a corpus.
+
+    Tie handling is the textbook midrank rule, carried in DOUBLED
+    integer arithmetic so no fraction ever materializes: for each
+    distinct score ``v`` with ``n_v`` rows (``p_v`` positive) and
+    ``C_v`` rows strictly below, the doubled positive rank-sum is
+
+        2R = Σ_v p_v · (2·C_v + n_v + 1)
+
+    and AUC = (2R − P(P+1)) / (2·P·N). The output carries the exact
+    BIGINT numerator/denominator plus the one rounded double.
+
+    Scale shape: the corpus compresses FIRST to one row per distinct
+    score (partial-agg groupBy) — for a micro-unit score in [0, 1e6]
+    that frame is ≤ 1,000,001 rows no matter the corpus size, so the
+    single cumulative window over it is bounded by the VALUE DOMAIN,
+    not the data.  2R stays in BIGINT up to ~1e9 rows (P·(2N+1) <
+    2^63); beyond that, swap the doubled sum to DECIMAL(38,0).
+    NULL labels count as negatives; NULL scores rank below every value
+    (first window position), matching SQL ORDER BY semantics.
+    """
+    from pyspark.sql import Window
+
+    per_v = df.groupBy(F.col(score_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__nv"),
+        F.sum(
+            F.when(F.col(label_col).cast("long") == 1, 1).otherwise(0)
+        ).alias("__pv"),
+    )
+    w = (
+        Window.orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_v.select(
+        "__nv",
+        "__pv",
+        F.coalesce(F.sum("__nv").over(w), F.lit(0)).alias("__cv"),
+    )
+    agg = cum.agg(
+        F.sum(
+            F.col("__pv") * (2 * F.col("__cv") + F.col("__nv") + 1)
+        ).alias("__two_r"),
+        F.sum("__pv").alias("p_cnt"),
+        F.sum("__nv").alias("__n_tot"),
+    )
+    num = F.col("__two_r") - F.col("p_cnt") * (F.col("p_cnt") + 1)
+    den = 2 * F.col("p_cnt") * (F.col("__n_tot") - F.col("p_cnt"))
+    return agg.select(
+        F.col("p_cnt"),
+        (F.col("__n_tot") - F.col("p_cnt")).alias("neg_cnt"),
+        num.alias("auc_num"),
+        den.alias("auc_den"),
+        F.when(
+            den > 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("auc"),
+    )

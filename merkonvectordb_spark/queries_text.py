@@ -1795,3 +1795,65 @@ def q_char_entropy_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("h_nano") < F.lit(2600000000), 1).otherwise(0)
         ).cast("bigint").alias("n_low_entropy"),
     )
+
+
+@register(
+    "quality_score_auc",
+    f"""
+WITH scored AS (
+  SELECT CAST(floor({_quality_sql("text")} * 1000000.0 + 0.5) AS BIGINT) AS qm,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+), per_v AS (
+  SELECT qm, CAST(count(*) AS BIGINT) AS nv, CAST(sum(pos) AS BIGINT) AS pv
+  FROM scored GROUP BY qm
+), cum AS (
+  SELECT nv, pv,
+         CAST(coalesce(sum(nv) OVER (
+           ORDER BY qm ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cv
+  FROM per_v
+), agg AS (
+  SELECT CAST(sum(pv * (2 * cv + nv + 1)) AS BIGINT) AS two_r,
+         CAST(sum(pv) AS BIGINT) AS p_cnt,
+         CAST(sum(nv) AS BIGINT) AS n_tot
+  FROM cum
+)
+SELECT p_cnt,
+       n_tot - p_cnt AS neg_cnt,
+       two_r - p_cnt * (p_cnt + 1) AS auc_num,
+       2 * p_cnt * (n_tot - p_cnt) AS auc_den,
+       CASE WHEN p_cnt > 0 AND n_tot > p_cnt
+            THEN round(CAST(two_r - p_cnt * (p_cnt + 1) AS DOUBLE)
+                       / CAST(2 * p_cnt * (n_tot - p_cnt) AS DOUBLE), 6)
+            END AS auc
+FROM agg
+""".strip(),
+)
+def q_quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney AUC of the heuristic quality score against
+    the corpus's ground-truth language label (positive = 'en'): the
+    score's stopword arm is English-based, so "does it rank English
+    docs above the rest?" is the natural discrimination check before
+    the score gates anything (`operators.stats.exact_auc`).
+
+    Determinism: quality micro-rounded ONCE to BIGINT; midrank tie
+    handling in doubled-integer arithmetic (2R = Σ p_v·(2C_v+n_v+1)),
+    so numerator/denominator are exact BIGINTs and the lone double is
+    the final rounded division.  Scale shape: corpus → ≤1e6-row
+    distinct-score frame (partial agg) → one window bounded by the
+    VALUE DOMAIN, not the data → 1-row fold."""
+    from merkonvectordb_spark.operators.stats import exact_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.floor(
+            X.quality_score(F.col("text")) * F.lit(1000000.0) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("qm"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias(
+            "pos"
+        ),
+    )
+    return exact_auc(scored, "qm", "pos")

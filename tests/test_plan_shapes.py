@@ -421,3 +421,32 @@ def test_global_quantiles_empty_request(spark):
     assert exact_global_quantiles(df, "v", []) == []
     vals, n = exact_global_quantiles(df, "v", [], return_count=True)
     assert vals == [] and n == 10
+
+
+def test_exact_auc_matches_hand_computed_midranks(spark):
+    from merkonvectordb_spark.operators.stats import exact_auc
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "s LONG, y LONG")
+        return exact_auc(df, "s", "y").collect()[0]
+
+    # perfect separation
+    r = auc_of([(10, 1), (11, 1), (1, 0), (2, 0)])
+    assert r.auc == 1.0 and r.auc_num == r.auc_den == 8
+    # perfect anti-separation
+    assert auc_of([(1, 1), (2, 1), (10, 0), (11, 0)]).auc == 0.0
+    # all scores tied: midranks give exactly 0.5
+    assert auc_of([(5, 1), (5, 1), (5, 0), (5, 0)]).auc == 0.5
+    # hand-computed midrank case: scores 1,2,2,3 labels 0,1,0,1
+    # ranks: 1 -> 1; the two 2s -> midrank 2.5; 3 -> 4
+    # R+ = 2.5 + 4 = 6.5, U = 6.5 - 3 = 3.5, AUC = 3.5/4
+    r = auc_of([(1, 0), (2, 1), (2, 0), (3, 1)])
+    assert (r.auc_num, r.auc_den, r.auc) == (7, 8, 0.875)
+    # degenerate: one class only -> NULL auc, exact counts still emitted
+    r = auc_of([(1, 1), (2, 1)])
+    assert r.auc is None and r.p_cnt == 2 and r.neg_cnt == 0
+    # NULL label counts as negative
+    rows = [(1, None), (2, 1)]
+    df = spark.createDataFrame(rows, "s LONG, y LONG")
+    r = exact_auc(df, "s", "y").collect()[0]
+    assert (r.p_cnt, r.neg_cnt, r.auc) == (1, 1, 1.0)

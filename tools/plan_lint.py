@@ -60,6 +60,9 @@ ALLOW: dict[tuple[str, str], str] = {
         "IDF table ordering: one row per distinct term",
     ("hybrid_search_rrf", "single_partition_window"):
         "rank_by over a top-20 retrieval list (20 rows per side)",
+    ("quality_score_auc", "single_partition_window"):
+        "cumulative window over the distinct-score frame — bounded by "
+        "the micro-unit VALUE DOMAIN (<= 1e6+1 rows) at any corpus size",
     # BroadcastNestedLoopJoin is legitimate when the broadcast side is a
     # 1-row aggregate (scalar subquery) or a fixed-K set: the join is
     # |corpus|×K with K constant — linear, never quadratic.
