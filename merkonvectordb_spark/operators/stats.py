@@ -300,3 +300,85 @@ def exact_auc(
             F.round(num.cast("double") / den.cast("double"), 6),
         ).alias("auc"),
     )
+
+
+def linear_probe_2f(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+) -> DataFrame:
+    """Closed-form OLS of integer ``y`` on two integer features plus an
+    intercept — "train" a tiny linear quality model inside the engine
+    (the cheap probe you fit before paying for a real classifier).
+
+    One aggregation pass collects the ten normal-equation moments as
+    EXACT BIGINT sums (order-free, partial-aggregable); the 3x3 system
+    solves by Cramer's rule in a FIXED double expression tree over
+    those integers, so any engine replaying the same tree on the same
+    BIGINTs produces bit-identical coefficients (each IEEE op is
+    correctly rounded; cross-engine divergence needs a different tree,
+    not a different engine).  R^2 comes from the same moments via the
+    normal-equation identity SSE = Syy - (b0·Sy + b1·Sx1y + b2·Sx2y).
+
+    Bounds: BIGINT moments hold to ~1e9 rows for micro-unit y
+    (Σy² < 2^63); the double casts stay EXACT below 2^53 and remain
+    cross-engine REPRODUCIBLE above it (both engines round the same
+    BIGINT to the same nearest double).  Degenerate designs (singular
+    matrix, zero variance) yield NULL coefficients, never a crash.
+    Scale shape: one scan, one 1-row partial-agg fold — no shuffle of
+    the data, no iteration.
+    """
+    y = F.col(y_col).cast("bigint")
+    x1 = F.col(x1_col).cast("bigint")
+    x2 = F.col(x2_col).cast("bigint")
+    m = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("sx1"),
+        F.sum(x2).alias("sx2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("sx11"),
+        F.sum(x1 * x2).alias("sx12"),
+        F.sum(x2 * x2).alias("sx22"),
+        F.sum(x1 * y).alias("sx1y"),
+        F.sum(x2 * y).alias("sx2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    d = [F.col(c).cast("double") for c in (
+        "n", "sx1", "sx2", "sy", "sx11", "sx12", "sx22", "sx1y", "sx2y",
+        "syy",
+    )]
+    n, sx1d, sx2d, syd, sx11, sx12, sx22, sx1y, sx2y, syy = d
+    det = (
+        n * (sx11 * sx22 - sx12 * sx12)
+        - sx1d * (sx1d * sx22 - sx12 * sx2d)
+        + sx2d * (sx1d * sx12 - sx11 * sx2d)
+    )
+    det0 = (
+        syd * (sx11 * sx22 - sx12 * sx12)
+        - sx1d * (sx1y * sx22 - sx12 * sx2y)
+        + sx2d * (sx1y * sx12 - sx11 * sx2y)
+    )
+    det1 = (
+        n * (sx1y * sx22 - sx12 * sx2y)
+        - syd * (sx1d * sx22 - sx12 * sx2d)
+        + sx2d * (sx1d * sx2y - sx1y * sx2d)
+    )
+    det2 = (
+        n * (sx11 * sx2y - sx1y * sx12)
+        - sx1d * (sx1d * sx2y - sx1y * sx2d)
+        + syd * (sx1d * sx12 - sx11 * sx2d)
+    )
+    b0 = det0 / det
+    b1 = det1 / det
+    b2 = det2 / det
+    sst = syy - syd * syd / n
+    sse = syy - (b0 * syd + b1 * sx1y + b2 * sx2y)
+    ok = det != F.lit(0.0)
+    return m.select(
+        F.col("n"),
+        F.when(ok, F.round(b0, 6)).alias("b0"),
+        F.when(ok, F.round(b1, 6)).alias("b1"),
+        F.when(ok, F.round(b2, 6)).alias("b2"),
+        F.when(ok & (sst > 0), F.round(1.0 - sse / sst, 6)).alias("r2"),
+    )

@@ -1857,3 +1857,83 @@ def q_quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return exact_auc(scored, "qm", "pos")
+
+
+@register(
+    "quality_linear_probe",
+    f"""
+WITH feat AS (
+  SELECT CAST(n_chars AS BIGINT) AS x1,
+         CAST({_TOK_CNT_SQL.format(c="text")} AS BIGINT) AS x2,
+         CAST(floor({_quality_sql("text")} * 1000000.0 + 0.5) AS BIGINT) AS y
+  FROM documents
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x1 * x1) AS BIGINT) AS sx11,
+         CAST(sum(x1 * x2) AS BIGINT) AS sx12,
+         CAST(sum(x2 * x2) AS BIGINT) AS sx22,
+         CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+         CAST(sum(x2 * y) AS BIGINT) AS sx2y,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM feat
+), dd AS (
+  SELECT n,
+         CAST(n AS DOUBLE) AS nd, CAST(sx1 AS DOUBLE) AS a1,
+         CAST(sx2 AS DOUBLE) AS a2, CAST(sy AS DOUBLE) AS ay,
+         CAST(sx11 AS DOUBLE) AS a11, CAST(sx12 AS DOUBLE) AS a12,
+         CAST(sx22 AS DOUBLE) AS a22, CAST(sx1y AS DOUBLE) AS a1y,
+         CAST(sx2y AS DOUBLE) AS a2y, CAST(syy AS DOUBLE) AS ayy
+  FROM m
+), solved AS (
+  SELECT n, ay, a1y, a2y, ayy, nd,
+         nd * (a11 * a22 - a12 * a12)
+           - a1 * (a1 * a22 - a12 * a2)
+           + a2 * (a1 * a12 - a11 * a2) AS det,
+         ay * (a11 * a22 - a12 * a12)
+           - a1 * (a1y * a22 - a12 * a2y)
+           + a2 * (a1y * a12 - a11 * a2y) AS det0,
+         nd * (a1y * a22 - a12 * a2y)
+           - ay * (a1 * a22 - a12 * a2)
+           + a2 * (a1 * a2y - a1y * a2) AS det1,
+         nd * (a11 * a2y - a1y * a12)
+           - a1 * (a1 * a2y - a1y * a2)
+           + ay * (a1 * a12 - a11 * a2) AS det2
+  FROM dd
+)
+SELECT n,
+       CASE WHEN det <> 0 THEN round(det0 / det, 6) END AS b0,
+       CASE WHEN det <> 0 THEN round(det1 / det, 6) END AS b1,
+       CASE WHEN det <> 0 THEN round(det2 / det, 6) END AS b2,
+       CASE WHEN det <> 0 AND (ayy - ay * ay / nd) > 0
+            THEN round(1.0 - (ayy - ((det0 / det) * ay
+                                     + (det1 / det) * a1y
+                                     + (det2 / det) * a2y))
+                             / (ayy - ay * ay / nd), 6)
+       END AS r2
+FROM solved
+""".strip(),
+)
+def q_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine "train a tiny model": closed-form OLS of quality
+    micro-units on (n_chars, token count) + intercept
+    (`operators.stats.linear_probe_2f`) — the cheap linear probe a
+    curation pipeline fits to sanity-check feature signal before
+    paying for a real classifier.  Ten exact-BIGINT moments in one
+    partial-agg pass; Cramer's rule in a fixed double expression tree
+    (bit-reproducible cross-engine); R² from the normal-equation
+    identity.  No shuffle, no iteration."""
+    from merkonvectordb_spark.operators.stats import linear_probe_2f
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        F.col("n_chars").alias("x1"),
+        X.token_count(F.col("text")).cast("long").alias("x2"),
+        F.floor(
+            X.quality_score(F.col("text")) * F.lit(1000000.0) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    return linear_probe_2f(feat, "y", "x1", "x2")

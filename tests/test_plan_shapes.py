@@ -450,3 +450,38 @@ def test_exact_auc_matches_hand_computed_midranks(spark):
     df = spark.createDataFrame(rows, "s LONG, y LONG")
     r = exact_auc(df, "s", "y").collect()[0]
     assert (r.p_cnt, r.neg_cnt, r.auc) == (1, 1, 1.0)
+
+
+def test_linear_probe_2f_recovers_planted_coefficients(spark):
+    import numpy as np
+
+    from merkonvectordb_spark.operators.stats import linear_probe_2f
+
+    # exact integer fit: y = 3 + 2*x1 - x2 (residual 0 -> r2 = 1)
+    rows = [(x1, x2, 3 + 2 * x1 - x2) for x1 in range(10) for x2 in range(5)]
+    df = spark.createDataFrame(rows, "x1 LONG, x2 LONG, y LONG")
+    r = linear_probe_2f(df, "y", "x1", "x2").collect()[0]
+    assert (r.b0, r.b1, r.b2, r.r2) == (3.0, 2.0, -1.0, 1.0)
+
+    # noisy fit matches numpy lstsq to rounding
+    rng = np.random.default_rng(3)
+    x1 = rng.integers(0, 500, 200)
+    x2 = rng.integers(0, 100, 200)
+    y = 7 + 3 * x1 + 5 * x2 + rng.integers(-20, 21, 200)
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 LONG, x2 LONG, y LONG",
+    )
+    r = linear_probe_2f(df, "y", "x1", "x2").collect()[0]
+    X = np.stack([np.ones(200), x1, x2], axis=1)
+    beta = np.linalg.lstsq(X, y.astype(float), rcond=None)[0]
+    assert abs(r.b0 - beta[0]) < 1e-4
+    assert abs(r.b1 - beta[1]) < 1e-4
+    assert abs(r.b2 - beta[2]) < 1e-4
+    assert 0.9 < r.r2 <= 1.0
+
+    # singular design (x2 = 2*x1): NULL coefficients, count intact
+    rows = [(i, 2 * i, i) for i in range(50)]
+    df = spark.createDataFrame(rows, "x1 LONG, x2 LONG, y LONG")
+    r = linear_probe_2f(df, "y", "x1", "x2").collect()[0]
+    assert r.n == 50 and r.b0 is None and r.r2 is None
