@@ -527,3 +527,66 @@ def hll_registers_grouped(
         .groupBy(*group_cols, "idx")
         .agg(F.max("rho").alias("mj"))
     )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: Column | str,
+    q_pcts: tuple[int, ...],
+    k: int = 1024,
+    salt: str = "",
+) -> DataFrame:
+    """Quantile estimates from a deterministic bottom-k hash sample —
+    the KMV trick applied to order statistics.  Rows whose salted
+    60-bit content hash ranks in the global bottom ``k`` form a
+    uniform-without-replacement sample; the estimate for the q-th
+    percentile is the sample's own discrete order statistic at rank
+    ``ceil(q·|sample|/100)``.
+
+    Where this sits among the engine's three quantile paths:
+    ``stats.exact_global_quantiles`` is exact but range-partitions the
+    DATA (a full shuffle per metric); ``histogram_quantiles`` is two
+    linear passes with VALUE error ≤ one bin width — which blows up on
+    heavy tails; this sketch is one heap top-k pass with RANK error
+    O(1/sqrt(k)) with high probability, independent of the value
+    distribution — the heavy-tail-safe profiler.  The sample is
+    mergeable exactly like KMV: union two bottom-k sets, keep the
+    bottom k (same hash space, same salt).
+
+    Determinism: the sample is content-addressed (re-runs, re-shards,
+    and any engine agree on the exact member set); within the sample,
+    ranks tie-break on the hash, so every estimate is a value the data
+    actually contains.  Scale shape: TakeOrderedAndProject (per-task
+    heap, ≤ k rows forwarded per partition — never a data shuffle),
+    then one window + one fold over the k-row frame.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if not q_pcts or any(q < 1 or q > 100 for q in q_pcts):
+        raise ValueError("q_pcts must be integer percents in [1, 100]")
+    from pyspark.sql import Window
+
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = md5_hash60(F.concat(key.cast("string"), F.lit(salt)))
+    sample = (
+        df.select(F.col(value_col).alias("__v"), h.alias("__h"))
+        .orderBy(F.asc("__h"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.asc("__v"), F.asc("__h"))
+    ranked = sample.select(
+        "__v", F.row_number().over(w).alias("__rn")
+    ).withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy()))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("sample_n"),
+        *[
+            F.max(
+                F.when(
+                    F.col("__rn") <= F.expr(f"({q} * __n + 99) div 100"),
+                    F.col("__v"),
+                )
+            ).alias(f"p{q}")
+            for q in q_pcts
+        ],
+    )

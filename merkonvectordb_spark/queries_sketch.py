@@ -628,3 +628,55 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_zero_regs",
         "exact_distinct",
     )
+
+
+@register(
+    "sampled_global_quantiles",
+    """
+WITH sample AS (
+  SELECT l_extendedprice AS v,
+         CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                || CAST(l_linenumber AS VARCHAR) || 'sq'), 1, 15))
+              AS BIGINT) AS h
+  FROM lineitem
+  ORDER BY h ASC
+  LIMIT 1024
+), ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v ASC, h ASC) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM sample
+)
+SELECT CAST(count(*) AS BIGINT) AS sample_n,
+       max(CASE WHEN rn <= (25 * n + 99) // 100 THEN v END) AS p25,
+       max(CASE WHEN rn <= (50 * n + 99) // 100 THEN v END) AS p50,
+       max(CASE WHEN rn <= (75 * n + 99) // 100 THEN v END) AS p75,
+       max(CASE WHEN rn <= (90 * n + 99) // 100 THEN v END) AS p90,
+       max(CASE WHEN rn <= (99 * n + 99) // 100 THEN v END) AS p99
+FROM ranked
+""".strip(),
+)
+def q_sampled_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state global quantile estimation from a deterministic
+    bottom-k hash sample (`operators.sketch.sampled_quantiles`, k=1024)
+    — the rank-error-bounded third quantile path next to the exact
+    range-partition shuffle (`global_quantiles`) and the value-error
+    histogram (`hist_quantiles`); heavy tails can't hurt a rank bound.
+    Content-addressed sample ⇒ the exact member set (and thus every
+    estimate) is engine-independent; each estimate is a value the data
+    actually contains.  Plan: heap top-k (TakeOrderedAndProject), then
+    window + fold over the 1024-row sample frame."""
+    from merkonvectordb_spark.operators.sketch import sampled_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return sampled_quantiles(
+        li,
+        "l_extendedprice",
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        ),
+        (25, 50, 75, 90, 99),
+        k=1024,
+        salt="sq",
+    )

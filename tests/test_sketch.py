@@ -297,3 +297,40 @@ def test_hll_register_shuffle_is_bounded(spark):
     df = spark.range(100_000).select(F.col("id").alias("v"))
     plan = hll_registers(df, "v")._jdf.queryExecution().executedPlan().toString()
     assert "partial_max" in plan.lower()
+
+
+def test_sampled_quantiles_rank_error_and_exact_smalln(spark):
+    from merkonvectordb_spark.operators.sketch import sampled_quantiles
+
+    # 100k skewed values (heavy tail: id^2) — the case that breaks a
+    # fixed-grid histogram's value-error bound but not a rank bound
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * F.col("id")).alias("v")
+    )
+    r = sampled_quantiles(df, "v", "k", (50, 90, 99), k=1024).collect()[0]
+    assert r.sample_n == 1024
+    for q, est in ((50, r.p50), (90, r.p90), (99, r.p99)):
+        # invert v = id^2 to recover the estimate's true rank
+        true_rank = float(est) ** 0.5 / n
+        assert abs(true_rank - q / 100.0) < 0.05, (q, est, true_rank)
+
+    # k >= N: the sample IS the data -> exact discrete order statistics
+    small = spark.range(1, 101).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    r = sampled_quantiles(small, "v", "k", (1, 50, 100), k=1024).collect()[0]
+    assert (r.sample_n, r.p1, r.p50, r.p100) == (100, 1, 50, 100)
+
+    # plan: heap top-k, never a global sort of the data
+    plan = sampled_quantiles(df, "v", "k", (50,), k=64)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    # guards
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        sampled_quantiles(df, "v", "k", (50,), k=0)
+    with _p.raises(ValueError):
+        sampled_quantiles(df, "v", "k", (0,))

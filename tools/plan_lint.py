@@ -60,6 +60,9 @@ ALLOW: dict[tuple[str, str], str] = {
         "IDF table ordering: one row per distinct term",
     ("hybrid_search_rrf", "single_partition_window"):
         "rank_by over a top-20 retrieval list (20 rows per side)",
+    ("sampled_global_quantiles", "single_partition_window"):
+        "rank window over the bottom-k hash sample — k=1024 literal, "
+        "sketch-sized at any corpus size",
     ("quality_score_auc", "single_partition_window"):
         "cumulative window over the distinct-score frame — bounded by "
         "the micro-unit VALUE DOMAIN (<= 1e6+1 rows) at any corpus size",
