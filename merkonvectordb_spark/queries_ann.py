@@ -1673,3 +1673,206 @@ def q_router_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in plans[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# graded ranking quality: nDCG@10 of the LSH index against exact cosine
+# ---------------------------------------------------------------------------
+# Recall (ann_recall_report) answers "did the index FIND the right
+# neighbors"; nDCG answers "did it put them in the right ORDER, weighted
+# toward the top".  Relevance grades derive from the exact ranking
+# (exact rank j -> grade 11-j, gain 2^g - 1); discounts 1/log2(i+1) are
+# PYTHON-computed literal doubles embedded in BOTH engines, so no libm
+# call runs in either engine; every per-position term is micro-rounded
+# to BIGINT before the (associative) sum.
+
+_NDCG_K = 10
+# gain for exact rank j = 2^(11-j) - 1, 1-indexed by j
+_NDCG_GAINS = [(1 << (_NDCG_K + 1 - j)) - 1 for j in range(1, _NDCG_K + 1)]
+# discount for position i = 1/log2(i+1), 1-indexed by i
+_NDCG_DISCOUNTS = [
+    1.0 / __import__("math").log2(i + 1) for i in range(1, _NDCG_K + 1)
+]
+
+
+def _ndcg_oracle() -> str:
+    gains = "[" + ", ".join(str(g) for g in _NDCG_GAINS) + "]"
+    discs = "[" + ", ".join(repr(d) for d in _NDCG_DISCOUNTS) + "]"
+    return f"""
+WITH edim AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE len(embedding) = {A.DIM}
+),
+cbuck AS (
+  {_bucket_cte_sql("edim", "vec_id", "emb")}
+),
+qb AS (SELECT id AS query_id, table_id, bucket FROM cbuck WHERE id < 5),
+cand AS (
+  SELECT DISTINCT qb.query_id, cb.id AS vec_id
+  FROM qb JOIN cbuck cb ON qb.table_id = cb.table_id AND qb.bucket = cb.bucket
+),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM edim WHERE vec_id < 5),
+ann_raw AS (
+  SELECT c.query_id, c.vec_id,
+         {_COS_RAW.format(a="e.emb", b="q.qv")} AS raw
+  FROM cand c
+  JOIN edim e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+  WHERE sqrt(list_dot_product(e.emb, e.emb)) > 0
+    AND sqrt(list_dot_product(q.qv, q.qv)) > 0
+),
+ann_top AS (
+  SELECT query_id, vec_id, round(raw, 6) AS score FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY raw DESC, vec_id ASC) AS rn
+    FROM ann_raw WHERE raw >= 0.0
+  ) WHERE rn <= {_NDCG_K}
+),
+ann AS (
+  SELECT query_id, vec_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS ai
+  FROM ann_top
+),
+exact_raw AS (
+  SELECT q.query_id, e.vec_id,
+         {_COS_RAW.format(a="e.emb", b="q.qv")} AS raw
+  FROM edim e CROSS JOIN q
+  WHERE sqrt(list_dot_product(e.emb, e.emb)) > 0
+    AND sqrt(list_dot_product(q.qv, q.qv)) > 0
+),
+exact_top AS (
+  SELECT query_id, vec_id, round(raw, 6) AS score FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY raw DESC, vec_id ASC) AS rn
+    FROM exact_raw WHERE raw >= 0.0
+  ) WHERE rn <= {_NDCG_K}
+),
+exact AS (
+  SELECT query_id, vec_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS er
+  FROM exact_top
+),
+dcg AS (
+  SELECT a.query_id,
+         CAST(sum(CAST(floor(
+           CAST(coalesce({gains}[x.er], 0) AS DOUBLE)
+             * {discs}[a.ai] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS dcg_micro
+  FROM ann a LEFT JOIN exact x
+    ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+  GROUP BY a.query_id
+),
+idcg AS (
+  SELECT query_id,
+         CAST(sum(CAST(floor(
+           CAST({gains}[er] AS DOUBLE)
+             * {discs}[er] * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS idcg_micro
+  FROM exact GROUP BY query_id
+)
+SELECT d.query_id, d.dcg_micro, i.idcg_micro,
+       CASE WHEN i.idcg_micro > 0
+            THEN round(CAST(d.dcg_micro AS DOUBLE)
+                       / CAST(i.idcg_micro AS DOUBLE), 6)
+       END AS ndcg
+FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+""".strip()
+
+
+@register("ann_ndcg_report", _ndcg_oracle())
+def q_ann_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the LSH ANN ranking against exact cosine — the graded
+    ORDER-quality twin of `ann_recall_report` (recall only asks set
+    membership).  Grades come from the exact ranking itself (rank j ->
+    gain 2^(11-j) - 1); positions re-rank the emitted rounded scores so
+    both engines assign them from identical values; discounts are
+    literal doubles computed ONCE in Python and embedded in both
+    engines (no libm in either); every position term is micro-rounded
+    to BIGINT so the per-query sums are associative.  Scale: both
+    rankings are top-10-per-query frames — everything after the
+    (already-verified) retrieval pipelines is |Q|x10-sized."""
+    from pyspark.sql import Window
+
+    from merkonvectordb_spark.operators.search import knn_batch
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.size("embedding") == A.DIM
+    )
+    qset = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    ann = (
+        A.knn_batch_ann(emb, qset, k=_NDCG_K, min_score=0.0)
+        .select("query_id", "vec_id", "score")
+        .withColumn("ai", F.row_number().over(wr))
+    )
+    exact = (
+        knn_batch(emb, qset, k=_NDCG_K, min_score=0.0)
+        .select("query_id", "vec_id", "score")
+        .withColumn("er", F.row_number().over(wr))
+    )
+    gains = F.array(*[F.lit(g) for g in _NDCG_GAINS])
+    discs = F.array(*[F.lit(d) for d in _NDCG_DISCOUNTS])
+    dcg = (
+        ann.join(
+            exact.select(
+                F.col("query_id").alias("__qx"),
+                F.col("vec_id").alias("__vx"),
+                "er",
+            ),
+            (ann["query_id"] == F.col("__qx"))
+            & (ann["vec_id"] == F.col("__vx")),
+            "left",
+        )
+        .select(
+            "query_id",
+            F.floor(
+                # try_element_at, NOT element_at: a NULL index (ANN hit
+                # absent from the exact list) must yield gain 0 —
+                # element_at(arr, NULL) resolves to an element here,
+                # silently crediting misses
+                F.coalesce(
+                    F.try_element_at(gains, F.col("er").cast("int")),
+                    F.lit(0),
+                ).cast("double")
+                * F.element_at(discs, F.col("ai").cast("int"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("__t"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("__t").alias("dcg_micro"))
+    )
+    idcg = (
+        exact.select(
+            "query_id",
+            F.floor(
+                F.element_at(gains, F.col("er").cast("int")).cast("double")
+                * F.element_at(discs, F.col("er").cast("int"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("__t"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("__t").alias("idcg_micro"))
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        "dcg_micro",
+        "idcg_micro",
+        F.when(
+            F.col("idcg_micro") > 0,
+            F.round(
+                F.col("dcg_micro").cast("double")
+                / F.col("idcg_micro").cast("double"),
+                6,
+            ),
+        ).alias("ndcg"),
+    )

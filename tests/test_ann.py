@@ -828,3 +828,38 @@ def test_multiprobe_recall_dominates_single_probe(clustered):
     rec_m = len(want & got_m) / len(want)
     assert rec_m >= rec_s
     assert rec_m >= 0.95, f"multi-probe recall {rec_m:.2f} < 0.95"
+
+
+def test_ann_ndcg_report_bounds_and_null_gain(spark):
+    """nDCG@10 invariants at sf0.001 + the element_at NULL-index trap:
+    Spark's element_at(arr, NULL) resolves to an element (observed: the
+    last) instead of NULL — the query must use try_element_at so an ANN
+    hit absent from the exact list contributes gain 0, not a phantom."""
+    # via the registry: queries_ann's recall/ndcg oracle builders need
+    # the knn_batch oracle registered first (module import order)
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["ann_ndcg_report"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # the query itself is always its own top hit: grade-10 at
+        # position 1 floors dcg at 1023000000 micro
+        assert r.dcg_micro >= 1023000000, r
+        assert 0 < r.dcg_micro <= r.idcg_micro, r
+        assert 0.0 < r.ndcg <= 1.0, r
+
+    # the trap itself, pinned: element_at must NOT be reintroduced
+    arr = F.array(*[F.lit(g) for g in (1023, 1)])
+    df = spark.createDataFrame([(None,), (1,)], "i INT")
+    got = {
+        r.i: r.g
+        for r in df.select(
+            "i",
+            F.coalesce(
+                F.try_element_at(arr, F.col("i")), F.lit(0)
+            ).alias("g"),
+        ).collect()
+    }
+    assert got == {None: 0, 1: 1023}
