@@ -798,3 +798,133 @@ def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     types = ev.select("event_type").distinct()
     return _psi_report(counts, types)
+
+
+# ---------------------------------------------------------------------------
+# retrospective CUSUM changepoint detection over daily event volumes
+# ---------------------------------------------------------------------------
+# The monitoring question PSI can't answer: not "do two halves differ"
+# but "WHEN did the level shift".  Page's CUSUM statistic
+# S_t = max(0, S_{t-1} + x_t - mu - K) has the closed dataflow form
+# S_t = P_t - min(0, min_{j<=t} P_j) with P the prefix sum of deviations
+# — two windows over the per-(type, day) frame, no recursion.  All
+# arithmetic is BIGINT: deviations are cross-multiplied by the day
+# count D so the mean mu = T/D never materializes as a float
+# (d_t = D*x_t - T - K*D), and the alarm test is S_t > H*D.
+
+CUSUM_K = 10  # allowance: events/day above the mean before S grows
+CUSUM_H = 30  # alarm threshold, in events/day of accumulated excess
+
+
+@register(
+    "events_cusum_changepoint",
+    f"""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1,
+         CAST(sum(x) AS BIGINT) AS total
+  FROM daily GROUP BY 1
+),
+grid AS (
+  SELECT b.event_type, t.day, b.d1 - b.d0 + 1 AS nd, b.total,
+         coalesce(d.x, 0) AS x
+  FROM bounds b
+  CROSS JOIN LATERAL unnest(generate_series(b.d0, b.d1)) AS t(day)
+  LEFT JOIN daily d ON d.event_type = b.event_type AND d.day = t.day
+),
+pre AS (
+  SELECT event_type, day, nd, x,
+         CAST(sum(nd * x - total - {CUSUM_K} * nd) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS p
+  FROM grid
+),
+cusum AS (
+  SELECT event_type, day, nd, x, p,
+         p - least(0, min(p) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )) AS s
+  FROM pre
+)
+SELECT event_type, day, x AS n_events, s AS s_scaled,
+       s > {CUSUM_H} * nd AS alarm
+FROM cusum
+""".strip(),
+)
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrospective CUSUM level-shift detection on daily event volume,
+    per event type — emits the full statistic trajectory (day, count,
+    scaled S, alarm flag), so the oracle verifies every step, not just
+    the verdict.  Missing days count as zero via a dense per-type day
+    grid (a changepoint detector that skips quiet days is blind to
+    outages).  Exactness: deviations cross-multiplied by the day count
+    (BIGINT d_t = D·x_t − T − K·D), prefix-sum + running-min windows
+    over the |types|·|days| frame — dimension-sized at any corpus
+    scale; the corpus itself contributes one partial-agg groupBy."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.sum("x").alias("total"),
+    )
+    grid = (
+        bounds.select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+            (F.col("d1") - F.col("d0") + 1).alias("nd"),
+            "total",
+        )
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            "nd",
+            "total",
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        )
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # the max(0, .) recursion solves to S_t = P_t - min(0, min_{j<=t} P_j)
+    # — the running min INCLUDES the current row (that's what clamps S
+    # at zero when deviations are all negative)
+    wm = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = grid.withColumn(
+        "p",
+        F.sum(
+            F.col("nd") * F.col("x")
+            - F.col("total")
+            - F.lit(CUSUM_K) * F.col("nd")
+        ).over(wp),
+    )
+    cusum = pre.withColumn(
+        "s",
+        F.col("p") - F.least(F.lit(0), F.min("p").over(wm)),
+    )
+    return cusum.select(
+        "event_type",
+        "day",
+        F.col("x").alias("n_events"),
+        F.col("s").alias("s_scaled"),
+        (F.col("s") > F.lit(CUSUM_H) * F.col("nd")).alias("alarm"),
+    )

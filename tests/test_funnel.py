@@ -87,3 +87,67 @@ def test_psi_drift_reports_brand_new_event_type(spark, tmp_path):
     assert "brand_new" in got
     assert got["brand_new"].n_ref == 0 and got["brand_new"].n_cur == 50
     assert got["brand_new"].drift
+
+
+def test_cusum_detects_planted_level_shift(spark):
+    """CUSUM semantics on synthetic daily volumes: flat 50/day for 20
+    days, then a +25/day shift — the alarm must fire shortly after the
+    shift and never before it; a no-shift series must never alarm."""
+    import datetime
+
+    from merkonvectordb_spark.queries_events import (
+        CUSUM_H,
+        CUSUM_K,
+        q_events_cusum_changepoint,
+    )
+    import merkonvectordb_spark.queries_events as QE
+    from merkonvectordb_spark.schema import load_table
+    import os, tempfile
+
+    def synth(counts):
+        rows = []
+        eid = 0
+        base = datetime.datetime(2024, 3, 1)
+        for day, n in enumerate(counts):
+            for i in range(n):
+                rows.append(
+                    (
+                        eid,
+                        base + datetime.timedelta(days=day, seconds=i),
+                        1,
+                        "shift",
+                        1.0,
+                        "{}",
+                    )
+                )
+                eid += 1
+        return spark.createDataFrame(
+            rows,
+            "event_id LONG, ts TIMESTAMP, user_id LONG, "
+            "event_type STRING, value DOUBLE, props STRING",
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # 20 quiet days then 10 shifted days (+25 > K=10 allowance)
+        shifted = [50] * 20 + [75] * 10
+        synth(shifted).write.parquet(os.path.join(tmp, "events.parquet"))
+        out = sorted(
+            q_events_cusum_changepoint(spark, tmp).collect(),
+            key=lambda r: r.day,
+        )
+        alarms = [i for i, r in enumerate(out) if r.alarm]
+        # mean = 58.3; excess past mean+K is ~6.6/day pre-shift (S drifts
+        # down, clamped at 0) and ~+6.6/day post-shift: alarm fires in
+        # the shifted window only
+        assert alarms and min(alarms) >= 20, (alarms,)
+        # monotone S growth across the shifted run once it starts
+        post = [r.s_scaled for r in out[20:]]
+        assert post == sorted(post)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        synth([50] * 30).write.parquet(os.path.join(tmp, "events.parquet"))
+        out = q_events_cusum_changepoint(spark, tmp).collect()
+        assert not any(r.alarm for r in out)
+        # flat series at exactly the mean: deviations are -K*D every
+        # day, S clamps to 0 via the running-min identity
+        assert all(r.s_scaled == 0 for r in sorted(out, key=lambda r: r.day)[1:])
