@@ -928,3 +928,104 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("s_scaled"),
         (F.col("s") > F.lit(CUSUM_H) * F.col("nd")).alias("alarm"),
     )
+
+
+ATTRIB_LOOKBACK_US = 7 * 86400 * 1000000  # 7-day attribution window
+
+
+@register(
+    "events_last_touch_attribution",
+    f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events WHERE user_id IS NOT NULL
+),
+touched AS (
+  SELECT user_id, event_id, event_type, us,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN {{'tus': us, 'tty': event_type}} END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS touch
+  FROM ev
+),
+purchases AS (
+  SELECT CASE WHEN touch IS NOT NULL
+               AND us - touch.tus <= {ATTRIB_LOOKBACK_US}
+              THEN touch.tty ELSE 'direct' END AS touch_type,
+         CASE WHEN touch IS NOT NULL
+               AND us - touch.tus <= {ATTRIB_LOOKBACK_US}
+              THEN us - touch.tus ELSE 0 END AS lag_us
+  FROM touched WHERE event_type = 'purchase'
+)
+SELECT touch_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(lag_us) AS BIGINT) AS sum_lag_us,
+       round(CAST(sum(lag_us) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS avg_lag_sec
+FROM purchases GROUP BY touch_type
+""".strip(),
+)
+def q_events_last_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch conversion attribution: each purchase credits the
+    user's most recent PRECEDING non-purchase event within a 7-day
+    lookback, else 'direct' — the sessionization-adjacent analytic a
+    product pipeline runs daily.  One user-partitioned window (same
+    per-user state bound as sessionize) carrying the candidate touch
+    as an ignore-nulls last_value of a struct; the attribution test is
+    integer epoch arithmetic; the report is |touch types|-sized with
+    exact BIGINT lag sums (doubles only in the final rendered mean)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr("unix_micros(ts)").alias("us"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = ev.withColumn(
+        "touch",
+        F.last(
+            F.when(
+                F.col("event_type") != "purchase",
+                F.struct(
+                    F.col("us").alias("tus"),
+                    F.col("event_type").alias("tty"),
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    attributed = F.col("touch").isNotNull() & (
+        F.col("us") - F.col("touch.tus") <= ATTRIB_LOOKBACK_US
+    )
+    purchases = touched.where(F.col("event_type") == "purchase").select(
+        F.when(attributed, F.col("touch.tty"))
+        .otherwise("direct")
+        .alias("touch_type"),
+        F.when(attributed, F.col("us") - F.col("touch.tus"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("lag_us"),
+    )
+    return purchases.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("lag_us").alias("sum_lag_us"),
+        F.round(
+            F.sum("lag_us").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("avg_lag_sec"),
+    )

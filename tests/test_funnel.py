@@ -151,3 +151,50 @@ def test_cusum_detects_planted_level_shift(spark):
         # flat series at exactly the mean: deviations are -K*D every
         # day, S clamps to 0 via the running-min identity
         assert all(r.s_scaled == 0 for r in sorted(out, key=lambda r: r.day)[1:])
+
+
+def test_last_touch_attribution_semantics(spark):
+    """Planted journeys: credit goes to the most recent PRECEDING
+    non-purchase within 7 days; outside the lookback or with no prior
+    touch it's 'direct'; later events never attribute backwards."""
+    import datetime
+    import os
+    import tempfile
+
+    from merkonvectordb_spark.queries_events import (
+        q_events_last_touch_attribution,
+    )
+
+    t0 = datetime.datetime(2024, 3, 10, 12, 0, 0)
+
+    def ev(eid, uid, ty, dt_sec):
+        return (eid, t0 + datetime.timedelta(seconds=dt_sec), uid, ty, 1.0, "{}")
+
+    rows = [
+        # u1: view -> (100s) -> purchase          => view, lag 100s
+        ev(1, 1, "view", 0), ev(2, 1, "purchase", 100),
+        # u2: click -> 8 days -> purchase          => direct (outside 7d)
+        ev(3, 2, "click", 0), ev(4, 2, "purchase", 8 * 86400),
+        # u3: purchase with NO prior event         => direct
+        ev(5, 3, "purchase", 0),
+        # u3: a view AFTER the purchase must not attribute backwards
+        ev(6, 3, "view", 10),
+        # u4: click -> purchase -> purchase: both credit the click
+        # (last non-purchase touch persists across the first purchase)
+        ev(7, 4, "click", 0), ev(8, 4, "purchase", 50),
+        ev(9, 4, "purchase", 60),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+        got = {
+            r.touch_type: (r.n_purchases, r.sum_lag_us)
+            for r in q_events_last_touch_attribution(spark, tmp).collect()
+        }
+    assert got["view"] == (1, 100 * 1_000_000)
+    assert got["click"] == (2, (50 + 60) * 1_000_000)
+    assert got["direct"] == (2, 0)
