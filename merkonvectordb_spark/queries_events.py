@@ -816,9 +816,7 @@ CUSUM_K = 10  # allowance: events/day above the mean before S grows
 CUSUM_H = 30  # alarm threshold, in events/day of accumulated excess
 
 
-@register(
-    "events_cusum_changepoint",
-    f"""
+_CUSUM_ORACLE = f"""
 WITH daily AS (
   SELECT event_type,
          epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
@@ -856,8 +854,10 @@ cusum AS (
 SELECT event_type, day, x AS n_events, s AS s_scaled,
        s > {CUSUM_H} * nd AS alarm
 FROM cusum
-""".strip(),
-)
+""".strip()
+
+
+@register("events_cusum_changepoint", _CUSUM_ORACLE)
 def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrospective CUSUM level-shift detection on daily event volume,
     per event type — emits the full statistic trajectory (day, count,
@@ -875,6 +875,14 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).alias("x")
     )
+    return cusum_from_daily(daily)
+
+
+def cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """CUSUM tail over a (event_type, day, x) daily-count frame — shared
+    by the batch query and the streaming fold (daily counts are
+    distributive monitoring state: per-batch counts merge by addition,
+    so fold ≡ one-shot by construction)."""
     bounds = daily.groupBy("event_type").agg(
         F.min("day").alias("d0"),
         F.max("day").alias("d1"),

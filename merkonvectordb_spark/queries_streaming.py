@@ -692,3 +692,60 @@ def q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     types = counts.select("event_type").distinct()
     return _psi_report(counts, types)
+
+
+from merkonvectordb_spark.queries_events import (  # noqa: E402
+    _CUSUM_ORACLE,
+)
+
+
+@register("streaming_cusum_changepoint", _CUSUM_ORACLE)
+def q_streaming_cusum_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous changepoint monitoring: per-micro-batch daily event
+    counts folded on the driver ((type, day) -> count is DISTRIBUTIVE
+    state — per-batch counts merge by addition), then the shared CUSUM
+    tail (`queries_events.cusum_from_daily`) over the folded
+    |types|x|days| frame.  Hash-matching the batch oracle proves the
+    incremental path reports exactly the trajectory a one-shot audit
+    would — the streaming-sketch contract applied to changepoint
+    detection."""
+    from merkonvectordb_spark.queries_events import cusum_from_daily
+
+    work = tempfile.mkdtemp(prefix="strm_cusum_")
+    src = _staged_events_split(sf_dir, work, n_files=4)
+    ev = stream_events(spark, src, max_files_per_trigger=1)
+
+    state: dict[tuple[str, int], int] = {}
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.select(
+                "event_type",
+                F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            )
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).alias("x"))
+            .collect()
+        )
+        for r in rows:
+            key = (r["event_type"], r["day"])
+            state[key] = state.get(key, 0) + r["x"]
+
+    q = (
+        ev.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming cusum did not finish in 600s")
+    shutil.rmtree(work, ignore_errors=True)
+
+    daily = spark.createDataFrame(
+        [(t, d, x) for (t, d), x in sorted(state.items())],
+        "event_type STRING, day LONG, x LONG",
+    )
+    return cusum_from_daily(daily)
