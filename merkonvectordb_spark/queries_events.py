@@ -1037,3 +1037,67 @@ def q_events_last_touch_attribution(
             6,
         ).alias("avg_lag_sec"),
     )
+
+
+@register(
+    "user_rfm_segments",
+    """
+WITH pu AS (
+  SELECT user_id,
+         max(epoch_us(CAST(ts AS TIMESTAMP))) AS r_us,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+t AS (
+  SELECT user_id, m_cents,
+         ntile(3) OVER (ORDER BY r_us DESC, user_id ASC) AS r_tile,
+         ntile(3) OVER (ORDER BY f DESC, user_id ASC) AS f_tile,
+         ntile(3) OVER (ORDER BY m_cents DESC, user_id ASC) AS m_tile
+  FROM pu
+)
+SELECT r_tile, f_tile, m_tile,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(m_cents) AS BIGINT) AS sum_cents
+FROM t GROUP BY 1, 2, 3
+""".strip(),
+)
+def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every user terciled on Recency (last event),
+    Frequency (event count), and Monetary (integer-cent value sum) —
+    tile 1 is always the BEST tercile — then rolled up to the 27
+    segment cells with exact member counts and cent totals.
+
+    Scale shape: the corpus collapses to the per-user frame first (one
+    partial-agg groupBy); each tercile is `operators.stats.global_ntile`
+    — range-partition + driver offsets, NO single-partition NTILE
+    window anywhere, exact builtin-NTILE semantics including boundary
+    ties (total order via the user_id tie-break).  Three range shuffles
+    of the USER frame, never of the events."""
+    from merkonvectordb_spark.operators.stats import global_ntile
+
+    pu = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(F.expr("unix_micros(ts)")).alias("r_us"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias(
+                "m_cents"
+            ),
+        )
+    )
+    t = global_ntile(
+        pu, [("r_us", "desc"), ("user_id", "asc")], 3, out_col="r_tile"
+    )
+    t = global_ntile(
+        t, [("f", "desc"), ("user_id", "asc")], 3, out_col="f_tile"
+    )
+    t = global_ntile(
+        t, [("m_cents", "desc"), ("user_id", "asc")], 3, out_col="m_tile"
+    )
+    return t.groupBy("r_tile", "f_tile", "m_tile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("m_cents").alias("sum_cents"),
+    )

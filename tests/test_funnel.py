@@ -198,3 +198,51 @@ def test_last_touch_attribution_semantics(spark):
     assert got["view"] == (1, 100 * 1_000_000)
     assert got["click"] == (2, (50 + 60) * 1_000_000)
     assert got["direct"] == (2, 0)
+
+
+def test_rfm_segments_hand_computed(spark):
+    """6 planted users, terciles of 2: best recency/frequency/monetary
+    must land in tile 1; segment rollup counts must partition the
+    users."""
+    import datetime
+    import os
+    import tempfile
+
+    from merkonvectordb_spark.queries_events import q_user_rfm_segments
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    # user u: f_u events, last event at day u, each worth u dollars
+    # => recency order: u6 best; frequency order: u6 (6 events) best;
+    #    monetary: u6 (6 events x $6) best — u6 is (1,1,1), u1 is (3,3,3)
+    for u in range(1, 7):
+        for i in range(u):
+            rows.append(
+                (
+                    eid,
+                    t0 + datetime.timedelta(days=u, seconds=i),
+                    u,
+                    "view",
+                    float(u),
+                    "{}",
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+        segs = q_user_rfm_segments(spark, tmp).collect()
+    got = {(r.r_tile, r.f_tile, r.m_tile): (r.n_users, r.sum_cents) for r in segs}
+    # all three metrics order users identically (u6 > u5 > ... > u1),
+    # so the only populated segments are the diagonal
+    assert got == {
+        (1, 1, 1): (2, 6 * 600 + 5 * 500),
+        (2, 2, 2): (2, 4 * 400 + 3 * 300),
+        (3, 3, 3): (2, 2 * 200 + 1 * 100),
+    }
+    assert sum(n for n, _ in got.values()) == 6
