@@ -1101,3 +1101,106 @@ def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("m_cents").alias("sum_cents"),
     )
+
+
+@register(
+    "events_ab_test_report",
+    """
+WITH pu AS (
+  SELECT user_id, user_id % 2 AS variant,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+  FROM pu
+),
+z AS (
+  SELECT n_a, c_a, n_b, c_b,
+         CASE WHEN n_a > 0 AND n_b > 0 AND (c_a + c_b) > 0
+               AND (c_a + c_b) < (n_a + n_b)
+              THEN (CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                    - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                   / sqrt((CAST(c_a + c_b AS DOUBLE)
+                           / CAST(n_a + n_b AS DOUBLE))
+                          * (1.0 - CAST(c_a + c_b AS DOUBLE)
+                                   / CAST(n_a + n_b AS DOUBLE))
+                          * (1.0 / CAST(n_a AS DOUBLE)
+                             + 1.0 / CAST(n_b AS DOUBLE)))
+         END AS zs
+  FROM agg
+)
+SELECT n_a, c_a, n_b, c_b,
+       round(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       round(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       round(zs, 6) AS z_score,
+       zs * zs > 3.8415 AS significant
+FROM z
+""".strip(),
+)
+def q_events_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B conversion test: users split by a
+    deterministic variant key (user_id parity — swap in a salted hash
+    bucket for real traffic), converted = any purchase, pooled
+    two-proportion z-statistic, significance at alpha=0.05 two-sided
+    (z^2 > 1.96^2, compared in the SQUARE so no sign branch).
+
+    Exactness: the four cell counts are exact BIGINTs from one
+    per-user fold + one 1-row conditional fold; z is a FIXED double
+    expression tree over those integers (mirrored associations, one
+    correctly-rounded sqrt) — bit-reproducible cross-engine.  Degenerate
+    cells (empty variant, zero or total conversion) yield NULL z rather
+    than a division blow-up."""
+    pu = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "conv")
+    )
+    agg = pu.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c_b"),
+    )
+    n_a = F.col("n_a").cast("double")
+    c_a = F.col("c_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    c_b = F.col("c_b").cast("double")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    zs = F.when(
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("c_a") + F.col("c_b") > 0)
+        & (F.col("c_a") + F.col("c_b") < F.col("n_a") + F.col("n_b")),
+        (c_b / n_b - c_a / n_a)
+        / F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / n_a + F.lit(1.0) / n_b)),
+    )
+    return agg.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(c_a / n_a, 6).alias("rate_a"),
+        F.round(c_b / n_b, 6).alias("rate_b"),
+        F.round(zs, 6).alias("z_score"),
+        (zs * zs > F.lit(3.8415)).alias("significant"),
+    )

@@ -246,3 +246,47 @@ def test_rfm_segments_hand_computed(spark):
         (3, 3, 3): (2, 2 * 200 + 1 * 100),
     }
     assert sum(n for n, _ in got.values()) == 6
+
+
+def test_ab_test_report_matches_scipy_free_reference(spark):
+    """Planted conversions: variant A (even users) converts 2/10,
+    variant B (odd users) 8/10 — z must match the closed-form pooled
+    two-proportion statistic and flag significance; a no-conversion
+    corpus yields NULL z and significant=NULL (no division blow-up)."""
+    import datetime
+    import math
+    import os
+    import tempfile
+
+    from merkonvectordb_spark.queries_events import q_events_ab_test_report
+
+    t0 = datetime.datetime(2024, 3, 1)
+
+    def corpus(conv_even, conv_odd):
+        rows = []
+        eid = 0
+        for u in range(20):
+            rows.append((eid, t0, u, "view", 1.0, "{}")); eid += 1
+            conv = conv_even if u % 2 == 0 else conv_odd
+            if (u // 2) < conv:
+                rows.append((eid, t0, u, "purchase", 1.0, "{}")); eid += 1
+        return spark.createDataFrame(
+            rows,
+            "event_id LONG, ts TIMESTAMP, user_id LONG, "
+            "event_type STRING, value DOUBLE, props STRING",
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        corpus(2, 8).write.parquet(os.path.join(tmp, "events.parquet"))
+        r = q_events_ab_test_report(spark, tmp).collect()[0]
+    assert (r.n_a, r.c_a, r.n_b, r.c_b) == (10, 2, 10, 8)
+    p = 10 / 20
+    want = (0.8 - 0.2) / math.sqrt(p * (1 - p) * (1 / 10 + 1 / 10))
+    assert abs(r.z_score - want) < 1e-6
+    assert r.significant is True  # z ~ 2.68 > 1.96
+
+    with tempfile.TemporaryDirectory() as tmp:
+        corpus(0, 0).write.parquet(os.path.join(tmp, "events.parquet"))
+        r = q_events_ab_test_report(spark, tmp).collect()[0]
+    assert r.z_score is None and r.significant is None
+    assert (r.rate_a, r.rate_b) == (0.0, 0.0)
