@@ -1069,12 +1069,14 @@ def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment cells with exact member counts and cent totals.
 
     Scale shape: the corpus collapses to the per-user frame first (one
-    partial-agg groupBy); each tercile is `operators.stats.global_ntile`
-    — range-partition + driver offsets, NO single-partition NTILE
-    window anywhere, exact builtin-NTILE semantics including boundary
-    ties (total order via the user_id tie-break).  Three range shuffles
-    of the USER frame, never of the events."""
-    from merkonvectordb_spark.operators.stats import global_ntile
+    partial-agg groupBy); all three terciles come from ONE
+    range-partition ranking pass (`operators.stats.global_ntile_multi`
+    — the metrics unpivot into a 3n-row frame, per-metric rank =
+    global rank − metric_id·n), NO single-partition NTILE window
+    anywhere, exact builtin-NTILE semantics including boundary ties
+    (total order via the user_id tie-break).  One range shuffle of the
+    3×USER frame, never of the events."""
+    from merkonvectordb_spark.operators.stats import global_ntile_multi
 
     pu = (
         load_table(spark, sf_dir, "events")
@@ -1088,14 +1090,12 @@ def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    t = global_ntile(
-        pu, [("r_us", "desc"), ("user_id", "asc")], 3, out_col="r_tile"
-    )
-    t = global_ntile(
-        t, [("f", "desc"), ("user_id", "asc")], 3, out_col="f_tile"
-    )
-    t = global_ntile(
-        t, [("m_cents", "desc"), ("user_id", "asc")], 3, out_col="m_tile"
+    t = global_ntile_multi(
+        pu,
+        [("r_us", "desc"), ("f", "desc"), ("m_cents", "desc")],
+        3,
+        tie_col="user_id",
+        out_cols=["r_tile", "f_tile", "m_tile"],
     )
     return t.groupBy("r_tile", "f_tile", "m_tile").agg(
         F.count(F.lit(1)).alias("n_users"),

@@ -485,3 +485,37 @@ def test_linear_probe_2f_recovers_planted_coefficients(spark):
     df = spark.createDataFrame(rows, "x1 LONG, x2 LONG, y LONG")
     r = linear_probe_2f(df, "y", "x1", "x2").collect()[0]
     assert r.n == 50 and r.b0 is None and r.r2 is None
+
+
+def test_global_ntile_multi_matches_repeated_global_ntile(spark):
+    """The one-pass multi-metric ranking must reproduce k independent
+    global_ntile calls exactly — including boundary ties (n % t != 0)
+    and duplicate metric values resolved by the tie column."""
+    from merkonvectordb_spark.operators.stats import (
+        global_ntile,
+        global_ntile_multi,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, int(rng.integers(0, 20)), int(rng.integers(0, 1000)))
+        for i in range(103)  # 103 % 3 != 0: boundary-tie arithmetic live
+    ]
+    df = spark.createDataFrame(rows, "uid LONG, a LONG, b LONG")
+
+    want = global_ntile(df, [("a", "desc"), ("uid", "asc")], 3, out_col="ta")
+    want = global_ntile(want, [("b", "asc"), ("uid", "asc")], 3, out_col="tb")
+    got = global_ntile_multi(
+        df, [("a", "desc"), ("b", "asc")], 3, tie_col="uid",
+        out_cols=["ta", "tb"],
+    )
+    w = {r.uid: (r.ta, r.tb) for r in want.collect()}
+    g = {r.uid: (r.ta, r.tb) for r in got.collect()}
+    assert w == g
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        global_ntile_multi(df, [("a", "desc")], 3, "uid", ["x", "y"])
