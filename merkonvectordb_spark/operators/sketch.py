@@ -569,8 +569,13 @@ def sampled_quantiles(
 
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     h = md5_hash60(F.concat(key.cast("string"), F.lit(salt)))
+    # NULL keys hash to NULL — Spark's asc sort would put them FIRST
+    # (occupying the sample) while a SQL oracle's default puts them
+    # LAST (excluded); NULL values have no rank.  Both are excluded
+    # EXPLICITLY so the member set is engine-independent, as promised.
     sample = (
         df.select(F.col(value_col).alias("__v"), h.alias("__h"))
+        .where(F.col("__h").isNotNull() & F.col("__v").isNotNull())
         .orderBy(F.asc("__h"))
         .limit(k)
     )

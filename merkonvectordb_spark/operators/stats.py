@@ -220,19 +220,25 @@ def global_ntile(
         work, keys, "__one", out_col="__rank", num_partitions=num_partitions
     )
     n = ranked.count()  # metadata-sized job over the persisted ranking
-    base, rem = divmod(n, n_tiles)
-    r = F.col("__rank")
-    if base == 0:
-        tile = (r + 1).cast("int")
-    else:
-        cut = rem * (base + 1)
-        tile = (
-            F.when(r < cut, F.floor(r / (base + 1)))
-            .otherwise(rem + F.floor((r - cut) / base))
-            .cast("int")
-            + 1
-        )
+    tile = _ntile_expr(n, n_tiles, F.col("__rank"))
     return ranked.withColumn(out_col, tile).drop("__one", "__rank", *drop)
+
+
+def _ntile_expr(n: int, n_tiles: int, r) -> "F.Column":
+    """SQL NTILE arithmetic on a 0-based rank column: with n rows and t
+    tiles, the first ``n % t`` tiles get ``n // t + 1`` rows, the rest
+    ``n // t``.  Single definition shared by ``global_ntile`` and
+    ``global_ntile_multi`` so boundary-tie semantics can't drift."""
+    base, rem = divmod(n, n_tiles)
+    if base == 0:
+        return (r + 1).cast("int")
+    cut = rem * (base + 1)
+    return (
+        F.when(r < cut, F.floor(r / (base + 1)))
+        .otherwise(rem + F.floor((r - cut) / base))
+        .cast("int")
+        + 1
+    )
 
 
 def exact_auc(
@@ -262,7 +268,11 @@ def exact_auc(
     not the data.  2R stays in BIGINT up to ~1e9 rows (P·(2N+1) <
     2^63); beyond that, swap the doubled sum to DECIMAL(38,0).
     NULL labels count as negatives; NULL scores rank below every value
-    (first window position), matching SQL ORDER BY semantics.
+    (first window position) — made EXPLICIT with ``asc_nulls_first``
+    here, and any SQL oracle must say ``ORDER BY score NULLS FIRST``
+    (engines disagree on the default: Spark ASC is NULLS FIRST, DuckDB
+    ASC is NULLS LAST — left implicit, a NULL score silently
+    hash-diverges the two sides).
     """
     from pyspark.sql import Window
 
@@ -273,7 +283,7 @@ def exact_auc(
         ).alias("__pv"),
     )
     w = (
-        Window.orderBy("__v")
+        Window.orderBy(F.asc_nulls_first("__v"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = per_v.select(
@@ -321,8 +331,10 @@ def linear_probe_2f(
     not a different engine).  R^2 comes from the same moments via the
     normal-equation identity SSE = Syy - (b0·Sy + b1·Sx1y + b2·Sx2y).
 
-    Bounds: BIGINT moments hold to ~1e9 rows for micro-unit y
-    (Σy² < 2^63); the double casts stay EXACT below 2^53 and remain
+    Bounds: BIGINT moments hold to ~9e6 rows for micro-unit y
+    (Σy² ≤ n·10¹² < 2^63 ⇒ n < 9.2e6; rescale y or swap the moment
+    sums to DECIMAL(38,0) beyond that); the double casts stay EXACT
+    below 2^53 and remain
     cross-engine REPRODUCIBLE above it (both engines round the same
     BIGINT to the same nearest double).  Degenerate designs (singular
     matrix, zero variance) yield NULL coefficients, never a crash.
@@ -402,13 +414,19 @@ def global_ntile_multi(
     rows, so the per-metric blocks are contiguous in the combined
     order).
 
-    ``metrics`` are (col, 'asc'|'desc') pairs over BIGINT-castable
-    columns; DESC uses the same overflow-free ``(-1 − x)`` full-range
-    decreasing bijection as ``global_ntile``; ties break on
-    ``tie_col`` ascending (must be unique).  Tile arithmetic and
-    boundary-tie behavior are exactly ``global_ntile``'s — pinned by a
-    parity test — so swapping k calls for one is free of semantic
-    drift.
+    ``metrics`` are (col, 'asc'|'desc') pairs over INTEGRAL columns
+    (byte/short/int/long — a float would be silently floor-truncated by
+    the bigint unpivot key, corrupting the order: rejected loudly
+    instead); DESC uses the same overflow-free ``(-1 − x)`` full-range
+    decreasing bijection as ``global_ntile`` and the same explicit
+    null-flag key so NULL metric values land in the WORST tile
+    (DESC NULLS LAST), matching both ``global_ntile`` and builtin
+    NTILE; ASC leaves Spark's native NULLS FIRST, again matching
+    ``global_ntile``'s asc path.  Ties break on ``tie_col`` ascending
+    (must be unique).  Tile arithmetic and boundary-tie behavior are
+    ``_ntile_expr`` — the same single definition ``global_ntile`` uses
+    — pinned by a parity test, so swapping k calls for one is free of
+    semantic drift.
     """
     from merkonvectordb_spark.operators.pipeline import (
         global_exclusive_prefix_sum,
@@ -416,42 +434,56 @@ def global_ntile_multi(
 
     if len(metrics) != len(out_cols) or not metrics:
         raise ValueError("metrics and out_cols must align and be non-empty")
-    n = df.count()
+    integral = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("byte", "short", "integer", "long")
+    }
     arms = []
     for i, m in enumerate(metrics):
         c, d = (m, "asc") if isinstance(m, str) else m
+        if c not in integral:
+            raise TypeError(
+                f"global_ntile_multi needs integral metric columns, got {c!r}"
+            )
         key = F.col(c).cast("bigint")
         if d.lower() == "desc":
+            # null flag first: NULLs must sort LAST under DESC (worst
+            # tile), while a bare NULL key would range-sort FIRST
+            nf = F.col(c).isNull().cast("int")
             key = F.lit(-1) - key
+        else:
+            nf = F.lit(0)  # ASC keeps Spark's native NULLS FIRST
         arms.append(
             F.struct(
-                F.lit(i).cast("int").alias("__mi"), key.alias("__k")
+                F.lit(i).cast("int").alias("__mi"),
+                nf.alias("__nf"),
+                key.alias("__k"),
             )
         )
     unp = (
         df.select(tie_col, F.explode(F.array(*arms)).alias("__e"))
-        .select(tie_col, F.col("__e.__mi").alias("__mi"), F.col("__e.__k").alias("__k"))
+        .select(
+            tie_col,
+            F.col("__e.__mi").alias("__mi"),
+            F.col("__e.__nf").alias("__nf"),
+            F.col("__e.__k").alias("__k"),
+        )
         .withColumn("__one", F.lit(1))
     )
     ranked = global_exclusive_prefix_sum(
         unp,
-        ["__mi", "__k", tie_col],
+        ["__mi", "__nf", "__k", tie_col],
         "__one",
         out_col="__grank",
         num_partitions=num_partitions,
     )
+    # count AFTER the prefix sum: the ranking frame is persisted, so
+    # this is a metadata-sized job — an upfront df.count() would fold
+    # the whole upstream lineage (e.g. a corpus aggregation) twice
+    n = ranked.count() // len(metrics)
     r = F.col("__grank") - F.col("__mi").cast("bigint") * F.lit(n)
-    base, rem = divmod(n, n_tiles)
-    if base == 0:
-        tile = (r + 1).cast("int")
-    else:
-        cut = rem * (base + 1)
-        tile = (
-            F.when(r < cut, F.floor(r / (base + 1)))
-            .otherwise(rem + F.floor((r - cut) / base))
-            .cast("int")
-            + 1
-        )
+    tile = _ntile_expr(n, n_tiles, r)
     tiles = ranked.withColumn("__tile", tile).groupBy(tie_col).agg(
         *[
             F.max(

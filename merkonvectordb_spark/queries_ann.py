@@ -1810,7 +1810,11 @@ def q_ann_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ai", F.row_number().over(wr))
     )
     exact = (
-        knn_batch(emb, qset, k=_NDCG_K, min_score=0.0)
+        # tie_break="vec_id": the default tie column (ingest_seq) does
+        # not exist on embeddings, so a raw-cosine tie at the rank-10
+        # boundary would pick an arbitrary member per run while the
+        # oracle breaks ties vec_id ASC
+        knn_batch(emb, qset, k=_NDCG_K, min_score=0.0, tie_break="vec_id")
         .select("query_id", "vec_id", "score")
         .withColumn("er", F.row_number().over(wr))
     )

@@ -1134,8 +1134,12 @@ z AS (
   FROM agg
 )
 SELECT n_a, c_a, n_b, c_b,
-       round(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
-       round(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       CASE WHEN n_a > 0
+            THEN round(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+       END AS rate_a,
+       CASE WHEN n_b > 0
+            THEN round(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+       END AS rate_b,
        round(zs, 6) AS z_score,
        zs * zs > 3.8415 AS significant
 FROM z
@@ -1199,8 +1203,10 @@ def q_events_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_a",
         "n_b",
         "c_b",
-        F.round(c_a / n_a, 6).alias("rate_a"),
-        F.round(c_b / n_b, 6).alias("rate_b"),
+        # guarded like zs: Spark's x/0.0 is NULL but DuckDB's is inf —
+        # an empty variant must yield NULL in BOTH engines
+        F.when(F.col("n_a") > 0, F.round(c_a / n_a, 6)).alias("rate_a"),
+        F.when(F.col("n_b") > 0, F.round(c_b / n_b, 6)).alias("rate_b"),
         F.round(zs, 6).alias("z_score"),
         (zs * zs > F.lit(3.8415)).alias("significant"),
     )

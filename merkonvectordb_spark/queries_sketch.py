@@ -639,6 +639,7 @@ WITH sample AS (
                 || CAST(l_linenumber AS VARCHAR) || 'sq'), 1, 15))
               AS BIGINT) AS h
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
   ORDER BY h ASC
   LIMIT 1024
 ), ranked AS (

@@ -1810,7 +1810,8 @@ WITH scored AS (
 ), cum AS (
   SELECT nv, pv,
          CAST(coalesce(sum(nv) OVER (
-           ORDER BY qm ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ORDER BY qm NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
          ), 0) AS BIGINT) AS cv
   FROM per_v
 ), agg AS (

@@ -519,3 +519,48 @@ def test_global_ntile_multi_matches_repeated_global_ntile(spark):
 
     with _p.raises(ValueError):
         global_ntile_multi(df, [("a", "desc")], 3, "uid", ["x", "y"])
+
+
+def test_global_ntile_multi_null_and_type_guards(spark):
+    """r6 review regressions: a NULL metric value under DESC must land
+    in the WORST tile (global_ntile / builtin-NTILE DESC NULLS LAST),
+    not tile 1; a non-integral metric must be rejected loudly, not
+    floor-truncated by the bigint unpivot key."""
+    from merkonvectordb_spark.operators.stats import (
+        global_ntile,
+        global_ntile_multi,
+    )
+
+    rows = [(i, i if i != 5 else None) for i in range(9)]
+    df = spark.createDataFrame(rows, "uid LONG, a LONG")
+    got = {
+        r.uid: r.ta
+        for r in global_ntile_multi(
+            df, [("a", "desc")], 3, "uid", ["ta"]
+        ).collect()
+    }
+    want = {
+        r.uid: r.ta
+        for r in global_ntile(
+            df, [("a", "desc"), ("uid", "asc")], 3, out_col="ta"
+        ).collect()
+    }
+    assert got == want
+    assert got[5] == 3  # the NULL row is in the worst tercile
+
+    import pytest as _p
+
+    fdf = spark.createDataFrame([(1, 0.5)], "uid LONG, a DOUBLE")
+    with _p.raises(TypeError):
+        global_ntile_multi(fdf, [("a", "desc")], 3, "uid", ["ta"])
+
+
+def test_exact_auc_null_score_ranks_first(spark):
+    from merkonvectordb_spark.operators.stats import exact_auc
+
+    # NULL score, positive label: minimal rank credit (position 1)
+    rows = [(None, 1), (10, 0), (20, 0)]
+    df = spark.createDataFrame(rows, "s LONG, y LONG")
+    r = exact_auc(df, "s", "y").collect()[0]
+    # 2R = 1*(2*0 + 1 + 1) = 2; num = 2 - 1*2 = 0 -> AUC 0
+    assert (r.auc_num, r.auc_den, r.auc) == (0, 4, 0.0)

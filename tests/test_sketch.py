@@ -334,3 +334,14 @@ def test_sampled_quantiles_rank_error_and_exact_smalln(spark):
         sampled_quantiles(df, "v", "k", (50,), k=0)
     with _p.raises(ValueError):
         sampled_quantiles(df, "v", "k", (0,))
+
+
+def test_sampled_quantiles_excludes_null_keys_and_values(spark):
+    from merkonvectordb_spark.operators.sketch import sampled_quantiles
+
+    rows = [(i, i) for i in range(1, 51)]
+    rows += [(None, 999), (60, None)]  # NULL key / NULL value rows
+    df = spark.createDataFrame(rows, "k LONG, v LONG")
+    r = sampled_quantiles(df, "v", "k", (100,), k=1024).collect()[0]
+    # both NULL rows are excluded: the sample is exactly 1..50
+    assert (r.sample_n, r.p100) == (50, 50)
