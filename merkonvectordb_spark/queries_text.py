@@ -1938,3 +1938,74 @@ def q_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     return linear_probe_2f(feat, "y", "x1", "x2")
+
+
+@register(
+    "quality_calibration_report",
+    f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(floor({_quality_sql("text")} * 1000000.0 + 0.5) AS BIGINT) AS qm,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+tiled AS (
+  SELECT qm, pos,
+         ntile(10) OVER (ORDER BY qm ASC, doc_id ASC) AS decile
+  FROM scored
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(qm) AS BIGINT) AS sum_qm,
+       round(CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS pos_rate,
+       round(CAST(sum(qm) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             / 1000000.0, 6) AS mean_score
+FROM tiled GROUP BY decile
+""".strip(),
+)
+def q_quality_calibration_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability diagram for the quality score: decile the corpus by
+    score (exact NTILE via the range-partition `global_ntile` — no
+    single-partition window), then per decile the positive rate (label
+    = ground-truth English, the same rail `quality_score_auc` uses)
+    against the decile's mean score.  AUC answers "does it rank well";
+    this answers "do the VALUES mean anything" — the difference between
+    a usable threshold gate and a score you can only sort by.  Exact
+    BIGINT counts and score sums; doubles only in the two rendered
+    ratios."""
+    from merkonvectordb_spark.operators.stats import global_ntile
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.floor(
+            X.quality_score(F.col("text")) * F.lit(1000000.0) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("qm"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias(
+            "pos"
+        ),
+    )
+    tiled = global_ntile(
+        scored, [("qm", "asc"), ("doc_id", "asc")], 10, out_col="decile"
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("qm").alias("sum_qm"),
+        F.round(
+            F.sum("pos").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("pos_rate"),
+        F.round(
+            F.sum("qm").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("mean_score"),
+    )

@@ -564,3 +564,22 @@ def test_exact_auc_null_score_ranks_first(spark):
     r = exact_auc(df, "s", "y").collect()[0]
     # 2R = 1*(2*0 + 1 + 1) = 2; num = 2 - 1*2 = 0 -> AUC 0
     assert (r.auc_num, r.auc_den, r.auc) == (0, 4, 0.0)
+
+
+def test_quality_calibration_report_partitions_and_bounds(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["quality_calibration_report"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sorted(r.decile for r in rows) == list(range(1, 11))
+    n = sum(r.n_docs for r in rows)
+    sizes = [r.n_docs for r in rows]
+    assert n == 500 and max(sizes) - min(sizes) <= 1  # exact NTILE split
+    for r in rows:
+        assert 0 <= r.n_pos <= r.n_docs
+        assert 0.0 <= r.pos_rate <= 1.0
+        assert 0.0 <= r.mean_score <= 1.0
+    # deciles are score-ordered: mean_score must be non-decreasing
+    ms = [r.mean_score for r in sorted(rows, key=lambda r: r.decile)]
+    assert ms == sorted(ms)
