@@ -1210,3 +1210,100 @@ def q_events_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(zs, 6).alias("z_score"),
         (zs * zs > F.lit(3.8415)).alias("significant"),
     )
+
+
+@register(
+    "events_first_touch_attribution",
+    f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events WHERE user_id IS NOT NULL
+),
+touched AS (
+  SELECT user_id, event_id, event_type, us,
+         min(CASE WHEN event_type <> 'purchase'
+                  THEN {{'tus': us, 'tid': event_id, 'tty': event_type}} END)
+           OVER (
+             PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {ATTRIB_LOOKBACK_US} PRECEDING AND 1 PRECEDING
+           ) AS touch
+  FROM ev
+),
+purchases AS (
+  SELECT CASE WHEN touch IS NOT NULL THEN touch.tty
+              ELSE 'direct' END AS touch_type,
+         CASE WHEN touch IS NOT NULL THEN us - touch.tus
+              ELSE 0 END AS lag_us
+  FROM touched WHERE event_type = 'purchase'
+)
+SELECT touch_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(lag_us) AS BIGINT) AS sum_lag_us,
+       round(CAST(sum(lag_us) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS avg_lag_sec
+FROM purchases GROUP BY touch_type
+""".strip(),
+)
+def q_events_first_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch attribution — each purchase credits the EARLIEST
+    non-purchase event inside the 7-day lookback (the channel that
+    STARTED the journey; `events_last_touch_attribution` credits the
+    one that closed it).  Unlike last-touch's ROWS frame, the earliest-
+    within-window needs a RANGE frame on the epoch column: the min-of-
+    struct over [t−7d, t) both enforces the lookback and picks the
+    earliest touch in one window (struct compare: earliest us, then
+    event_id — deterministic under timestamp collisions).  Same
+    per-user state bound as sessionize; report is |touch types|-sized
+    with exact BIGINT lag sums."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr("unix_micros(ts)").alias("us"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-ATTRIB_LOOKBACK_US, -1)
+    )
+    touched = ev.withColumn(
+        "touch",
+        F.min(
+            F.when(
+                F.col("event_type") != "purchase",
+                F.struct(
+                    F.col("us").alias("tus"),
+                    F.col("event_id").alias("tid"),
+                    F.col("event_type").alias("tty"),
+                ),
+            )
+        ).over(w),
+    )
+    purchases = touched.where(F.col("event_type") == "purchase").select(
+        F.when(F.col("touch").isNotNull(), F.col("touch.tty"))
+        .otherwise("direct")
+        .alias("touch_type"),
+        F.when(
+            F.col("touch").isNotNull(), F.col("us") - F.col("touch.tus")
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("lag_us"),
+    )
+    return purchases.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("lag_us").alias("sum_lag_us"),
+        F.round(
+            F.sum("lag_us").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("avg_lag_sec"),
+    )

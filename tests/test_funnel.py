@@ -290,3 +290,54 @@ def test_ab_test_report_matches_scipy_free_reference(spark):
         r = q_events_ab_test_report(spark, tmp).collect()[0]
     assert r.z_score is None and r.significant is None
     assert (r.rate_a, r.rate_b) == (0.0, 0.0)
+
+
+def test_first_touch_attribution_semantics(spark):
+    """First-touch credits the EARLIEST non-purchase within the 7-day
+    lookback: a journey view -> click -> purchase credits the VIEW
+    (last-touch credits the click); a touch older than 7 days is out
+    of window even when a later one exists."""
+    import datetime
+    import os
+    import tempfile
+
+    from merkonvectordb_spark.queries_events import (
+        q_events_first_touch_attribution,
+        q_events_last_touch_attribution,
+    )
+
+    t0 = datetime.datetime(2024, 3, 10, 12, 0, 0)
+
+    def ev(eid, uid, ty, dt_sec):
+        return (eid, t0 + datetime.timedelta(seconds=dt_sec), uid, ty, 1.0, "{}")
+
+    rows = [
+        # u1: view -> click -> purchase: first credits view, last the click
+        ev(1, 1, "view", 0), ev(2, 1, "click", 50), ev(3, 1, "purchase", 100),
+        # u2: view 8 days before, click 10s before -> first-touch = click
+        # (the view is outside the window; lookback filters BEFORE the min)
+        ev(4, 2, "view", -8 * 86400), ev(5, 2, "click", -10),
+        ev(6, 2, "purchase", 0),
+        # u3: nothing prior -> direct
+        ev(7, 3, "purchase", 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+        first = {
+            r.touch_type: (r.n_purchases, r.sum_lag_us)
+            for r in q_events_first_touch_attribution(spark, tmp).collect()
+        }
+        last = {
+            r.touch_type: r.n_purchases
+            for r in q_events_last_touch_attribution(spark, tmp).collect()
+        }
+    assert first["view"] == (1, 100 * 1_000_000)  # u1 credits the view
+    assert first["click"] == (1, 10 * 1_000_000)  # u2: 8-day view excluded
+    assert first["direct"] == (1, 0)
+    # same journeys under last-touch: u1 credits the click instead
+    assert last == {"click": 2, "direct": 1}
