@@ -50,6 +50,19 @@ WATCHED = {
     "streaming_sessionize_closed",
     "events_hierarchical_rollup",
     "streaming_sessionize_python",
+    # round-6 session-2 additions: never driver-checked before round 7,
+    # so a first-check red gets immediate both-fetch-path evidence
+    "lang_temperature_mix",
+    "quality_score_auc",
+    "quality_linear_probe",
+    "sampled_global_quantiles",
+    "ann_ndcg_report",
+    "events_cusum_changepoint",
+    "events_last_touch_attribution",
+    "events_first_touch_attribution",
+    "user_rfm_segments",
+    "events_ab_test_report",
+    "quality_calibration_report",
 }
 
 _env_recorded: set[str] = set()
