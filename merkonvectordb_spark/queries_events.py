@@ -1307,3 +1307,125 @@ def q_events_first_touch_attribution(
             6,
         ).alias("avg_lag_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA forecast-residual anomaly detection on daily event volumes
+# ---------------------------------------------------------------------------
+# Completes the monitoring trio: PSI watches the DISTRIBUTION, CUSUM the
+# LEVEL, this the POINTS — "which single days were abnormal given the
+# recent past".  The exponentially-weighted moving average over the
+# previous 14 days is a finite FIR filter here, NOT the recursive form:
+# the 14 decay weights alpha*(1-alpha)^(k-1) are PYTHON-computed literal
+# doubles embedded identically in both engines (the same no-libm trick
+# as the nDCG discounts), each tap is one lag() over the per-type day
+# order, and the weighted mean renormalizes over the taps that exist so
+# the series head isn't biased toward zero.
+
+EWMA_ALPHA = 0.3
+EWMA_TAPS = 14
+_EWMA_W = [EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** (k - 1) for k in range(1, EWMA_TAPS + 1)]
+
+
+def _ewma_oracle() -> str:
+    terms, norms = [], []
+    for k, w in enumerate(_EWMA_W, 1):
+        lagk = f"lag(x, {k}) OVER w"
+        terms.append(
+            f"(CASE WHEN {lagk} IS NOT NULL"
+            f" THEN {w!r} * CAST({lagk} AS DOUBLE) ELSE 0.0 END)"
+        )
+        norms.append(
+            f"(CASE WHEN {lagk} IS NOT NULL THEN {w!r} ELSE 0.0 END)"
+        )
+    num = "\n           + ".join(terms)
+    den = "\n           + ".join(norms)
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+),
+grid AS (
+  SELECT b.event_type, t.day, coalesce(d.x, 0) AS x
+  FROM bounds b
+  CROSS JOIN LATERAL unnest(generate_series(b.d0, b.d1)) AS t(day)
+  LEFT JOIN daily d ON d.event_type = b.event_type AND d.day = t.day
+),
+fir AS (
+  SELECT event_type, day, x,
+         {num} AS num,
+         {den} AS den
+  FROM grid
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day, x AS n_events,
+       CASE WHEN den > 0.0 THEN round(num / den, 6) END AS ewma_pred,
+       CASE WHEN den > 0.0
+            THEN (CAST(x AS DOUBLE) - num / den)
+                 * (CAST(x AS DOUBLE) - num / den)
+                 > 9.0 * greatest(num / den, 1.0)
+       END AS anomaly
+FROM fir
+""".strip()
+
+
+@register("events_ewma_anomalies", _ewma_oracle())
+def q_events_ewma_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day anomaly flags on event volume: a 14-tap truncated-EWMA
+    forecast from the preceding days (literal decay weights — no libm
+    in either engine), flag when the squared residual exceeds a
+    3-sigma Poisson band (9·max(pred, 1), compared in the SQUARE — no
+    sqrt, no abs).  Missing days count as zero via the dense per-type
+    day grid; the series head renormalizes over available taps.  The
+    corpus contributes one partial-agg groupBy; everything after runs
+    on the |types|·|days| frame."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = (
+        bounds.select(
+            "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+        )
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k, wk in enumerate(_EWMA_W, 1):
+        lagk = F.lag("x", k).over(w)
+        num = num + F.when(
+            lagk.isNotNull(), F.lit(wk) * lagk.cast("double")
+        ).otherwise(F.lit(0.0))
+        den = den + F.when(lagk.isNotNull(), F.lit(wk)).otherwise(
+            F.lit(0.0)
+        )
+    fir = grid.select("event_type", "day", "x", num.alias("num"), den.alias("den"))
+    pred = F.col("num") / F.col("den")
+    resid = F.col("x").cast("double") - pred
+    return fir.select(
+        "event_type",
+        "day",
+        F.col("x").alias("n_events"),
+        F.when(F.col("den") > 0.0, F.round(pred, 6)).alias("ewma_pred"),
+        F.when(
+            F.col("den") > 0.0,
+            resid * resid > F.lit(9.0) * F.greatest(pred, F.lit(1.0)),
+        ).alias("anomaly"),
+    )

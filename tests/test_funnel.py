@@ -341,3 +341,52 @@ def test_first_touch_attribution_semantics(spark):
     assert first["direct"] == (1, 0)
     # same journeys under last-touch: u1 credits the click instead
     assert last == {"click": 2, "direct": 1}
+
+
+def test_ewma_anomalies_flag_planted_spike(spark):
+    """Flat 50/day with one 3x spike: only the spike day may alarm, the
+    first day has no history (NULL pred), and the spike must not drag
+    the forecast enough to flag its neighbors."""
+    import datetime
+    import os
+    import tempfile
+
+    from merkonvectordb_spark.queries_events import q_events_ewma_anomalies
+
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    counts = [50] * 30
+    counts[20] = 150  # the spike
+    for day, n in enumerate(counts):
+        for i in range(n):
+            rows.append(
+                (
+                    eid,
+                    t0 + datetime.timedelta(days=day, seconds=i),
+                    1,
+                    "spike",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+        out = sorted(
+            q_events_ewma_anomalies(spark, tmp).collect(),
+            key=lambda r: r.day,
+        )
+    assert out[0].ewma_pred is None and out[0].anomaly is None
+    flagged = [i for i, r in enumerate(out) if r.anomaly]
+    # the spike flags; day 21 may too (two-sided detection: the spike
+    # inflates the forecast, making the normal day anomalously LOW —
+    # textbook EWMA behavior); nothing before the spike may flag
+    assert 20 in flagged and set(flagged) <= {20, 21}, flagged
+    # forecast recovers: by a few days after the spike, pred is near 50
+    assert abs(out[27].ewma_pred - 50.0) < 15.0
