@@ -63,6 +63,7 @@ WATCHED = {
     "user_rfm_segments",
     "events_ab_test_report",
     "quality_calibration_report",
+    "events_ewma_anomalies",
 }
 
 _env_recorded: set[str] = set()
