@@ -799,3 +799,120 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .withColumn("leaked", F.col("split_lo") != F.col("split_hi"))
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage REPAIR — the action on top of the audit: quarantine the
+# lower-priority endpoint of every leaking pair (train > val > test), so
+# eval scores stop being inflated by near-twins that train.
+# ---------------------------------------------------------------------------
+
+_SPLIT_RANK_SQL = "CASE {c} WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END"
+
+_SPLIT_A_SQL = _SPLIT_B_SQL.replace("doc_id", "a")
+_SPLIT_BB_SQL = _SPLIT_B_SQL.replace("doc_id", "b")
+
+_SPLIT_QUARANTINE_ORACLE = f"""
+WITH {_NEAR_CORPUS_CTE},
+shingled AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM corpus
+),
+based AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> {_BASE_HASH_SQL}) AS bases
+  FROM shingled WHERE len(sh) > 0
+),
+sigs AS (
+  SELECT doc_id, {_SIG_SQL} AS sig FROM based
+),
+bands AS (
+  SELECT doc_id, u.band_id AS band_id, u.band_key AS band_key
+  FROM (SELECT doc_id, unnest({_BAND_STRUCTS_SQL}) AS u FROM sigs)
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+edges AS (
+  SELECT p.a, p.b
+  FROM pairs p
+  JOIN based sa ON sa.doc_id = p.a
+  JOIN based sb ON sb.doc_id = p.b
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.6
+),
+labeled AS (
+  SELECT a, b,
+         CASE WHEN {_SPLIT_A_SQL} < 90 THEN 'train'
+              WHEN {_SPLIT_A_SQL} < 95 THEN 'val' ELSE 'test' END AS split_a,
+         CASE WHEN {_SPLIT_BB_SQL} < 90 THEN 'train'
+              WHEN {_SPLIT_BB_SQL} < 95 THEN 'val' ELSE 'test' END AS split_b
+  FROM edges
+),
+quarantined AS (
+  SELECT CASE WHEN ({_SPLIT_RANK_SQL.format(c="split_a")})
+                 > ({_SPLIT_RANK_SQL.format(c="split_b")})
+              THEN a ELSE b END AS doc_id,
+         CASE WHEN ({_SPLIT_RANK_SQL.format(c="split_a")})
+                 > ({_SPLIT_RANK_SQL.format(c="split_b")})
+              THEN split_a ELSE split_b END AS split
+  FROM labeled WHERE split_a <> split_b
+)
+SELECT doc_id, split, CAST(count(*) AS BIGINT) AS n_leak_edges
+FROM quarantined GROUP BY 1, 2
+""".strip()
+
+
+@register("split_leakage_quarantine", _SPLIT_QUARANTINE_ORACLE)
+def q_split_leakage_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION on `split_leakage_audit`'s finding: for every verified
+    near-dup pair straddling splits, quarantine the LOWER-priority
+    endpoint (train > val > test — training data is the scarce asset;
+    a contaminated eval doc is replaceable), emitting (doc_id, split,
+    n_leak_edges) for every document to pull.  Same banded-candidate →
+    exact-Jaccard edge stage and scan-local content-addressed split
+    labels as the audit — the edge frame is self-sufficient, no join
+    back to the corpus; output is leak-count-sized."""
+    from merkonvectordb_spark.operators.pipeline import hash_split
+
+    corpus = near_corpus(spark, sf_dir)
+    sets = D.shingle_sets(corpus, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    pairs = D.candidate_pairs_from_sets(sets)
+    edges = D.jaccard_edges_from_sets(sets, pairs, 0.6)
+    w = {"train": 90, "val": 5, "test": 5}
+    labeled = (
+        hash_split(
+            hash_split(edges.withColumnRenamed("a", "doc_id"), "doc_id", w)
+            .withColumnRenamed("split", "split_a")
+            .withColumnRenamed("doc_id", "a")
+            .withColumnRenamed("b", "doc_id"),
+            "doc_id",
+            w,
+        )
+        .withColumnRenamed("split", "split_b")
+        .withColumnRenamed("doc_id", "b")
+    )
+
+    def rank(c):
+        return (
+            F.when(F.col(c) == "train", 0)
+            .when(F.col(c) == "val", 1)
+            .otherwise(2)
+        )
+
+    worse_is_a = rank("split_a") > rank("split_b")
+    quarantined = labeled.where(
+        F.col("split_a") != F.col("split_b")
+    ).select(
+        F.when(worse_is_a, F.col("a")).otherwise(F.col("b")).alias("doc_id"),
+        F.when(worse_is_a, F.col("split_a"))
+        .otherwise(F.col("split_b"))
+        .alias("split"),
+    )
+    return quarantined.groupBy("doc_id", "split").agg(
+        F.count(F.lit(1)).alias("n_leak_edges")
+    )

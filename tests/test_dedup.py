@@ -430,3 +430,18 @@ def test_minhash_calibration_estimator_quality(spark, sf_dir):
         assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 2e-6
     for r in mutant_pairs:
         assert r["exact_jaccard"] > 0.6, r
+
+
+def test_split_leakage_quarantine_never_pulls_train(spark):
+    """The repair rule (train > val > test) may only quarantine eval
+    docs; total quarantined edge count must equal the audit's leaked
+    pair count."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    q = entry.queries()["split_leakage_quarantine"](spark, sf).collect()
+    assert all(r.split in ("val", "test") for r in q), q
+    assert all(r.n_leak_edges >= 1 for r in q)
+    audit = entry.queries()["split_leakage_audit"](spark, sf).collect()
+    leaked_pairs = sum(r.n_pairs for r in audit if r.leaked)
+    assert sum(r.n_leak_edges for r in q) == leaked_pairs
