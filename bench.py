@@ -127,6 +127,32 @@ def main() -> int:
     # parsed as null).  Emit a compact line LAST — guaranteed to survive
     # any tail cut — carrying the headline numbers plus only the slowest
     # queries, so the record is always parseable.
+    # Persist the FULL per-query map as a repo artifact (VERDICT r6
+    # next-round #3): the driver's BENCH_r{N}.json keeps only the
+    # top-10 slowest (tail truncation below), so round-over-round
+    # regression diffs on the other ~174 queries need this file.  The
+    # round number is the next after the last committed BENCH_r*.json
+    # (overridable via SPARK_GRAFT_ROUND); the driver's end-of-round
+    # commit picks the file up.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if not rnd:
+            import glob as _glob
+
+            prev = [
+                int(m.group(1))
+                for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+                if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+            ]
+            rnd = str(max(prev, default=0) + 1)
+        local_path = os.path.join(here, f"BENCH_LOCAL_r{int(rnd):02d}.json")
+        with open(local_path, "w") as fh:
+            json.dump(out, fh, sort_keys=True)
+            fh.write("\n")
+        print(f"  full per-query map -> {local_path}", file=sys.stderr)
+    except Exception as e:  # artifact write must never fail the bench
+        print(f"  BENCH_LOCAL write failed: {e}", file=sys.stderr)
     ts = sorted(timings.values())
     median = round(ts[len(ts) // 2], 4) if ts else 0.0
     slowest = dict(

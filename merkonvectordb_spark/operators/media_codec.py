@@ -44,9 +44,10 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 def decode_png(content: bytes) -> np.ndarray:
     """Decode a non-interlaced 8-bit PNG to an ``(h, w, c)`` uint8 array.
 
-    Implements the spec's chunk walk, IDAT inflate, and all five
-    scanline filters.  Raises ``ValueError`` on malformed input or the
-    (rare) unsupported shapes: 16-bit depth, palette, Adam7 interlace.
+    Implements the spec's chunk walk (with per-chunk CRC32
+    verification), IDAT inflate, and all five scanline filters.  Raises
+    ``ValueError`` on malformed input or the (rare) unsupported shapes:
+    16-bit depth, palette, Adam7 interlace.
     """
     if not content.startswith(_PNG_SIG):
         raise ValueError("not a PNG: bad signature")
@@ -60,7 +61,22 @@ def decode_png(content: bytes) -> np.ndarray:
         data = content[pos + 8 : pos + 8 + clen]
         if len(data) != clen:
             raise ValueError("truncated PNG chunk")
+        crc_bytes = content[pos + 8 + clen : pos + 12 + clen]
+        if len(crc_bytes) != 4:
+            raise ValueError("truncated PNG chunk (missing CRC)")
+        # the data is already in hand — verify the spec's CRC32 (over
+        # type+data) so bit rot surfaces as a clear error, not a
+        # scanline-size mismatch three steps later
+        (want_crc,) = struct.unpack(">I", crc_bytes)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != want_crc:
+            raise ValueError(
+                f"PNG chunk {ctype.decode('latin1')!r} CRC mismatch"
+            )
         pos += 12 + clen  # len + type + data + crc
+        if ctype == b"IDAT" and width is None:
+            # ADVICE r6: an IDAT before IHDR left channels=0 and
+            # surfaced later as a confusing size-mismatch error
+            raise ValueError("malformed PNG: IDAT before IHDR")
         if ctype == b"IHDR":
             if clen != 13:
                 raise ValueError(f"bad PNG IHDR length {clen}")

@@ -116,8 +116,10 @@ def default_decoder(modality: str, content: bytes) -> dict[str, Any]:
     from DECODED values (pixel sum / scaled sample magnitude / duration
     fold), so a corrupt payload that merely *looks* like media cannot
     produce a plausible row.  Raises ``ValueError`` on bytes that are
-    not the expected format — inject ``fake_decoder`` for opaque-bytes
-    pipelines (the oracle parity path) or a library-backed callable
+    not the expected format — ``decode_content(on_error="quarantine")``
+    turns that raise into a per-row error column instead of a stage
+    failure.  Inject ``fake_decoder`` for opaque-bytes pipelines (the
+    oracle parity path) or a library-backed callable
     (PIL/soundfile/pyav) for formats beyond PNG/WAV/MP4-metadata."""
     import numpy as np
 
@@ -172,8 +174,10 @@ def _media_features(modality: str, b: bytes, dim: int) -> list[float]:
     classic pre-neural descriptor per modality — luminance patch grid
     for images, log-mel band energies for audio, container-metadata
     vector for video (frame decode needs a codec library; the metadata
-    half is real).  Undecodable bytes raise — a real pipeline routes
-    them to quarantine, it does not embed garbage silently."""
+    half is real).  Undecodable bytes raise — never embed garbage
+    silently; route corrupt rows through
+    ``decode_content(on_error="quarantine")`` first when the input is
+    untrusted."""
     import numpy as np
 
     from merkonvectordb_spark.operators import media_codec as mc
@@ -241,23 +245,51 @@ def extract_features(
 def decode_content(
     df: DataFrame,
     decoder: Callable[[str, bytes], dict[str, Any]] = default_decoder,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Run ``decoder`` over every row's content via ``mapInPandas`` —
-    Arrow-batched, one Python worker pass per partition."""
+    Arrow-batched, one Python worker pass per partition.
+
+    ``on_error`` (ADVICE r6): ``"raise"`` (default) fails the stage
+    fast on the first corrupt payload — right for fixture pipelines
+    where a decode error IS the bug.  ``"quarantine"`` keeps the row
+    with NULL ``n_bytes``/``checksum`` and the exception text in an
+    extra ``error`` STRING column — the web-scale posture, where a few
+    corrupt blobs per billion must not kill a 100 TB decode pass;
+    filter ``error IS NOT NULL`` into a quarantine sink and keep going.
+    """
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise' or 'quarantine', got {on_error!r}")
+    quarantine = on_error == "quarantine"
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [
-                decoder(m, bytes(c) if c is not None else b"")
-                for m, c in zip(pdf["modality"], pdf["content"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "modality": pdf["modality"],
-                    "n_bytes": [d["n_bytes"] for d in decoded],
-                    "checksum": [d["checksum"] for d in decoded],
-                }
-            )
+            n_bytes: list = []
+            checksum: list = []
+            errs: list = []
+            for m, c in zip(pdf["modality"], pdf["content"]):
+                try:
+                    d = decoder(m, bytes(c) if c is not None else b"")
+                    n_bytes.append(d["n_bytes"])
+                    checksum.append(d["checksum"])
+                    errs.append(None)
+                except Exception as e:
+                    if not quarantine:
+                        raise
+                    n_bytes.append(None)
+                    checksum.append(None)
+                    errs.append(f"{type(e).__name__}: {e}"[:200])
+            data = {
+                "doc_id": pdf["doc_id"],
+                "modality": pdf["modality"],
+                # nullable Int64: plain lists with None would land as
+                # float64+NaN and fail the Arrow cast back to LONG
+                "n_bytes": pd.array(n_bytes, dtype="Int64"),
+                "checksum": pd.array(checksum, dtype="Int64"),
+            }
+            if quarantine:
+                data["error"] = errs
+            yield pd.DataFrame(data)
 
-    return df.mapInPandas(_decode, DECODED_DDL)
+    ddl = DECODED_DDL + (", error STRING" if quarantine else "")
+    return df.mapInPandas(_decode, ddl)

@@ -545,6 +545,14 @@ def temperature_sample(
     is NOT re-distributed (single-pass, no waterfilling loop); the
     caller sees the shortfall in the kept-token counts.
 
+    NULL strata are DROPPED (ADVICE r6): a NULL ``strata_col`` misses
+    the equi-join on ``__s`` (NULL never equals NULL in SQL), the
+    coalesced mass/weight become 0, and ``0 < 0`` is false — exactly
+    what the inner-join oracle computes, but it is caller-facing row
+    loss, so it is contract, not accident.  Route NULLs to a sentinel
+    stratum (e.g. ``coalesce(lang, '__unknown')``) upstream if they
+    must participate in the budget.
+
     Scale shape: one per-stratum aggregation (|strata|-row result,
     broadcast back) + a 1-row total joined the same way; the filter is
     a pure projection over the corpus — no data shuffle.

@@ -555,8 +555,12 @@ def sampled_quantiles(
     bottom k (same hash space, same salt).
 
     Determinism: the sample is content-addressed (re-runs, re-shards,
-    and any engine agree on the exact member set); within the sample,
-    ranks tie-break on the hash, so every estimate is a value the data
+    and any engine agree on the exact member set); duplicate
+    ``(key, salt)`` contents produce identical hashes, so the bottom-k
+    ordering tie-breaks on the VALUE — a hash tie at the k boundary
+    still selects an engine-independent member set (without this, each
+    engine picks an arbitrary duplicate).  Within the sample, ranks
+    tie-break on the hash, so every estimate is a value the data
     actually contains.  Scale shape: TakeOrderedAndProject (per-task
     heap, ≤ k rows forwarded per partition — never a data shuffle),
     then one window + one fold over the k-row frame.
@@ -576,7 +580,7 @@ def sampled_quantiles(
     sample = (
         df.select(F.col(value_col).alias("__v"), h.alias("__h"))
         .where(F.col("__h").isNotNull() & F.col("__v").isNotNull())
-        .orderBy(F.asc("__h"))
+        .orderBy(F.asc("__h"), F.asc("__v"))
         .limit(k)
     )
     w = Window.orderBy(F.asc("__v"), F.asc("__h"))

@@ -140,7 +140,10 @@ def global_ntile(
     (``operators.pipeline.global_exclusive_prefix_sum`` with a ones
     column).  The tile is then pure arithmetic on the rank — SQL NTILE
     semantics: with n rows and t tiles, the first ``n % t`` tiles get
-    ``n // t + 1`` rows, the rest ``n // t``.
+    ``n // t + 1`` rows, the rest ``n // t``.  NULL order values sort
+    LAST (worst tile) in BOTH directions — the DuckDB/SQL-standard ASC
+    default, NOT Spark's native NULLS FIRST — so a ntile oracle can
+    never silently diverge on a nullable metric.
     """
     from merkonvectordb_spark.operators.pipeline import (
         global_exclusive_prefix_sum,
@@ -213,6 +216,16 @@ def global_ntile(
             keys.append(k)
             drop.append(k)
         else:
+            # ASC also gets an explicit null flag: Spark's native sort
+            # is NULLS FIRST (NULL lands in the BEST tile), DuckDB's /
+            # the SQL-standard ASC default is NULLS LAST — an ASC
+            # metric with NULLs would silently diverge from any ntile
+            # oracle.  NULLS LAST in BOTH directions: NULL is always
+            # the worst tile.
+            kn = f"__ordn{i}"
+            work = work.withColumn(kn, F.col(c).isNull().cast("int"))
+            keys.append(kn)
+            drop.append(kn)
             keys.append(c)
 
     work = work.withColumn("__one", F.lit(1))
@@ -419,10 +432,9 @@ def global_ntile_multi(
     the bigint unpivot key, corrupting the order: rejected loudly
     instead); DESC uses the same overflow-free ``(-1 − x)`` full-range
     decreasing bijection as ``global_ntile`` and the same explicit
-    null-flag key so NULL metric values land in the WORST tile
-    (DESC NULLS LAST), matching both ``global_ntile`` and builtin
-    NTILE; ASC leaves Spark's native NULLS FIRST, again matching
-    ``global_ntile``'s asc path.  Ties break on ``tie_col`` ascending
+    null-flag key; NULL metric values land in the WORST tile in BOTH
+    directions (NULLS LAST — the DuckDB/SQL-standard ASC default,
+    matching ``global_ntile``).  Ties break on ``tie_col`` ascending
     (must be unique).  Tile arithmetic and boundary-tie behavior are
     ``_ntile_expr`` — the same single definition ``global_ntile`` uses
     — pinned by a parity test, so swapping k calls for one is free of
@@ -447,13 +459,14 @@ def global_ntile_multi(
                 f"global_ntile_multi needs integral metric columns, got {c!r}"
             )
         key = F.col(c).cast("bigint")
+        # null flag first in BOTH directions: NULLs must sort LAST
+        # (worst tile) — under DESC a bare NULL key would range-sort
+        # FIRST; under ASC Spark's native NULLS FIRST would put NULL in
+        # the BEST tile while DuckDB's/the SQL-standard ASC default is
+        # NULLS LAST, silently diverging from any ntile oracle.
+        nf = F.col(c).isNull().cast("int")
         if d.lower() == "desc":
-            # null flag first: NULLs must sort LAST under DESC (worst
-            # tile), while a bare NULL key would range-sort FIRST
-            nf = F.col(c).isNull().cast("int")
             key = F.lit(-1) - key
-        else:
-            nf = F.lit(0)  # ASC keeps Spark's native NULLS FIRST
         arms.append(
             F.struct(
                 F.lit(i).cast("int").alias("__mi"),

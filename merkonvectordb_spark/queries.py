@@ -795,50 +795,20 @@ from merkonvectordb_spark import queries_spans  # noqa: E402,F401
 from merkonvectordb_spark import queries_expectations  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# round-6 verification priority: the external harness oracle-checks only
-# the first 50 registry entries per round.  This round's block =
-#   (a) the 13 r5 driver-red queries — all one root cause, now fixed
-#       (DuckDB HUGEINT output columns: every integer sum cast to
-#       BIGINT in the oracles; VERDICT r5 next-round #1);
-#   (b) the 27 queries that have never had a driver CORRECTNESS row
-#       (VERDICT r5 next-round #3);
-#   (c) the 2 queries new this round: router_knn_batch (VERDICT r5
-#       next-round #8) and k_anonymity_audit;
-#   (d) 8 long-green sentinels — including events_window_agg and
-#       events_rollup, which carried the same LATENT HUGEINT oracle bug
-#       (green in r3 under the pre-r4 harness) and were fixed with the
-#       red 13, so their re-check is load-bearing.
-# = exactly 50.  If green, every registry entry has a cumulative
-# driver-green row — the project's stated verification bar.
+# Verification priority (rotation policy — VERDICT r6 next-round #1/#2).
+# The external harness oracle-checks only the first 50 registry entries
+# per round.  Rounds 1-6 hand-curated that block; it is now computed:
+# never-driver-checked and latest-red queries front the block, then the
+# least-recently-verified green rows, ties by registration order — so
+# every registry entry is re-verified at a bounded staleness (~4 rounds
+# at N=184) and a session-2-style late addition can never sit outside
+# the block.  The rank data (``LAST_VERIFIED``) is generated from the
+# committed CORRECTNESS_r*.json artifacts by
+# tools/build_verification_map.py and pinned by tests/test_registry.py.
 # ---------------------------------------------------------------------------
 
+from merkonvectordb_spark import registry as _registry  # noqa: E402
 from merkonvectordb_spark.registry import set_priority as _set_priority  # noqa: E402
+from merkonvectordb_spark.verification import build_priority_block as _bpb  # noqa: E402
 
-_set_priority([
-    # (a) r5 driver-red, HUGEINT-oracle class, fixed this round (13)
-    "events_sessionize",
-    "events_sessionize_v_nevents", "events_sessionize_v_cents",
-    "events_sessionize_v_bounds",
-    "skew_salted_join", "tpch_q12", "events_range_join",
-    "events_time_window_agg", "events_gap_fill_locf",
-    "streaming_window_agg", "streaming_sessionize_closed",
-    "events_hierarchical_rollup", "streaming_sessionize_python",
-    # (b) never driver-checked (27)
-    "knn_batch_prenorm", "knn_batch_ann_multiprobe",
-    "knn_batch_ivf_appended", "merkondb_roundtrip",
-    "data_expectations", "streaming_expectations", "hll_distinct",
-    "bigram_lm_score", "semantic_decontam", "cross_source_overlap",
-    "split_leakage_audit", "minhash_calibration", "gopher_rules_report",
-    "token_zipf_fit", "quality_robust_stats", "quality_weighted_sample",
-    "quality_quantile_normalize", "domain_quality_prior",
-    "events_psi_drift", "streaming_psi_drift", "sliding_distinct_users",
-    "sq8_quantization_error", "embedding_pca_anisotropy",
-    "char_entropy_screen", "doc_fixed_k_sample",
-    "tokenizer_fertility", "packing_efficiency",
-    # (c) new this round (2)
-    "router_knn_batch", "k_anonymity_audit",
-    # (d) long-green sentinels + the 2 latent-HUGEINT fixes (8)
-    "events_window_agg", "events_rollup",
-    "knn_topk", "upsert_roundtrip", "dedup_near", "knn_batch",
-    "tpch_q1", "dedup_exact",
-])
+_set_priority(_bpb(list(_registry._QUERIES)))

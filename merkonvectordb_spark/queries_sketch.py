@@ -640,7 +640,7 @@ WITH sample AS (
               AS BIGINT) AS h
   FROM lineitem
   WHERE l_extendedprice IS NOT NULL
-  ORDER BY h ASC
+  ORDER BY h ASC, v ASC
   LIMIT 1024
 ), ranked AS (
   SELECT v, row_number() OVER (ORDER BY v ASC, h ASC) AS rn,

@@ -149,6 +149,63 @@ def test_png_roundtrip_and_all_filter_types():
     assert (got2 == img).all()
 
 
+def test_decode_quarantine_keeps_corrupt_rows(spark):
+    """ADVICE r6: on_error='quarantine' turns a per-row decode failure
+    into an error column instead of a stage failure — the 100 TB
+    posture, where a few corrupt blobs must not kill the pass."""
+    mm = derive_multimodal(load_table(spark, SF, "documents").limit(5))
+    # text bytes are not real PNG/WAV/MP4 — every row quarantines
+    rows = decode_content(mm, on_error="quarantine").collect()
+    assert len(rows) == 5
+    assert all(r.error is not None for r in rows)
+    assert all(r.n_bytes is None and r.checksum is None for r in rows)
+    # a decodable payload keeps NULL error alongside quarantined peers
+    import numpy as np
+
+    from merkonvectordb_spark.operators import media_codec as mc
+
+    good = mc.encode_png(np.full((2, 2, 3), 7, dtype=np.uint8))
+    mixed = spark.createDataFrame(
+        [(1, "image", bytearray(good)), (2, "image", bytearray(b"junk"))],
+        "doc_id LONG, modality STRING, content BINARY",
+    )
+    out = {r.doc_id: r for r in decode_content(mixed, on_error="quarantine").collect()}
+    assert out[1].error is None and out[1].checksum == 7 * 12
+    assert out[2].error is not None and out[2].n_bytes is None
+    with pytest.raises(ValueError, match="on_error"):
+        decode_content(mixed, on_error="skip")
+
+
+def test_png_rejects_idat_before_ihdr_and_bad_crc():
+    """ADVICE r6: IDAT before IHDR must be a clear structural error (it
+    used to surface as a size mismatch), and a flipped payload bit must
+    fail the chunk CRC, not the scanline reconstruction."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from merkonvectordb_spark.operators import media_codec as mc
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+    idat = chunk(b"IDAT", zlib.compress(b"\x00\x2a"))
+    iend = chunk(b"IEND", b"")
+    sig = b"\x89PNG\r\n\x1a\n"
+    assert mc.decode_png(sig + ihdr + idat + iend)[0, 0, 0] == 0x2A
+    with _pytest.raises(ValueError, match="IDAT before IHDR"):
+        mc.decode_png(sig + idat + ihdr + iend)
+    corrupt = bytearray(sig + ihdr + idat + iend)
+    corrupt[len(sig) + 8] ^= 0x01  # flip a bit inside IHDR's payload
+    with _pytest.raises(ValueError, match="CRC mismatch"):
+        mc.decode_png(bytes(corrupt))
+
+
 def test_wav_roundtrip_and_mel_features():
     import numpy as np
 

@@ -388,6 +388,37 @@ def test_global_ntile_desc_nulls_land_last(spark):
         global_ntile(sdf, [("s", "desc")], 2)
 
 
+def test_global_ntile_asc_nulls_land_last(spark):
+    """ADVICE r6: ASC used to keep Spark's native NULLS FIRST (NULL in
+    the BEST tile) while DuckDB's/the SQL-standard ASC default is NULLS
+    LAST — a nullable ASC metric would silently diverge from any ntile
+    oracle.  Both global_ntile and global_ntile_multi now put NULL in
+    the WORST tile in BOTH directions."""
+    from merkonvectordb_spark.operators.stats import (
+        global_ntile,
+        global_ntile_multi,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, None), (4, 20.0)], "id LONG, q DOUBLE"
+    )
+    out = {
+        r.id: r.tile
+        for r in global_ntile(df, [("q", "asc"), ("id", "asc")], 2).collect()
+    }
+    assert out[3] == 2  # the NULL row is in the LAST (worst) tile
+    assert out[2] == 1  # the min lands first
+    idf = spark.createDataFrame(
+        [(1, 10), (2, 5), (3, None), (4, 20)], "uid LONG, a INT"
+    )
+    got = {
+        r.uid: r.ta
+        for r in global_ntile_multi(idf, [("a", "asc")], 2, "uid", ["ta"])
+        .collect()
+    }
+    assert got[3] == 2 and got[2] == 1
+
+
 def test_global_ntile_desc_nan_matches_builtin(spark):
     """Spark orders NaN as the LARGEST double, so DESC puts it FIRST;
     the negation encoding alone leaves -NaN = NaN sorting LAST.  The

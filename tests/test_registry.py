@@ -5,43 +5,68 @@ from __future__ import annotations
 import __spark_entry__ as entry
 
 
-def test_first_50_are_the_verification_priority_block():
+def _repo_root():
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_first_50_follow_the_rotation_policy():
     """The external harness hash-checks only the first 50 registry
-    entries; round 6 front-loads the 13 r5 driver-red queries (HUGEINT
-    oracle class, fixed), the 27 never-driver-checked ones, the new
-    2 new-this-round oracles (router + k-anonymity), and 8 sentinels
-    incl. the 2 latent-HUGEINT fixes —
-    exactly 50.  Pin the block so a refactor can't silently reorder it."""
-    names = list(entry.queries())
-    first = set(names[:50])
-    must_be_front = {
-        # r5 red (HUGEINT oracle class — re-verify after the fix)
-        "events_sessionize", "events_sessionize_v_nevents",
-        "events_sessionize_v_cents", "events_sessionize_v_bounds",
-        "skew_salted_join", "tpch_q12", "events_range_join",
-        "events_time_window_agg", "events_gap_fill_locf",
-        "streaming_window_agg", "streaming_sessionize_closed",
-        "events_hierarchical_rollup", "streaming_sessionize_python",
-        # never driver-checked
-        "knn_batch_prenorm", "knn_batch_ann_multiprobe",
-        "knn_batch_ivf_appended", "merkondb_roundtrip",
-        "data_expectations", "streaming_expectations", "hll_distinct",
-        "bigram_lm_score", "semantic_decontam", "cross_source_overlap",
-        "split_leakage_audit", "minhash_calibration",
-        "gopher_rules_report", "token_zipf_fit", "quality_robust_stats",
-        "quality_weighted_sample", "quality_quantile_normalize",
-        "domain_quality_prior", "events_psi_drift",
-        "streaming_psi_drift", "sliding_distinct_users",
-        "sq8_quantization_error", "embedding_pca_anisotropy",
-        "char_entropy_screen", "doc_fixed_k_sample",
-        "tokenizer_fertility", "packing_efficiency",
-        # new this round
-        "router_knn_batch", "k_anonymity_audit",
-        # latent-HUGEINT fixes, re-check is load-bearing
-        "events_window_agg", "events_rollup",
-    }
-    missing = must_be_front - first
-    assert not missing, f"priority block lost: {sorted(missing)}"
+    entries per round.  Since round 7 that block is POLICY, not a hand
+    list (VERDICT r6 next-round #1/#2): never-driver-checked and
+    latest-red queries first, then least-recently-verified, ties by
+    registration order.  Pin it end-to-end: recompute the rank map from
+    the committed CORRECTNESS_r*.json artifacts (so a stale generated
+    LAST_VERIFIED fails here, not in the driver) and assert the live
+    ``queries()`` order starts with exactly the policy block."""
+    from merkonvectordb_spark import registry
+    from merkonvectordb_spark.verification import (
+        BLOCK_SIZE,
+        LAST_VERIFIED,
+        build_priority_block,
+        last_verified_from_artifacts,
+    )
+
+    from_artifacts = last_verified_from_artifacts(_repo_root())
+    assert LAST_VERIFIED == from_artifacts, (
+        "generated LAST_VERIFIED is stale — run "
+        "`python tools/build_verification_map.py` after committing the "
+        "round's CORRECTNESS_r*.json"
+    )
+    expected = build_priority_block(list(registry._QUERIES), from_artifacts)
+    got = list(entry.queries())[:BLOCK_SIZE]
+    assert got == expected, (
+        f"first-{BLOCK_SIZE} block diverges from the rotation policy:\n"
+        f"  expected[:5]={expected[:5]}\n  got[:5]={got[:5]}"
+    )
+    # the policy's load-bearing property: nothing unverified can hide
+    # outside the block
+    unverified = [n for n in registry._QUERIES if from_artifacts.get(n, 0) == 0]
+    outside = [n for n in unverified if n not in got]
+    assert not outside, f"never-checked/latest-red queries outside block: {outside}"
+    assert len(got) == BLOCK_SIZE
+
+
+def test_rotation_policy_bounds_staleness():
+    """Synthetic check of the rotation guarantee: with N names and a
+    block of B, repeatedly 'verifying' the block advances every name's
+    round within ceil(N/B) rounds — no name is starved."""
+    from merkonvectordb_spark.verification import build_priority_block
+
+    names = [f"q{i:03d}" for i in range(184)]
+    lv = {n: (i % 5) for i, n in enumerate(names) if i % 7}  # some never-checked
+    rounds_needed = 0
+    current = dict(lv)
+    rnd = 10
+    while min((current.get(n, 0) for n in names), default=0) < 10:
+        block = build_priority_block(names, current, 50)
+        for n in block:
+            current[n] = rnd
+        rnd += 1
+        rounds_needed += 1
+        assert rounds_needed <= 4, "rotation failed to cover the registry"
+    assert rounds_needed == 4  # ceil(184/50)
 
 
 def test_no_raw_timestamp_or_date_output_columns(spark, sf_dir):

@@ -161,6 +161,11 @@ ALLOW: dict[tuple[str, str], str] = {
     ("bigram_lm_score", "nested_loop"):
         "corpus token-total scalar (1 row) for the interpolation "
         "denominator; bigram/unigram tables join on their keys",
+    ("router_knn_batch", "nested_loop"):
+        "the routed arms reuse the standalone backends' plans verbatim "
+        "— the per-round arm rotation can include sq8 (1-row codebook "
+        "stats broadcast) or ivfpq (fixed-K centroid broadcast), both "
+        "allowlisted shapes under their own names",
 }
 
 PATTERNS = {
