@@ -1571,12 +1571,14 @@ _ROUTER_ARM_PAIRS = (("ann", "sq8"), ("brute", "ivfpq"))
 
 def _router_round_arms() -> tuple[str, ...]:
     """The arm subset for the round the NEXT driver check belongs to
-    (one past the newest round in the committed verification history) —
-    deterministic within a checkout, alternating across rounds."""
-    from merkonvectordb_spark.verification import LAST_VERIFIED
+    (one past the newest round in the verification history) —
+    deterministic within a checkout, alternating across rounds.  Uses
+    ``current_round()`` (artifact-derived) so the Spark query and its
+    oracle — both built from this one function — flip together the
+    moment a new CORRECTNESS file lands."""
+    from merkonvectordb_spark.verification import current_round
 
-    rnd = max(LAST_VERIFIED.values(), default=0) + 1
-    return _ROUTER_ARM_PAIRS[rnd % 2]
+    return _ROUTER_ARM_PAIRS[current_round() % 2]
 
 
 def _router_oracle() -> str:

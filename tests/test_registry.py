@@ -29,10 +29,18 @@ def test_first_50_follow_the_rotation_policy():
     )
 
     from_artifacts = last_verified_from_artifacts(_repo_root())
-    assert LAST_VERIFIED == from_artifacts, (
-        "generated LAST_VERIFIED is stale — run "
-        "`python tools/build_verification_map.py` after committing the "
-        "round's CORRECTNESS_r*.json"
+    # the live order derives from the artifacts (current_rank_map), so
+    # the committed literal may lag by newer rounds right after the
+    # driver lands a CORRECTNESS file — that transient is fine; the
+    # snapshot must still be FAITHFUL as of its own newest round
+    # (anything else is a hand edit or parser drift)
+    newest_committed = max(LAST_VERIFIED.values(), default=0)
+    as_of_committed = last_verified_from_artifacts(
+        _repo_root(), max_round=newest_committed
+    )
+    assert LAST_VERIFIED == as_of_committed, (
+        "generated LAST_VERIFIED diverges from the artifacts as of its "
+        "own newest round — run `python tools/build_verification_map.py`"
     )
     expected = build_priority_block(list(registry._QUERIES), from_artifacts)
     got = list(entry.queries())[:BLOCK_SIZE]

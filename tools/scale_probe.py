@@ -22,11 +22,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SFS = [
-    ("/root/testdata/sf0.001", 0.001),
-    ("/root/testdata/sf0.01", 0.01),
-    ("/root/testdata/sf0.1", 0.1),
-]
+# Override with SCALE_SFS="dir:sf,dir:sf,..." — e.g. generated larger
+# fixtures from tools/gen_scale_fixture.py (VERDICT r6 next-round #4):
+#   SCALE_SFS="/tmp/scalefix/sf0.1:0.1,/tmp/scalefix/sf1:1" \
+#       python tools/scale_probe.py semantic_dedup ...
+_env_sfs = os.environ.get("SCALE_SFS")
+if _env_sfs:
+    SFS = [
+        (part.rsplit(":", 1)[0], float(part.rsplit(":", 1)[1]))
+        for part in _env_sfs.split(",")
+    ]
+else:
+    SFS = [
+        ("/root/testdata/sf0.001", 0.001),
+        ("/root/testdata/sf0.01", 0.01),
+        ("/root/testdata/sf0.1", 0.1),
+    ]
 
 # one representative per major plan family
 DEFAULT = [
@@ -74,8 +85,10 @@ def main() -> int:
                 ).save()
                 best = min(best, time.perf_counter() - t0)
             times.append(best)
-        # exponent from the top decade (0.01 -> 0.1)
-        slope = math.log(times[2] / times[1]) / math.log(10.0)
+        # exponent from the two LARGEST scale factors
+        slope = math.log(times[-1] / times[-2]) / math.log(
+            SFS[-1][1] / SFS[-2][1]
+        )
         rows.append((name, times, slope))
         print(
             f"  {name}: "
@@ -84,13 +97,14 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    print("| query | sf0.001 | sf0.01 | sf0.1 | slope(0.01→0.1) |")
-    print("|---|---|---|---|---|")
+    hdr = " | ".join(f"sf{sf:g}" for _, sf in SFS)
+    print(
+        f"| query | {hdr} | slope(sf{SFS[-2][1]:g}→sf{SFS[-1][1]:g}) |"
+    )
+    print("|---|" + "---|" * (len(SFS) + 1))
     for name, times, slope in rows:
-        print(
-            f"| {name} | {times[0]:.2f}s | {times[1]:.2f}s "
-            f"| {times[2]:.2f}s | {slope:.2f} |"
-        )
+        cells = " | ".join(f"{t:.2f}s" for t in times)
+        print(f"| {name} | {cells} | {slope:.2f} |")
     return 0
 
 
