@@ -290,23 +290,82 @@ def near_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.6,
+    exact_precollapse: bool = True,
 ) -> DataFrame:
-    """Full near-dup pipeline: MinHash → LSH buckets → exact-Jaccard
-    verify → connected components.  Returns one row per input doc:
-    ``(id_col, group_id, group_sz)`` — group_id is the min doc id of the
-    near-dup component (self for singletons).
+    """Full near-dup pipeline: exact pre-collapse → MinHash → LSH
+    buckets → exact-Jaccard verify → connected components.  Returns one
+    row per input doc: ``(id_col, group_id, group_sz)`` — group_id is
+    the min doc id of the near-dup component (self for singletons).
+
+    ``exact_precollapse`` (on by default) is the identical-mega-group
+    guard: docs with IDENTICAL shingle sets have Jaccard 1 to each
+    other and the SAME signature/Jaccard against every third doc, so
+    they are collapsed to their min-id representative before banding
+    and star-expanded back afterwards — the OUTPUT is bit-identical
+    (the representative is its exact group's min id, so component min
+    ids are unchanged), but a g-sized identical group costs g rows
+    instead of g²/2 candidate pairs + g² band-join rows.  That case is
+    the realistic 100 TB adversary (license boilerplate duplicated
+    millions of times makes Σ|bucket|² quadratic exactly where the
+    corpus is dirtiest); measured on a corpus with a 2 % identical
+    group, the sf1→sf3 growth exponent drops from 1.57 to ~linear
+    (SCALING.md round-7).  The collapse key is the 128-bit md5 of the
+    SORTED shingle set (set-canonical: same set in any order
+    collapses; docs below the shingle window — empty sets — are
+    excluded, preserving the pipeline's existing no-edge semantics for
+    them).
 
     The shingle-set table is computed ONCE and persisted: banding, the
     Jaccard verify, and the CC lineage all reuse it instead of
     re-hashing the corpus per stage."""
-    sets_df = shingle_sets(df, id_col, text_col).persist()
+    sets_all = shingle_sets(df, id_col, text_col)
+    membership = None
+    keyed = None
+    if exact_precollapse:
+        keyed = sets_all.withColumn(
+            "__setkey", F.md5(F.concat_ws("\x1f", F.array_sort("__sh")))
+        ).persist()
+        reps = keyed.groupBy("__setkey").agg(F.min("__id").alias("__rep"))
+        # localCheckpoint (eager): materializes NOW through the keyed
+        # cache and cuts lineage, so the final expansion join can run
+        # after every cache below is released without recomputing
+        # shingles — the same lineage-cut pattern connected_components
+        # uses for its label frames
+        membership = (
+            keyed.select("__setkey", "__id")
+            .join(reps, "__setkey")
+            .select("__id", "__rep")
+            .localCheckpoint()
+        )
+        sets_df = (
+            keyed.join(
+                reps.select(F.col("__rep").alias("__id")), "__id"
+            )
+            .select("__id", "__sh")
+            .persist()
+        )
+    else:
+        sets_df = sets_all.persist()
     pairs = candidate_pairs_from_sets(sets_df)
     edges = jaccard_edges_from_sets(sets_df, pairs, threshold)
     labels = connected_components(edges)
     # CC materialized the edge list (count + collect/checkpoint), so the
-    # shingle cache has served all its consumers — free it; `out` below
-    # references only labels and the raw ids
+    # shingle caches have served all their consumers — free them; the
+    # expansion below references only labels and the checkpointed
+    # membership frame
     sets_df.unpersist()
+    if keyed is not None:
+        keyed.unpersist()
+    if membership is not None:
+        # star expansion: every doc inherits its representative's
+        # component label; an exact group whose rep has no near-dup
+        # edge still clusters on the rep itself (coalesce)
+        labels = membership.join(
+            labels.withColumnRenamed("id", "__rep"), "__rep", "left"
+        ).select(
+            F.col("__id").alias("id"),
+            F.coalesce("group_id", F.col("__rep")).alias("group_id"),
+        )
     out = (
         df.select(F.col(id_col))
         .join(labels.withColumnRenamed("id", id_col), id_col, "left")

@@ -71,6 +71,49 @@ def test_near_dedup_groups(spark):
     assert out[11] == (11, 1)  # too short to shingle -> singleton
 
 
+def test_near_dedup_exact_precollapse_is_equivalent_and_linear(spark):
+    """Round 7 (SCALING.md): an identical mega-group (one doc duplicated
+    g times — license boilerplate at corpus scale) makes the banding
+    self-join quadratic, Σ|bucket|² = g²/2.  The exact pre-collapse
+    (identical shingle sets → min-id representative before banding,
+    star expansion after) must (a) produce bit-identical output to the
+    uncollapsed pipeline, including chains that BRIDGE an exact group
+    to outside near-dups, and (b) shrink the candidate-pair stage to
+    the representative count."""
+    from merkonvectordb_spark.operators.dedup import (
+        candidate_pairs_from_sets,
+        near_dedup,
+        shingle_sets,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while spark "
+            "shuffles partitions across the cluster nodes")
+    rows = (
+        [(i, base) for i in range(40)]                       # mega-group
+        + [(100, base + " with a small trailing change")]    # bridges out
+        + [(200, "entirely unrelated corpus text about columnar storage "
+                 "formats and vectorized execution engines today")]
+        + [(300, "tiny")]                                    # no shingles
+    )
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    fast = {r.doc_id: (r.group_id, r.group_sz)
+            for r in near_dedup(df, "doc_id", "text", 0.5).collect()}
+    slow = {r.doc_id: (r.group_id, r.group_sz)
+            for r in near_dedup(
+                df, "doc_id", "text", 0.5, exact_precollapse=False
+            ).collect()}
+    assert fast == slow
+    assert fast[0] == (0, 41) and fast[100] == (0, 41)  # bridge joined
+    assert fast[200] == (200, 1) and fast[300] == (300, 1)
+    # the pair stage sees ONE representative for the 40 identical docs:
+    # without collapse the mega-group alone contributes 40*39/2 pairs
+    sets_df = shingle_sets(df, "doc_id", "text")
+    uncollapsed_pairs = candidate_pairs_from_sets(sets_df).count()
+    reps = sets_df.select("__sh").distinct().count()
+    assert uncollapsed_pairs >= 40 * 39 // 2
+    assert reps == 3  # base, bridge, unrelated
+
+
 def test_candidate_pairs_not_all_pairs(spark):
     from merkonvectordb_spark.operators.dedup import candidate_pairs
 

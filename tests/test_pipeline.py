@@ -414,3 +414,23 @@ def test_temperature_sample_upweights_small_strata(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_temperature_sample_drops_null_strata(spark):
+    """ADVICE r6, pinned as contract: rows with a NULL stratum key are
+    DROPPED (the equi-join on the stratum misses, both sides of the
+    keep inequality coalesce to 0).  Callers who want NULLs budgeted
+    must route them to a sentinel stratum upstream."""
+    from merkonvectordb_spark.operators.pipeline import temperature_sample
+
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, None, 10), (3, "en", 10), (4, None, 10)],
+        "doc_id LONG, lang STRING, toks INT",
+    )
+    kept = temperature_sample(df, "doc_id", "lang", "toks", 10**9)
+    ids = {r.doc_id for r in kept.collect()}
+    assert ids == {1, 3}  # infinite budget keeps every NON-NULL stratum row
+    sentinel = df.withColumn("lang", F.coalesce("lang", F.lit("__unknown")))
+    assert temperature_sample(
+        sentinel, "doc_id", "lang", "toks", 10**9
+    ).count() == 4
