@@ -133,26 +133,31 @@ def main() -> int:
     # regression diffs on the other ~174 queries need this file.  The
     # round number is the next after the last committed BENCH_r*.json
     # (overridable via SPARK_GRAFT_ROUND); the driver's end-of-round
-    # commit picks the file up.
-    try:
-        here = os.path.dirname(os.path.abspath(__file__))
-        rnd = os.environ.get("SPARK_GRAFT_ROUND")
-        if not rnd:
-            import glob as _glob
+    # commit picks the file up.  A FILTERED run (query names on argv —
+    # the local iteration loop) must never clobber the full-sweep
+    # artifact with a partial map.
+    if only:
+        print("  filtered run — BENCH_LOCAL artifact untouched", file=sys.stderr)
+    else:
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            rnd = os.environ.get("SPARK_GRAFT_ROUND")
+            if not rnd:
+                import glob as _glob
 
-            prev = [
-                int(m.group(1))
-                for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
-                if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-            ]
-            rnd = str(max(prev, default=0) + 1)
-        local_path = os.path.join(here, f"BENCH_LOCAL_r{int(rnd):02d}.json")
-        with open(local_path, "w") as fh:
-            json.dump(out, fh, sort_keys=True)
-            fh.write("\n")
-        print(f"  full per-query map -> {local_path}", file=sys.stderr)
-    except Exception as e:  # artifact write must never fail the bench
-        print(f"  BENCH_LOCAL write failed: {e}", file=sys.stderr)
+                prev = [
+                    int(m.group(1))
+                    for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+                    if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+                ]
+                rnd = str(max(prev, default=0) + 1)
+            local_path = os.path.join(here, f"BENCH_LOCAL_r{int(rnd):02d}.json")
+            with open(local_path, "w") as fh:
+                json.dump(out, fh, sort_keys=True)
+                fh.write("\n")
+            print(f"  full per-query map -> {local_path}", file=sys.stderr)
+        except Exception as e:  # artifact write must never fail the bench
+            print(f"  BENCH_LOCAL write failed: {e}", file=sys.stderr)
     ts = sorted(timings.values())
     median = round(ts[len(ts) // 2], 4) if ts else 0.0
     slowest = dict(

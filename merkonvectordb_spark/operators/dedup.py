@@ -604,6 +604,74 @@ def simhash_fingerprint(text: Column) -> Column:
     )
 
 
+def simhash_fingerprint_rows(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """``(__id, __fp)`` SimHash fingerprints via one Arrow
+    ``mapInPandas`` pass — the fast path ``simhash_near_pairs`` uses.
+
+    Computes the EXACT value of the ``simhash_fingerprint`` expression
+    (pinned by ``test_dedup``): same 60-bit md5 fold per token
+    (``py_md5_hash60`` ≡ ``md5_hash60``), same TF weighting, same
+    bit-majority rule; tokenization mirrors the JVM ``tokenize``
+    (split on Java's ``\\s`` class ``[ \\t\\n\\x0b\\f\\r]``, lowercase,
+    drop empties).  Docs with no tokens are EXCLUDED (they would all
+    fingerprint to 0 and band together) — callers get the
+    ``token_count > 0`` filter built in.
+
+    Why not the expression: the fingerprint fold is a higher-order
+    ``aggregate``/``zip_with`` chain — CodegenFallback, interpreted per
+    (token × bit) = ~2,700 lambda evaluations per doc.  The scale probe
+    measured the interpreted path at 97.7 s for 50k docs (sf1); this
+    pass hashes each DISTINCT token once per batch (dict cache) and
+    folds bits as one numpy matrix op per doc."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    src = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    ).repartition(par)
+
+    def gen(batches):
+        ws = _re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, not Python \s
+        pows = np.left_shift(
+            np.uint64(1), np.arange(SIMHASH_BITS, dtype=np.uint64)
+        )
+        cache: dict = {}
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for i, t in zip(pdf["__id"], pdf["__text"]):
+                toks = [w for w in ws.split((t or "").lower()) if w]
+                if not toks:
+                    continue
+                hs = np.fromiter(
+                    (
+                        cache[w]
+                        if w in cache
+                        else cache.setdefault(
+                            w, py_md5_hash60(w.encode("utf-8"))
+                        )
+                        for w in toks
+                    ),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                ones = (hs[:, None] & pows != 0).sum(axis=0, dtype=np.int64)
+                fp = int(pows[2 * ones > len(toks)].sum(dtype=np.uint64))
+                ids.append(i)
+                fps.append(fp)
+            yield pd.DataFrame(
+                {"__id": ids, "__fp": pd.array(fps, dtype="int64")}
+            )
+
+    return src.mapInPandas(gen, f"__id {id_ddl}, __fp LONG")
+
+
 def simhash_chunk_keys(fp: Column) -> Column:
     """C chunk keys (pigeonhole banding): any pair with Hamming distance
     < C shares at least one chunk."""
@@ -632,24 +700,35 @@ def simhash_near_pairs(
     only when their differing bits happen to leave one chunk intact —
     banding-dependent recall, mirrored identically by the oracle.
     Tighten ``max_hamming`` to 5 (or raise SIMHASH_CHUNKS) when the
-    guarantee must be total."""
-    # docs with no tokens would all hash to fingerprint 0; exclude them
-    from merkonvectordb_spark.functions.text import token_count
+    guarantee must be total.
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    fps = (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
-        .repartition(par)  # CPU-bound hashing must not inherit 1-2 scan splits
-        .where(token_count(F.col("__text")) > 0)
-        .select(
-            "__id",
-            simhash_fingerprint(F.col("__text")).alias("__fp"),
-        )
-        # chunks + both verify joins reuse the fingerprints — persist
-        # for intra-plan subtree sharing (blocks free via GC once the
-        # caller drops the returned frame)
+    Identical-fingerprint collapse (round 7, SCALING.md): docs sharing
+    a fingerprint are hamming-0 pairs of each other and have the SAME
+    distance to every third doc, so banding/verify runs over DISTINCT
+    fingerprints only and the pair list is expanded afterwards.  The
+    output is unchanged (pair semantics make an identical mega-group's
+    g²/2 pairs part of the ANSWER), but the g² work moves out of the
+    skewed bucket self-join + 6·g² distinct + double verify join into
+    two plain expansion joins — measured at sf3 with a 3,000-doc
+    identical group: 354 s → linear-regime seconds for the
+    banding/verify stages, with the expansion join bounded by the true
+    output size."""
+    # Arrow fast path (no-token docs excluded inside — they would all
+    # fingerprint to 0 and band together); value-identical to the
+    # simhash_fingerprint expression, pinned by test_dedup.
+    fps_all = simhash_fingerprint_rows(df, id_col, text_col)
+    # one row per DISTINCT fingerprint: rep = min member id.  Lazy
+    # persist (not an eager checkpoint): banding, both verify joins,
+    # and both expansion joins are all subtrees of the ONE returned
+    # plan, so the cache fills on first use — no extra job, which
+    # keeps the no-duplicate corpus (every group a singleton) at the
+    # old pipeline's cost
+    membership = (
+        fps_all.groupBy("__fp")
+        .agg(F.min("__id").alias("__rep"), F.collect_list("__id").alias("__m"))
         .persist()
     )
+    fps = membership.select(F.col("__rep").alias("__id"), "__fp")
     chunks = fps.select(
         "__id",
         F.posexplode(simhash_chunk_keys(F.col("__fp"))).alias(
@@ -666,13 +745,48 @@ def simhash_near_pairs(
     fa = fps.select(F.col("__id").alias("a"), F.col("__fp").alias("fp_a"))
     fb = fps.select(F.col("__id").alias("b"), F.col("__fp").alias("fp_b"))
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (
+    rep_pairs = (
         pairs.join(fa, "a")
         .join(fb, "b")
         .withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+    # expansion 1 — cross-group: every member of a's group pairs with
+    # every member of b's group at the reps' hamming (identical
+    # fingerprints ⇒ identical distances); least/greatest restores the
+    # a < b output contract when group id ranges interleave
+    ma = membership.select(F.col("__rep").alias("a"), F.col("__m").alias("ma"))
+    mb = membership.select(F.col("__rep").alias("b"), F.col("__m").alias("mb"))
+    cross = (
+        rep_pairs.join(ma, "a")
+        .join(mb, "b")
+        .select(
+            F.explode("ma").alias("ia"), F.col("mb"), F.col("hamming")
+        )
+        .select(
+            F.col("ia"), F.explode("mb").alias("ib"), F.col("hamming")
+        )
+        .select(
+            F.least("ia", "ib").alias("a"),
+            F.greatest("ia", "ib").alias("b"),
+            "hamming",
+        )
+    )
+    # expansion 2 — within-group: hamming-0 pairs among the members of
+    # each shared fingerprint (g²/2 rows — the true answer's size)
+    within = (
+        membership.where(F.size("__m") > 1)
+        .select(F.explode("__m").alias("ia"), F.col("__m"))
+        .select("ia", F.explode("__m").alias("ib"))
+        .where(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("a"),
+            F.col("ib").alias("b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def fuzzy_self_join(

@@ -169,6 +169,58 @@ def test_simhash_near_pairs(spark):
     assert [r.fp for r in fp] == [r.fp for r in fp2]
 
 
+def test_simhash_arrow_path_matches_expression(spark, sf_dir):
+    """Round 7: simhash_near_pairs swapped its fingerprint stage from
+    the interpreted higher-order expression (CodegenFallback, ~2,700
+    lambda evals per doc — 97.7 s at 50k docs in the scale probe) to an
+    Arrow mapInPandas pass.  The two must be VALUE-identical on real
+    fixture text and on whitespace/unicode edge cases, and no-token
+    docs must be excluded (the expression path's token_count>0
+    filter, now built into the rows path)."""
+    from merkonvectordb_spark.functions.text import token_count
+    from merkonvectordb_spark.operators.dedup import (
+        simhash_fingerprint,
+        simhash_fingerprint_rows,
+    )
+    from merkonvectordb_spark.schema import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    want = {
+        r.doc_id: r.fp
+        for r in docs.where(token_count(F.col("text")) > 0)
+        .select("doc_id", simhash_fingerprint(F.col("text")).alias("fp"))
+        .collect()
+    }
+    got = {
+        r["__id"]: r["__fp"]
+        for r in simhash_fingerprint_rows(docs, "doc_id", "text").collect()
+    }
+    assert got == want and len(got) > 0
+    edge = spark.createDataFrame(
+        [
+            (1, "  tab\tsep\nlines\x0bvtab\fff\rcr  "),
+            (2, "MiXeD CaSe ÜNICODE tökens"),
+            (3, ""),          # no tokens -> excluded
+            (4, None),        # NULL text  -> excluded
+            (5, " \t\r\n "),  # whitespace only -> excluded
+            (6, "repeated repeated repeated unique"),  # TF weighting
+        ],
+        "doc_id LONG, text STRING",
+    )
+    ewant = {
+        r.doc_id: r.fp
+        for r in edge.where(token_count(F.col("text")) > 0)
+        .select("doc_id", simhash_fingerprint(F.col("text")).alias("fp"))
+        .collect()
+    }
+    egot = {
+        r["__id"]: r["__fp"]
+        for r in simhash_fingerprint_rows(edge, "doc_id", "text").collect()
+    }
+    assert egot == ewant
+    assert set(egot) == {1, 2, 6}
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard prefix filtering
 # ---------------------------------------------------------------------------
