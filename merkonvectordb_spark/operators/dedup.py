@@ -465,6 +465,7 @@ def ngram_jaccard_pairs(
     n: int = NGRAM_N,
     t_num: int = NGRAM_T_NUM,
     t_den: int = NGRAM_T_DEN,
+    exact_precollapse: bool = True,
 ) -> DataFrame:
     """Every pair ``(a, b, jaccard)`` with char-n-gram Jaccard >= t_num/t_den.
 
@@ -481,7 +482,19 @@ def ngram_jaccard_pairs(
        cross-multiplication (``inter·t_den >= t_num·(sa+sb-inter)``) — no
        float threshold, so the Spark and oracle decisions are
        bit-identical.
-    """
+
+    ``exact_precollapse`` (on by default) is the identical-mega-group
+    guard, keyed here on identical NORMALIZED TEXT (same ws-collapse +
+    lowercase the gram generator applies): byte-identical boilerplate
+    duplicated g times shares its rarest gram, so the prefix bucket —
+    and the verify stage's full-set intersections — went g²/2.  Text-
+    identical docs collapse to their min-id representative BEFORE gram
+    generation (members are never even shingled) and the pair list is
+    star-expanded after: members inherit their rep pair's jaccard
+    (identical text ⇒ identical gram set), within-group pairs emit
+    jaccard 1.0 ≥ any threshold ≤ 1.  Docs whose normalized text is
+    shorter than the gram window have NO grams and never pair — the
+    collapse preserves that by excluding them from membership."""
     # persist(), deliberately: the caches serve multi-consumer SUBTREE
     # SHARING inside the single returned plan (prefix feeds both join
     # sides, cand three consumers) — only persist gives that (a
@@ -489,7 +502,36 @@ def ngram_jaccard_pairs(
     # recompute; measured 5x slower either way).  The cost is that the
     # blocks stay pinned until Python GC + ContextCleaner collect them
     # after the caller drops the returned frame.
-    grams = char_ngram_key_rows(df, id_col, text_col, n).persist()
+    membership = None
+    src = df
+    if exact_precollapse:
+        # EXACTLY the gram generator's normalization (Java \s class,
+        # lowercase, collapse+trim) so the length guard below equals
+        # its `len(tt) < n` skip
+        norm = F.trim(
+            F.regexp_replace(F.lower(F.col(text_col)), "[ \t\n\x0b\f\r]+", " ")
+        )
+        keyed = (
+            df.select(
+                F.col(id_col).alias("__id"),
+                F.md5(norm).alias("__tk"),
+                F.length(norm).alias("__len"),
+            )
+            .where(F.col("__len") >= n)
+            .drop("__len")
+        )
+        membership = (
+            keyed.groupBy("__tk")
+            .agg(
+                F.min("__id").alias("__rep"),
+                F.collect_list("__id").alias("__m"),
+            )
+            .persist()
+        )
+        src = df.join(
+            membership.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+        )
+    grams = char_ngram_key_rows(src, id_col, text_col, n).persist()
     # df as a window over the key partitioning: saves the groupBy+join
     # round trip of a separate frequency table
     with_df = grams.withColumn(
@@ -535,7 +577,7 @@ def ngram_jaccard_pairs(
     gb = csets.select(F.col("__id").alias("b"), F.col("__g").alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))
     union = F.size("g_a") + F.size("g_b") - inter
-    return (
+    rep_pairs = (
         cand.join(ga, "a")
         .join(gb, "b")
         .where(inter * t_den >= t_num * union)
@@ -545,6 +587,35 @@ def ngram_jaccard_pairs(
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
     )
+    if membership is None:
+        return rep_pairs
+    # star expansion (see simhash_near_pairs): cross-group pairs carry
+    # the rep pair's jaccard; within-group pairs are exactly 1.0
+    ma = membership.select(F.col("__rep").alias("a"), F.col("__m").alias("ma"))
+    mb = membership.select(F.col("__rep").alias("b"), F.col("__m").alias("mb"))
+    cross = (
+        rep_pairs.join(ma, "a")
+        .join(mb, "b")
+        .select(F.explode("ma").alias("ia"), F.col("mb"), F.col("jaccard"))
+        .select(F.col("ia"), F.explode("mb").alias("ib"), F.col("jaccard"))
+        .select(
+            F.least("ia", "ib").alias("a"),
+            F.greatest("ia", "ib").alias("b"),
+            "jaccard",
+        )
+    )
+    within = (
+        membership.where(F.size("__m") > 1)
+        .select(F.explode("__m").alias("ia"), F.col("__m"))
+        .select("ia", F.explode("__m").alias("ib"))
+        .where(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("a"),
+            F.col("ib").alias("b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------

@@ -266,6 +266,40 @@ def test_ngram_jaccard_exact_vs_bruteforce(spark):
     assert expected, "fixture must produce at least one qualifying pair"
 
 
+def test_ngram_text_precollapse_is_equivalent(spark):
+    """Round 7: text-identical docs collapse to a representative before
+    gram generation (the identical-mega-group guard).  Output must equal
+    the uncollapsed pipeline — cross pairs inherit the rep jaccard,
+    within-group pairs emit 1.0, sub-window docs stay pair-less — and
+    normalization-equal (whitespace/case) variants must collapse too."""
+    from merkonvectordb_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = (
+        [(i, base) for i in range(10)]              # identical group
+        + [(50, "THE  quick   brown fox jumps over the lazy dog again "
+                "and again")]                       # normalization-equal
+        + [(100, base + " x")]                      # near-dup bridge
+        + [(200, "completely different text about spark physical plans")]
+        + [(300, "short")]                          # below gram window
+    )
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    fast = {(r.a, r.b): r.jaccard
+            for r in ngram_jaccard_pairs(df, "doc_id", "text").collect()}
+    slow = {(r.a, r.b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", exact_precollapse=False
+            ).collect()}
+    assert fast == slow and len(fast) > 0
+    group = list(range(10)) + [50]  # 50 normalizes to the same text
+    for x in group:
+        for y in group:
+            if x < y:
+                assert fast[(x, y)] == 1.0
+    assert (0, 100) in fast and fast[(0, 100)] < 1.0  # bridge pair kept
+    assert not any(300 in p or 200 in p for p in fast)
+
+
 def test_ngram_prefix_filter_prunes(spark):
     """Prefix rows must be a small fraction of all gram rows — the bound
     that keeps the candidate join off the all-pairs cliff."""

@@ -84,6 +84,12 @@ def main() -> int:
                     "overwrite"
                 ).save()
                 best = min(best, time.perf_counter() - t0)
+                # several operators persist() intermediates they cannot
+                # unpersist (lazy results); without this the probe
+                # accumulates dead cache blocks across (query, sf, run)
+                # cells and later cells measure eviction/GC pressure,
+                # not the plan (same reason bench.py clears per query)
+                spark.catalog.clearCache()
             times.append(best)
         # exponent from the two LARGEST scale factors
         slope = math.log(times[-1] / times[-2]) / math.log(
