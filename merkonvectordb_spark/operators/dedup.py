@@ -309,11 +309,13 @@ def near_dedup(
     millions of times makes Σ|bucket|² quadratic exactly where the
     corpus is dirtiest); measured on a corpus with a 2 % identical
     group, the sf1→sf3 growth exponent drops from 1.57 to ~linear
-    (SCALING.md round-7).  The collapse key is the 128-bit md5 of the
-    SORTED shingle set (set-canonical: same set in any order
-    collapses; docs below the shingle window — empty sets — are
+    (SCALING.md round-7).  The collapse key is the 128-bit md5 over the
+    SORTED shingle set with each shingle md5-hashed first (fixed-width
+    elements make the concatenation encoding unambiguous — a raw
+    separator join would be injectable); set-canonical: same set in any
+    order collapses; docs below the shingle window — empty sets — are
     excluded, preserving the pipeline's existing no-edge semantics for
-    them).
+    them.
 
     The shingle-set table is computed ONCE and persisted: banding, the
     Jaccard verify, and the CC lineage all reuse it instead of
@@ -322,8 +324,14 @@ def near_dedup(
     membership = None
     keyed = None
     if exact_precollapse:
+        # hash each shingle BEFORE joining: every element contributes a
+        # fixed 32 hex chars, so the encoding is unambiguous — a plain
+        # separator join is injectable (shingles may contain any
+        # non-whitespace byte, so {"a<sep>b"} and {"a","b"} would
+        # concatenate identically and wrongly merge distinct sets)
         keyed = sets_all.withColumn(
-            "__setkey", F.md5(F.concat_ws("\x1f", F.array_sort("__sh")))
+            "__setkey",
+            F.md5(F.concat_ws("", F.transform(F.array_sort("__sh"), F.md5))),
         ).persist()
         reps = keyed.groupBy("__setkey").agg(F.min("__id").alias("__rep"))
         # localCheckpoint (eager): materializes NOW through the keyed
@@ -458,6 +466,63 @@ def char_ngram_key_rows(
     )
 
 
+class PairExplosionError(RuntimeError):
+    """The OUTPUT of a pair-semantics dedup operator would exceed the
+    caller's ``max_pairs`` bound.  Pair semantics are quadratic in group
+    size — an identical/near-identical mega-group of g docs contributes
+    g·(g−1)/2 pairs to the TRUE ANSWER, so on a boilerplate-heavy 100 TB
+    corpus the pair list itself explodes no matter how the operator is
+    implemented.  This error fires from a cheap counting job BEFORE the
+    expansion joins materialize anything output-sized — loud failure
+    instead of a silent executor OOM (VERDICT r7 #2)."""
+
+
+def _guard_pair_bound(
+    rep_pairs: DataFrame,
+    membership: DataFrame | None,
+    max_pairs: int,
+    op_name: str,
+) -> DataFrame:
+    """Exact output-pair count from the PRE-expansion frames: within-
+    group pairs are Σ g·(g−1)/2 over the collapse groups, cross-group
+    pairs are Σ |ga|·|gb| over the rep pairs — two aggregate-only jobs,
+    output-size never materialized.  Raises ``PairExplosionError`` when
+    the total exceeds ``max_pairs``; otherwise returns ``rep_pairs``
+    persisted (the counting job warmed the cache the returned plan
+    reuses, so the guard's second scan is free)."""
+    rep_pairs = rep_pairs.persist()
+    if membership is None:
+        total = rep_pairs.count()
+    else:
+        sizes = membership.select("__rep", F.size("__m").alias("__g"))
+        within = sizes.agg(
+            F.coalesce(
+                F.sum(F.expr("__g * (__g - 1) div 2")), F.lit(0)
+            ).alias("n")
+        ).first()["n"]
+        ga = sizes.select(F.col("__rep").alias("a"), F.col("__g").alias("__ga"))
+        gb = sizes.select(F.col("__rep").alias("b"), F.col("__g").alias("__gb"))
+        cross = (
+            rep_pairs.join(ga, "a")
+            .join(gb, "b")
+            .agg(
+                F.coalesce(F.sum(F.col("__ga") * F.col("__gb")), F.lit(0)).alias("n")
+            )
+            .first()["n"]
+        )
+        total = int(within) + int(cross)
+    if total > max_pairs:
+        rep_pairs.unpersist()
+        raise PairExplosionError(
+            f"{op_name}: output would be {total} pairs > max_pairs="
+            f"{max_pairs}.  The pair list is the true answer's size "
+            "(quadratic in near-dup group size), not an implementation "
+            "artifact — for high-self-similarity corpora use the grouped "
+            "near_dedup() output (one row per doc), or raise max_pairs."
+        )
+    return rep_pairs
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -466,6 +531,7 @@ def ngram_jaccard_pairs(
     t_num: int = NGRAM_T_NUM,
     t_den: int = NGRAM_T_DEN,
     exact_precollapse: bool = True,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Every pair ``(a, b, jaccard)`` with char-n-gram Jaccard >= t_num/t_den.
 
@@ -505,11 +571,14 @@ def ngram_jaccard_pairs(
     membership = None
     src = df
     if exact_precollapse:
-        # EXACTLY the gram generator's normalization (Java \s class,
-        # lowercase, collapse+trim) so the length guard below equals
-        # its `len(tt) < n` skip
+        # EXACTLY the gram generator's normalization ([ \t\n\f\r] — NO
+        # \x0b, matching char_ngram_key_rows and the mirrored oracle;
+        # including \v here once wrongly collapsed docs that differ
+        # only by a vertical tab, emitting a false jaccard=1.0 pair)
+        # plus lowercase + collapse + trim, so the length guard below
+        # equals its `len(tt) < n` skip
         norm = F.trim(
-            F.regexp_replace(F.lower(F.col(text_col)), "[ \t\n\x0b\f\r]+", " ")
+            F.regexp_replace(F.lower(F.col(text_col)), "[ \t\n\f\r]+", " ")
         )
         keyed = (
             df.select(

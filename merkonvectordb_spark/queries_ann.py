@@ -1571,14 +1571,20 @@ _ROUTER_ARM_PAIRS = (("ann", "sq8"), ("brute", "ivfpq"))
 
 def _router_round_arms() -> tuple[str, ...]:
     """The arm subset for the round the NEXT driver check belongs to
-    (one past the newest round in the verification history) —
-    deterministic within a checkout, alternating across rounds.  Uses
-    ``current_round()`` (artifact-derived) so the Spark query and its
-    oracle — both built from this one function — flip together the
-    moment a new CORRECTNESS file lands."""
+    (one past the newest CHECKED round in the verification history) —
+    deterministic within a checkout, alternating across rounds."""
     from merkonvectordb_spark.verification import current_round
 
     return _ROUTER_ARM_PAIRS[current_round() % 2]
+
+
+# Resolved ONCE at import and reused by BOTH the oracle builder and the
+# query body (ADVICE r7): the oracle SQL freezes at decoration time, so
+# re-reading the mutable on-disk artifacts at query-run time opened a
+# window where a CORRECTNESS file landing mid-round (or differing
+# between the Spark and oracle processes) made the two sides verify
+# DIFFERENT arm pairs — a spurious red.
+_ARMS = _router_round_arms()
 
 
 def _router_oracle() -> str:
@@ -1596,7 +1602,7 @@ def _router_oracle() -> str:
         "sq8": o["knn_batch_sq8"],
         "ivfpq": o["knn_batch_ivfpq"],
     }
-    arms = _router_round_arms()
+    arms = _ARMS
     ctes = ",\n".join(f"arm_{a} AS (\n{backend_sql[a]}\n)" for a in arms)
     union = "\nUNION ALL\n".join(
         f"SELECT '{a}' AS strategy, query_id, vec_id, label, score FROM arm_{a}"
@@ -1639,7 +1645,7 @@ def q_router_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
     )
     big = 10**9  # corpus-size estimate that blows any small budget
-    arms = _router_round_arms()
+    arms = _ARMS  # import-time snapshot — same set the oracle was built from
     plans = []
     for expect, binding, corpus, kwargs in (
         # under both budgets → exact brute force

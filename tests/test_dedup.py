@@ -300,6 +300,40 @@ def test_ngram_text_precollapse_is_equivalent(spark):
     assert not any(300 in p or 200 in p for p in fast)
 
 
+def test_ngram_precollapse_vertical_tab_is_not_whitespace(spark):
+    """Round 8 (ADVICE r7): the gram generator's whitespace class is
+    [ \\t\\n\\f\\r] — NO \\x0b.  The pre-collapse normalization once used
+    the Java \\s class (WITH \\x0b), so (a) docs differing only by a
+    vertical tab vs a space wrongly collapsed into a false
+    jaccard=1.0 pair, and (b) a doc whose length clears the gram
+    window only because \\x0b survives was dropped entirely by the
+    length guard's left_semi join.  Both must match the uncollapsed
+    pipeline bit-for-bit."""
+    from merkonvectordb_spark.operators.dedup import ngram_jaccard_pairs
+
+    words = ("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel")
+    spaced = " ".join(words)
+    # replace every separator with \x0b: under correct semantics the
+    # vertical tabs are ORDINARY gram characters, so nearly every gram
+    # differs and the true jaccard is far below the 0.8 threshold
+    vtabbed = "\x0b".join(words)
+    # clears the 15-char window ONLY with \x0b retained (6+9+3=18);
+    # the buggy space-collapse normalized it to 10 chars and dropped it
+    short_vt = "abcdef" + "\x0b" * 9 + "xyz"
+    rows = [(1, spaced), (2, vtabbed), (3, short_vt), (4, short_vt)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    fast = {(r.a, r.b): r.jaccard
+            for r in ngram_jaccard_pairs(df, "doc_id", "text").collect()}
+    slow = {(r.a, r.b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", exact_precollapse=False
+            ).collect()}
+    assert fast == slow
+    assert (1, 2) not in fast          # was a false 1.0 pair pre-fix
+    assert fast[(3, 4)] == 1.0         # was dropped by the length guard
+
+
 def test_ngram_prefix_filter_prunes(spark):
     """Prefix rows must be a small fraction of all gram rows — the bound
     that keeps the candidate join off the all-pairs cliff."""

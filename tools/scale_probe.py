@@ -91,26 +91,32 @@ def main() -> int:
                 # not the plan (same reason bench.py clears per query)
                 spark.catalog.clearCache()
             times.append(best)
-        # exponent from the two LARGEST scale factors
-        slope = math.log(times[-1] / times[-2]) / math.log(
-            SFS[-1][1] / SFS[-2][1]
+        # exponent from the two LARGEST scale factors; undefined (and
+        # previously an IndexError) when SCALE_SFS names a single dir
+        slope = (
+            math.log(times[-1] / times[-2])
+            / math.log(SFS[-1][1] / SFS[-2][1])
+            if len(SFS) >= 2
+            else None
         )
         rows.append((name, times, slope))
         print(
             f"  {name}: "
             + " ".join(f"{t:.2f}s" for t in times)
-            + f"  slope={slope:.2f}",
+            + (f"  slope={slope:.2f}" if slope is not None else ""),
             file=sys.stderr,
         )
 
     hdr = " | ".join(f"sf{sf:g}" for _, sf in SFS)
-    print(
-        f"| query | {hdr} | slope(sf{SFS[-2][1]:g}→sf{SFS[-1][1]:g}) |"
+    slope_hdr = (
+        f" slope(sf{SFS[-2][1]:g}→sf{SFS[-1][1]:g}) |" if len(SFS) >= 2 else ""
     )
-    print("|---|" + "---|" * (len(SFS) + 1))
+    print(f"| query | {hdr} |{slope_hdr}")
+    print("|---|" + "---|" * (len(SFS) + (1 if len(SFS) >= 2 else 0)))
     for name, times, slope in rows:
         cells = " | ".join(f"{t:.2f}s" for t in times)
-        print(f"| {name} | {cells} | {slope:.2f} |")
+        tail = f" {slope:.2f} |" if slope is not None else ""
+        print(f"| {name} | {cells} |{tail}")
     return 0
 
 
