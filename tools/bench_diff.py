@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Round-over-round per-query bench regression diff (VERDICT r7 #3).
+
+The driver's BENCH_r{N}.json keeps only the 10 slowest queries, so a
+regression in any of the other ~174 is invisible there.  bench.py
+persists the FULL per-query map as BENCH_LOCAL_r{N}.json; this tool
+diffs the two newest committed maps (or an explicit pair), flags
+queries whose time grew more than ``--threshold`` (default 1.5x) above
+a noise floor (default 0.3 s — sub-300 ms timings are scheduler
+jitter on this host, see BASELINE.md), and optionally SOLO-CONFIRMS
+each flag by re-running just that query through ``bench.py <name>``
+in a fresh process: in-sweep numbers carry neighbor effects (GC, cache
+eviction from 180 preceding queries), so a flag that disappears solo
+is sweep noise, not a plan regression.
+
+Usage:
+    python tools/bench_diff.py                      # newest two maps
+    python tools/bench_diff.py --old 7 --new 8
+    python tools/bench_diff.py --confirm            # solo re-run flags
+    python tools/bench_diff.py --confirm --markdown # table for BASELINE.md
+
+Exit code 0 always — diagnostic, not a gate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _rounds() -> list[int]:
+    out = []
+    for p in glob.glob(os.path.join(HERE, "BENCH_LOCAL_r*.json")):
+        m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", p)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _load(rnd: int) -> dict[str, float]:
+    path = os.path.join(HERE, f"BENCH_LOCAL_r{rnd:02d}.json")
+    with open(path) as fh:
+        data = json.load(fh)
+    return dict(data["queries"])
+
+
+def solo_time(name: str, runs: int = 2) -> float | None:
+    """Re-run one query through bench.py in a fresh process and return
+    its reported best-of-N time (None on failure).  BENCH_PROBE=0 keeps
+    the env-fingerprint scan out of the solo process; a filtered run
+    never touches the BENCH_LOCAL artifact (bench.py guards this)."""
+    env = dict(os.environ, BENCH_PROBE="0", BENCH_RUNS=str(runs))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(HERE, "bench.py"), name],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=900,
+        )
+        line = proc.stdout.strip().splitlines()[0]
+        return json.loads(line)["queries"].get(name)
+    except Exception as e:
+        print(f"  solo run of {name} failed: {e}", file=sys.stderr)
+        return None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--old", type=int, default=None)
+    ap.add_argument("--new", type=int, default=None)
+    ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument(
+        "--floor",
+        type=float,
+        default=0.3,
+        help="ignore queries whose NEW time is below this (seconds)",
+    )
+    ap.add_argument("--confirm", action="store_true")
+    ap.add_argument("--markdown", action="store_true")
+    args = ap.parse_args()
+
+    rounds = _rounds()
+    if args.old is None or args.new is None:
+        if len(rounds) < 2:
+            print("need two BENCH_LOCAL_r*.json maps", file=sys.stderr)
+            return 0
+        args.old, args.new = rounds[-2], rounds[-1]
+    old, new = _load(args.old), _load(args.new)
+
+    common = sorted(set(old) & set(new))
+    added = sorted(set(new) - set(old))
+    removed = sorted(set(old) - set(new))
+    tot_old = sum(old[q] for q in common)
+    tot_new = sum(new[q] for q in common)
+
+    rows = []  # (name, old, new, ratio)
+    for q in common:
+        if new[q] < args.floor and old[q] < args.floor:
+            continue
+        ratio = new[q] / old[q] if old[q] > 0 else float("inf")
+        if ratio >= args.threshold or ratio <= 1 / args.threshold:
+            rows.append((q, old[q], new[q], ratio))
+    rows.sort(key=lambda r: -r[3])
+
+    print(
+        f"r{args.old} -> r{args.new}: {len(common)} common queries, "
+        f"total {tot_old:.1f}s -> {tot_new:.1f}s "
+        f"({tot_new / tot_old:.3f}x)"
+        + (f"; +{len(added)} added" if added else "")
+        + (f"; -{len(removed)} removed" if removed else ""),
+        file=sys.stderr,
+    )
+
+    confirmed: dict[str, float | None] = {}
+    if args.confirm:
+        for q, _o, _n, ratio in rows:
+            if ratio < args.threshold:
+                continue  # improvements need no confirmation
+            confirmed[q] = solo_time(q)
+
+    hdr = "| query | r{o} | r{n} | ratio | solo r{n} | verdict |".format(
+        o=args.old, n=args.new
+    )
+    sep = "|---|---|---|---|---|---|"
+    lines = [hdr, sep] if args.markdown else []
+    for q, o, n, ratio in rows:
+        solo = confirmed.get(q)
+        if ratio < args.threshold:
+            verdict = "improved"
+        elif solo is None:
+            verdict = "flagged (not solo-confirmed)" if args.confirm else "flagged"
+        elif solo >= o * args.threshold:
+            verdict = "REGRESSION (solo-confirmed)"
+        else:
+            verdict = "sweep noise (solo within threshold)"
+        solo_s = f"{solo:.2f}s" if solo is not None else "-"
+        if args.markdown:
+            lines.append(
+                f"| {q} | {o:.2f}s | {n:.2f}s | {ratio:.2f}x | {solo_s} | {verdict} |"
+            )
+        else:
+            print(f"  {q}: {o:.2f}s -> {n:.2f}s ({ratio:.2f}x) {solo_s} {verdict}")
+    if args.markdown:
+        print("\n".join(lines))
+    if not rows:
+        print("  no per-query movement beyond threshold", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
