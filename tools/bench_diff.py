@@ -51,25 +51,37 @@ def _load(rnd: int) -> dict[str, float]:
     return dict(data["queries"])
 
 
-def solo_time(name: str, runs: int = 2) -> float | None:
-    """Re-run one query through bench.py in a fresh process and return
-    its reported best-of-N time (None on failure).  BENCH_PROBE=0 keeps
-    the env-fingerprint scan out of the solo process; a filtered run
-    never touches the BENCH_LOCAL artifact (bench.py guards this)."""
+# Stable, code-frozen queries used to measure the confirm process's own
+# systematic offset: a fresh JVM is less JIT-warm than one 180 queries
+# deep into a sweep, so sub-second queries read 1.5-4x high solo (round-8
+# control: tpch_q1 at 1.14 s solo vs 0.23-0.26 s in-sweep — an offset
+# LARGER than the flag threshold).  Each query's solo reading is divided
+# by the median control inflation before the verdict.
+CONTROLS = ("tpch_q1", "tpch_q5", "linq_summary")
+
+
+def solo_times(names: list[str], runs: int = 3) -> dict[str, float]:
+    """Re-run the flagged queries PLUS the controls through bench.py in
+    one fresh process (amortizing JVM/JIT warm-up across the batch the
+    same way for every query) and return the reported best-of-N times.
+    BENCH_PROBE=0 keeps the env-fingerprint scan out of the process; a
+    filtered run never touches the BENCH_LOCAL artifact (bench.py
+    guards this)."""
     env = dict(os.environ, BENCH_PROBE="0", BENCH_RUNS=str(runs))
+    batch = list(dict.fromkeys(list(names) + list(CONTROLS)))
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.join(HERE, "bench.py"), name],
+            [sys.executable, os.path.join(HERE, "bench.py")] + batch,
             capture_output=True,
             text=True,
             env=env,
-            timeout=900,
+            timeout=1800,
         )
         line = proc.stdout.strip().splitlines()[0]
-        return json.loads(line)["queries"].get(name)
+        return dict(json.loads(line)["queries"])
     except Exception as e:
-        print(f"  solo run of {name} failed: {e}", file=sys.stderr)
-        return None
+        print(f"  solo batch failed: {e}", file=sys.stderr)
+        return {}
 
 
 def main() -> int:
@@ -119,29 +131,42 @@ def main() -> int:
         file=sys.stderr,
     )
 
-    confirmed: dict[str, float | None] = {}
+    confirmed: dict[str, float] = {}
+    inflation = 1.0
     if args.confirm:
-        for q, _o, _n, ratio in rows:
-            if ratio < args.threshold:
-                continue  # improvements need no confirmation
-            confirmed[q] = solo_time(q)
+        flagged = [q for q, _o, _n, r in rows if r >= args.threshold]
+        if flagged:
+            confirmed = solo_times(flagged)
+            ctl = sorted(
+                confirmed[c] / old[c]
+                for c in CONTROLS
+                if c in confirmed and c in old and old[c] > 0
+            )
+            if ctl:
+                inflation = max(1.0, ctl[len(ctl) // 2])
+            print(
+                f"  control inflation (fresh process vs r{args.old} sweep): "
+                f"{inflation:.2f}x",
+                file=sys.stderr,
+            )
 
-    hdr = "| query | r{o} | r{n} | ratio | solo r{n} | verdict |".format(
+    hdr = "| query | r{o} | r{n} | ratio | solo r{n} (adj) | verdict |".format(
         o=args.old, n=args.new
     )
     sep = "|---|---|---|---|---|---|"
     lines = [hdr, sep] if args.markdown else []
     for q, o, n, ratio in rows:
         solo = confirmed.get(q)
+        adj = solo / inflation if solo is not None else None
         if ratio < args.threshold:
             verdict = "improved"
         elif solo is None:
             verdict = "flagged (not solo-confirmed)" if args.confirm else "flagged"
-        elif solo >= o * args.threshold:
+        elif adj >= o * args.threshold:
             verdict = "REGRESSION (solo-confirmed)"
         else:
             verdict = "sweep noise (solo within threshold)"
-        solo_s = f"{solo:.2f}s" if solo is not None else "-"
+        solo_s = f"{solo:.2f}s ({adj:.2f})" if solo is not None else "-"
         if args.markdown:
             lines.append(
                 f"| {q} | {o:.2f}s | {n:.2f}s | {ratio:.2f}x | {solo_s} | {verdict} |"
