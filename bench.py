@@ -73,8 +73,15 @@ def main() -> int:
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
         # a few queries persist() intermediates they cannot unpersist
         # (lazy results); without this the sweep accumulates dead cache
-        # in executor storage memory across 130+ queries
+        # in executor storage memory across 130+ queries.  clearCache
+        # misses localCheckpoint blocks (30+ operators cut lineage with
+        # them and return lazy frames) — free_persisted_blocks reaps
+        # those too, else the sweep pins hundreds of dead block sets
+        # and the tail queries measure GC pressure, not their plans.
         spark.catalog.clearCache()
+        from merkonvectordb_spark import free_persisted_blocks
+
+        free_persisted_blocks(spark)
 
     total = round(sum(timings.values()), 4)
     sf = _sf_from_dir(sf_dir)

@@ -23,7 +23,7 @@ Layout:
     plans/     — physical-plan inspection (the 100 TB design gate)
 """
 
-from merkonvectordb_spark.session import get_spark
+from merkonvectordb_spark.session import free_persisted_blocks, get_spark
 
-__all__ = ["get_spark"]
+__all__ = ["free_persisted_blocks", "get_spark"]
 __version__ = "0.1.0"

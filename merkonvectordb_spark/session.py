@@ -71,3 +71,33 @@ def get_spark(
         spark.conf.set(k, v)
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def free_persisted_blocks(spark: SparkSession) -> int:
+    """Unpersist EVERY persistent RDD in the context — including
+    ``localCheckpoint`` blocks, which ``spark.catalog.clearCache()``
+    does NOT touch (it clears only catalog-cached relations).
+
+    Why this exists: 30+ operators in this package cut multi-consumer
+    lineage with eager ``localCheckpoint`` and return a LAZY frame, so
+    the checkpoint blocks cannot be unpersisted inside the operator —
+    they stay pinned in executor storage after the caller materializes
+    the result, for the lifetime of the session (measured round 8:
+    ``getPersistentRDDs`` grows by 2 per ``pagerank`` call, never
+    shrinks; a 184-query sweep accumulates hundreds of dead block sets,
+    and the resulting storage/GC pressure is the documented ±30-50 %
+    tail noise — one instrumented pagerank run crawled 6 s → 14.3 s
+    under accumulated blocks).  Harnesses that run INDEPENDENT queries
+    back-to-back (bench.py, tools/scale_probe.py, long-lived services
+    issuing repeated analytic calls) should call this between queries,
+    after the previous result is fully materialized and no longer
+    needed.  Never call it while a returned lazy frame is still to be
+    consumed — its checkpoint blocks are its only data source.
+
+    Returns the number of RDDs unpersisted (non-blocking)."""
+    # Py4J exposes the JavaSparkContext's java.util.Map as a dict-like
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    rdds = list(jmap.values())
+    for jrdd in rdds:
+        jrdd.unpersist(False)
+    return len(rdds)

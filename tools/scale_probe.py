@@ -90,6 +90,12 @@ def main() -> int:
                 # cells and later cells measure eviction/GC pressure,
                 # not the plan (same reason bench.py clears per query)
                 spark.catalog.clearCache()
+                # clearCache misses localCheckpoint blocks; reap those
+                # too or later cells measure accumulated-block GC
+                # pressure (see session.free_persisted_blocks)
+                from merkonvectordb_spark import free_persisted_blocks
+
+                free_persisted_blocks(spark)
             times.append(best)
         # exponent from the two LARGEST scale factors; undefined (and
         # previously an IndexError) when SCALE_SFS names a single dir
