@@ -86,8 +86,12 @@ def main() -> int:
          lambda: A.knn_batch_sq8(emb, qset, k=K, min_score=0.0)),
         ("pq", "bytes+flops: M-byte codes, ADC lookups",
          lambda: A.knn_batch_pq(emb, qset, k=K, min_score=0.0)),
+        ("pq_refine16", "bytes+flops: same codes, 4x wider re-rank",
+         lambda: A.knn_batch_pq(emb, qset, k=K, refine=16, min_score=0.0)),
         ("ivfpq", "rows AND bytes composed",
          lambda: A.knn_batch_ivfpq(emb, qset, k=K, centroids=cents, min_score=0.0)),
+        ("ivfpq_refine16", "rows AND bytes, 4x wider re-rank",
+         lambda: A.knn_batch_ivfpq(emb, qset, k=K, centroids=cents, refine=16, min_score=0.0)),
     ]
 
     # exact ground truth, collected once
