@@ -656,6 +656,10 @@ def ngram_jaccard_pairs(
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
     )
+    if max_pairs is not None:
+        rep_pairs = _guard_pair_bound(
+            rep_pairs, membership, max_pairs, "ngram_jaccard_pairs"
+        )
     if membership is None:
         return rep_pairs
     # star expansion (see simhash_near_pairs): cross-group pairs carry
@@ -830,6 +834,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 7,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs ``(a, b, hamming)`` by SimHash chunk banding + exact
     Hamming verify.  Same bucket-bounded shape as the MinHash pipeline:
@@ -892,6 +897,16 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+    # loud output-bound guard (VERDICT r7 #2): on a boilerplate-heavy /
+    # high-self-similarity corpus (measured: the sf3 synthetic, 123.5M
+    # genuine hamming<=7 pairs) the TRUE pair list is quadratic in
+    # near-dup group size — raise before the expansion joins
+    # materialize anything output-sized rather than OOM; the grouped
+    # near_dedup() (one row per doc) is the scalable alternative
+    if max_pairs is not None:
+        rep_pairs = _guard_pair_bound(
+            rep_pairs, membership, max_pairs, "simhash_near_pairs"
+        )
     # expansion 1 — cross-group: every member of a's group pairs with
     # every member of b's group at the reps' hamming (identical
     # fingerprints ⇒ identical distances); least/greatest restores the

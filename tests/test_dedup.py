@@ -608,3 +608,32 @@ def test_split_leakage_quarantine_never_pulls_train(spark):
     audit = entry.queries()["split_leakage_audit"](spark, sf).collect()
     leaked_pairs = sum(r.n_pairs for r in audit if r.leaked)
     assert sum(r.n_leak_edges for r in q) == leaked_pairs
+
+
+def test_pair_explosion_guard_trips_on_mega_group(spark):
+    """VERDICT r7 #2: pair-semantics operators must fail LOUDLY, not
+    OOM, when the true answer itself is quadratic.  A 40-doc identical
+    group owes 40*39/2 = 780 pairs; with max_pairs below that both
+    operators must raise PairExplosionError BEFORE expanding, and with
+    a generous bound (or the default None) the output is unchanged."""
+    import pytest as _pytest
+
+    from merkonvectordb_spark.operators.dedup import (
+        PairExplosionError,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+
+    boiler = "the same boilerplate paragraph repeated verbatim everywhere"
+    rows = [(i, boiler) for i in range(40)] + [
+        (100, "a genuinely unique document about spark partitioning"),
+        (101, "another unique document about adaptive query execution"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    for op in (ngram_jaccard_pairs, simhash_near_pairs):
+        with _pytest.raises(PairExplosionError, match="max_pairs=100"):
+            op(df, "doc_id", "text", max_pairs=100)
+        n_default = op(df, "doc_id", "text").count()
+        n_bounded = op(df, "doc_id", "text", max_pairs=10_000).count()
+        assert n_default == n_bounded == 780
