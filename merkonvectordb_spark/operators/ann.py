@@ -272,14 +272,54 @@ def embedding_near_pairs(
     id_col: str = "id",
     emb_col: str = "emb",
     planes: list[list[list[float]]] | None = None,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs ``(a, b, score)`` with a < b:
     same-bucket LSH candidates → exact cosine ≥ threshold.  The bucket
-    self-join bounds comparisons exactly like the MinHash banding in
-    ``operators.dedup`` — Σ|bucket|², never |corpus|²."""
+    self-join bounds comparisons like the MinHash banding in
+    ``operators.dedup`` — Σ|bucket|², never |corpus|².
+
+    Σ|bucket|² is NOT a guarantee against a DENSE cluster: vectors a
+    few degrees apart agree on almost every hyperplane, so a tight
+    embedding cluster lands in ONE bucket per table and the verify
+    stage goes quadratic in the cluster — even when the cluster sits
+    just BELOW ``threshold`` and contributes nothing to the output
+    (measured round 8 on the planted 25 % mega-cluster fixture: 205 M
+    candidate pairs → 2,313 output rows at sf10, candidate slope 1.34).
+    ``max_candidates`` is the loud guard for that case: one
+    aggregation over bucket sizes (Σ n·(n−1)/2, an upper bound on the
+    candidate join — cheap, nothing join-sized materializes) and a
+    ``PairExplosionError`` instead of a silent quadratic verify.  For
+    corpora WITH dense clusters, route through ``semantic_dedup`` with
+    ``max_cluster_size`` (cap-bounded, measured slope 0.53) instead of
+    pair semantics."""
     planes = planes or DEDUP_PLANES
     par = df.sparkSession.sparkContext.defaultParallelism
     idx = ann_index(df.repartition(par), id_col, emb_col, planes)
+    if max_candidates is not None:
+        from merkonvectordb_spark.operators.dedup import PairExplosionError
+
+        idx = idx.persist()
+        bound = (
+            idx.groupBy("table_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr("__n * (__n - 1) div 2")), F.lit(0)
+                ).alias("c")
+            )
+            .first()["c"]
+        )
+        if int(bound) > max_candidates:
+            idx.unpersist()
+            raise PairExplosionError(
+                f"embedding_near_pairs: bucket self-join would verify up "
+                f"to {bound} candidate pairs > max_candidates="
+                f"{max_candidates}.  A dense embedding cluster collides "
+                "into one LSH bucket per table regardless of threshold — "
+                "use semantic_dedup(max_cluster_size=...) for dense-"
+                "cluster corpora, or raise max_candidates."
+            )
     l, r = idx.alias("l"), idx.alias("r")
     pairs = (
         l.join(r, ["table_id", "bucket"])

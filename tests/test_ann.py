@@ -863,3 +863,39 @@ def test_ann_ndcg_report_bounds_and_null_gain(spark):
         ).collect()
     }
     assert got == {None: 0, 1: 1023}
+
+
+def test_embedding_near_pairs_candidate_guard(spark):
+    """Round 8: a dense cluster collides into one LSH bucket per table,
+    so the verify join goes quadratic even when the cluster sits BELOW
+    the output threshold (measured: 205M candidates -> 2,313 outputs at
+    sf10).  max_candidates must raise loudly from the bucket-size bound
+    BEFORE the join; a generous bound must leave output unchanged."""
+    import numpy as np
+    import pytest as _pytest
+
+    from merkonvectordb_spark.operators.ann import embedding_near_pairs
+    from merkonvectordb_spark.operators.dedup import PairExplosionError
+
+    rng = np.random.default_rng(7)
+    center = rng.normal(size=64)
+    rows = []
+    for i in range(60):  # dense cluster: ~59*60/2 bucket pairs per table
+        v = center + rng.normal(scale=0.01, size=64)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(10):  # sparse background
+        v = rng.normal(size=64)
+        rows.append((1000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "id LONG, emb ARRAY<FLOAT>")
+
+    with _pytest.raises(PairExplosionError, match="max_candidates=500"):
+        embedding_near_pairs(
+            df, threshold=0.999, id_col="id", emb_col="emb", max_candidates=500
+        )
+    unguarded = embedding_near_pairs(
+        df, threshold=0.999, id_col="id", emb_col="emb"
+    ).count()
+    guarded = embedding_near_pairs(
+        df, threshold=0.999, id_col="id", emb_col="emb", max_candidates=10**9
+    ).count()
+    assert unguarded == guarded
