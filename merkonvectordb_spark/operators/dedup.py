@@ -1174,19 +1174,34 @@ def duplicated_span_stats(
     Columns: id, n_tokens, n_dup_grams, n_runs, max_run_tokens,
     dup_tokens (union token coverage).
 
-    Scale: ONE corpus-wide shuffle on the gram hash (the occurrence-count
-    window) — partition sizes equal gram occurrence counts, so a pathological
-    boilerplate span is a skewed key (AQE skew handling applies); every
-    later stage is per-document (second shuffle on id, then reused).
-    No all-pairs stage exists at any point.
+    Scale: ONE corpus-wide partial-agg shuffle on the gram hash (the
+    occurrence count — map-side combined, never a sort-window over the
+    gram table), a broadcast join of the small duplicated-gh frame, and
+    then per-document stages over duplicated occurrences only (second
+    shuffle on id, then reused).  A pathological boilerplate span is a
+    skewed gram key (AQE skew handling applies).  No all-pairs stage
+    exists at any point.
     """
     from merkonvectordb_spark.functions.text import token_count
 
-    g = span_gram_rows(df, id_col, text_col, n)
-    w_g = Window.partitionBy("gh")
-    marked = g.withColumn("occ", F.count(F.lit(1)).over(w_g)).where(
-        F.col("occ") > 1
+    # persist: two consumers below (the count aggregate and the join
+    # probe side) would otherwise each re-execute the tokenize+window
+    # gram lineage
+    g = span_gram_rows(df, id_col, text_col, n).persist()
+    # duplicated-occurrence detection as partial-agg groupBy + join, NOT
+    # a count window over every gram row: the window form sorts the
+    # ENTIRE gram table by gh (at sf10 that sort was the dominant cost —
+    # wall slope 1.44 measured round 8), while duplicated ghs are a few
+    # percent of grams and their count frame is megabytes — AQE
+    # broadcasts it, so the gram table is never sorted and only
+    # duplicated occurrences reach the per-document stages (post-fix
+    # slope 0.69 at the same decade).
+    dup_counts = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") > 1)
     )
+    marked = g.join(dup_counts, "gh")
     runs = _span_runs(marked, id_col, n)
     per_doc = runs.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_runs"),
@@ -1234,12 +1249,29 @@ def remove_duplicated_spans(
     """
     from merkonvectordb_spark.functions.text import tokenize
 
-    g = span_gram_rows(df, id_col, text_col, n)
-    # rank > 1 already implies the gram occurs ≥2 times — a separate
-    # occurrence-count window over every gram row would be dead work
+    # persist: the gram table now has TWO consumers (the duplicated-gh
+    # aggregate and the semi-join probe side) — without the cache each
+    # consumer re-executes the tokenize+lead-window lineage (measured:
+    # the re-execution more than gave back the window saving below)
+    g = span_gram_rows(df, id_col, text_col, n).persist()
+    # Rank only DUPLICATED-gram occurrences: the old form ranked every
+    # gram row (row_number window = full sort of the gram table by gh;
+    # at sf10 that sort dominated — wall slope 1.44 measured round 8).
+    # The duplicated-gh frame is a few percent of grams and megabytes
+    # wide, so AQE broadcasts the semi-join and the window sorts only
+    # the ~3 % of occurrences whose gh repeats.  Ranks are unchanged:
+    # a non-duplicated gh's single occurrence had rk=1 and was filtered.
+    dup_gh = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .select("gh")
+    )
     w_rank = Window.partitionBy("gh").orderBy(id_col, "pos")
-    redundant = g.withColumn("rk", F.row_number().over(w_rank)).where(
-        F.col("rk") > 1
+    redundant = (
+        g.join(dup_gh, "gh", "left_semi")
+        .withColumn("rk", F.row_number().over(w_rank))
+        .where(F.col("rk") > 1)
     )
     runs = _span_runs(redundant, id_col, n)
     covered = runs.select(
