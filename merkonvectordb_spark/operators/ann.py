@@ -289,19 +289,22 @@ def embedding_near_pairs(
     ``max_candidates`` is the loud guard for that case: one
     aggregation over bucket sizes (Σ n·(n−1)/2, an upper bound on the
     candidate join — cheap, nothing join-sized materializes) and a
-    ``PairExplosionError`` instead of a silent quadratic verify.  For
-    corpora WITH dense clusters, route through ``semantic_dedup`` with
-    ``max_cluster_size`` (cap-bounded, measured slope 0.53) instead of
-    pair semantics."""
+    ``PairExplosionError`` instead of a silent quadratic verify.  The
+    bound runs as its OWN aggregation plan — one extra scan of ``df``,
+    no persist — so the success path leaves nothing pinned in executor
+    storage (ADVICE r8: a persisted index with a lazy result frame has
+    no owner to unpersist it).  For corpora WITH dense clusters, route
+    through ``semantic_dedup`` with ``max_cluster_size`` (cap-bounded,
+    measured slope 0.53) instead of pair semantics."""
     planes = planes or DEDUP_PLANES
     par = df.sparkSession.sparkContext.defaultParallelism
     idx = ann_index(df.repartition(par), id_col, emb_col, planes)
     if max_candidates is not None:
         from merkonvectordb_spark.operators.dedup import PairExplosionError
 
-        idx = idx.persist()
         bound = (
-            idx.groupBy("table_id", "bucket")
+            ann_index(df, id_col, emb_col, planes)
+            .groupBy("table_id", "bucket")
             .agg(F.count(F.lit(1)).alias("__n"))
             .agg(
                 F.coalesce(
@@ -311,7 +314,6 @@ def embedding_near_pairs(
             .first()["c"]
         )
         if int(bound) > max_candidates:
-            idx.unpersist()
             raise PairExplosionError(
                 f"embedding_near_pairs: bucket self-join would verify up "
                 f"to {bound} candidate pairs > max_candidates="

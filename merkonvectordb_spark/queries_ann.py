@@ -164,8 +164,11 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (≥ 0.999) on a corpus seeded with
     perturbed copies: LSH same-bucket candidates → exact cosine — the
     vector twin of the MinHash text pipeline, equally bucket-bounded."""
+    from merkonvectordb_spark.queries_dedup import pair_bound
+
     return A.embedding_near_pairs(
-        embed_corpus(spark, sf_dir), threshold=0.999, id_col="id", emb_col="emb"
+        embed_corpus(spark, sf_dir), threshold=0.999, id_col="id",
+        emb_col="emb", max_candidates=pair_bound(),
     )
 
 
@@ -713,7 +716,10 @@ def q_label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_TAU = 0.95
 
-_SEMDEDUP_ORACLE = f"""
+# shared by the exact and capped oracles: planted corpus -> seed
+# centroids -> 1 Lloyd iteration -> argmax assignment (raw centroid
+# cosine kept as the removal priority) -> unit vectors for the pair dot.
+_SEMDEDUP_COMMON = f"""
 WITH {_EMBED_CORPUS_CTE},
 edim AS (
   SELECT id AS vec_id, emb FROM ce
@@ -737,7 +743,10 @@ uem AS (
   SELECT vec_id,
          list_transform(emb, v -> v / sqrt(list_dot_product(emb, emb))) AS ue
   FROM edim
-),
+)""".strip()
+
+_SEMDEDUP_ORACLE = f"""
+{_SEMDEDUP_COMMON},
 removed AS (
   SELECT DISTINCT x.vec_id
   FROM assign x
@@ -770,6 +779,97 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     refined = refined.localCheckpoint()
     return A.semantic_dedup(
         corpus, refined, tau=_SEMDEDUP_TAU, id_col="id", emb_col="emb"
+    )
+
+
+# The cap that makes SemDeDup's pairwise stage linear: per-bucket size
+# ~SEMDEDUP_CAP, so pair work is Σ|c|·cap instead of Σ|c|² (measured
+# sf3→sf10 slope 0.53 vs the uncapped 1.46 — SCALING.md round 8).  24 is
+# below every fixture cluster size at sf0.01 (max 40) and sf0.1 (max
+# 146), so the driver check actually EXERCISES the split path, and far
+# under cap·64 = 1536, so the residual hash split never engages at
+# oracle scale (asserted in tests/test_ann.py).
+SEMDEDUP_CAP = 24
+
+# The capped keep-rule, replayed exactly: per-cluster counts -> up to
+# least(ceil(n/cap), 64) lowest-id seed members -> every member of an
+# oversized cluster argmax-assigns to its best seed by unit dot -> the
+# pair removal now additionally requires the SAME sub-bucket.  The
+# engine breaks exact argmax dot TIES by a hash (spreading byte-identical
+# embeddings across seeds); distinct vectors can't tie on a dot, the
+# fixture has zero duplicate embeddings (asserted in tests/test_ann.py),
+# so seed_idx-ASC here is vacuously identical.
+_SEMDEDUP_CAPPED_ORACLE = f"""
+{_SEMDEDUP_COMMON},
+osize AS (
+  SELECT cid, least(CAST(ceil(count(*) / {SEMDEDUP_CAP}.0) AS INT),
+                    {A.SEMDEDUP_MAX_SUBCENTROIDS}) AS ncent
+  FROM assign GROUP BY cid HAVING count(*) > {SEMDEDUP_CAP}
+),
+seeds AS (
+  SELECT r.cid AS scid, r.rk AS seed_idx, u.ue AS sv
+  FROM (
+    SELECT a.vec_id, a.cid, o.ncent,
+           row_number() OVER (PARTITION BY a.cid ORDER BY a.vec_id) AS rk
+    FROM assign a JOIN osize o USING (cid)) r
+  JOIN uem u ON u.vec_id = r.vec_id
+  WHERE r.rk <= r.ncent
+),
+sub AS (
+  SELECT vec_id, seed_idx AS sub FROM (
+    SELECT a.vec_id, s.seed_idx,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY list_dot_product(u.ue, s.sv) DESC, s.seed_idx ASC) AS rn
+    FROM assign a
+    JOIN osize o USING (cid)
+    JOIN uem u ON u.vec_id = a.vec_id
+    JOIN seeds s ON s.scid = a.cid) WHERE rn = 1
+),
+asub AS (
+  SELECT a.vec_id, a.cid, a.sim, coalesce(s.sub, 0) AS sub
+  FROM assign a LEFT JOIN sub s USING (vec_id)
+),
+removed AS (
+  SELECT DISTINCT x.vec_id
+  FROM asub x
+  JOIN asub y ON x.cid = y.cid AND x.sub = y.sub AND x.vec_id <> y.vec_id
+  JOIN uem ex ON ex.vec_id = x.vec_id
+  JOIN uem ey ON ey.vec_id = y.vec_id
+  WHERE list_dot_product(ex.ue, ey.ue) > {_SEMDEDUP_TAU}
+    AND (y.sim < x.sim OR (y.sim = x.sim AND y.vec_id < x.vec_id))
+)
+SELECT a.vec_id AS id, a.cid, round(a.sim, 6) AS cent_sim,
+       (r.vec_id IS NULL) AS kept
+FROM asub a LEFT JOIN removed r ON r.vec_id = a.vec_id
+""".strip()
+
+
+@register("semantic_dedup_capped", _SEMDEDUP_CAPPED_ORACLE)
+def q_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production SemDeDup form (VERDICT r8 next-round #2): identical
+    pipeline to ``semantic_dedup`` but with ``max_cluster_size`` engaged,
+    so the pairwise stage is Σ|c|·cap (measured sf3→sf10 slope 0.53)
+    instead of the published-exact Σ|c|² (slope 1.46).  The cap's
+    deterministic keep-rule — lowest-id seed members, argmax-dot
+    sub-assignment, pair pruning within (cid, sub) — is replayed
+    bit-for-bit by the oracle.  At 100 TB this is the registered recipe:
+    K ∝ N for the coarse clustering plus a fixed per-bucket cap; the
+    trade is ~one extra survivor per sub-bucket inside a degenerate
+    mega-cluster.  ``semantic_dedup`` stays registered as the
+    oracle-exact verification twin."""
+    corpus = embed_corpus(spark, sf_dir)
+    cents0 = corpus.where(F.col("id") < A.IVF_K).select(
+        F.col("id").alias("cid"), F.col("emb").alias("cv")
+    )
+    refined = A.kmeans_refine(corpus, cents0, "id", "emb", iterations=1)
+    refined = refined.localCheckpoint()
+    return A.semantic_dedup(
+        corpus,
+        refined,
+        tau=_SEMDEDUP_TAU,
+        id_col="id",
+        emb_col="emb",
+        max_cluster_size=SEMDEDUP_CAP,
     )
 
 

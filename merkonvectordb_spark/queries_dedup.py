@@ -10,12 +10,25 @@ two engines cannot drift apart silently.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from merkonvectordb_spark.operators import dedup as D
 from merkonvectordb_spark.registry import register
 from merkonvectordb_spark.schema import load_table
+
+
+def pair_bound() -> int | None:
+    """Optional pair/candidate guard for harness runs (VERDICT r8 #7).
+    The driver never sets ``SPARK_GRAFT_PAIR_BOUND``, so registered
+    oracle behavior is bit-identical by default (``None`` = unguarded,
+    zero cost); ``tools/scale_probe.py`` sets it so a quadratic pair
+    explosion at a probed scale raises ``PairExplosionError`` in
+    seconds instead of burning hours."""
+    v = os.environ.get("SPARK_GRAFT_PAIR_BOUND", "")
+    return int(v) if v not in ("", "0") else None
 
 # ---------------------------------------------------------------------------
 # corpus: fixture documents + appended-token mutants (high-Jaccard near-dups
@@ -296,7 +309,8 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT output (prefix filtering is lossless, the md5 gram fold is
     mirrored) — the third dedup family next to MinHash-LSH and SimHash."""
     return D.ngram_jaccard_pairs(
-        near_corpus(spark, sf_dir), "doc_id", "text", _NG, _TN, _TD
+        near_corpus(spark, sf_dir), "doc_id", "text", _NG, _TN, _TD,
+        max_pairs=pair_bound(),
     )
 
 
@@ -359,7 +373,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     → exact Hamming ≤ 7 verify.  The cheap near-dup detector next to
     MinHash — one BIGINT per doc instead of a 16-long signature."""
     out = D.simhash_near_pairs(
-        near_corpus(spark, sf_dir), "doc_id", "text", max_hamming=7
+        near_corpus(spark, sf_dir), "doc_id", "text", max_hamming=7,
+        max_pairs=pair_bound(),
     )
     return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 

@@ -91,10 +91,23 @@ def free_persisted_blocks(spark: SparkSession) -> int:
     back-to-back (bench.py, tools/scale_probe.py, long-lived services
     issuing repeated analytic calls) should call this between queries,
     after the previous result is fully materialized and no longer
-    needed.  Never call it while a returned lazy frame is still to be
-    consumed — its checkpoint blocks are its only data source.
+    needed.
+
+    UNSAFE while any lazy frame is still unconsumed (ADVICE r8): a
+    reaped ``localCheckpoint`` block is that frame's ONLY data source —
+    lineage was truncated — so the next action on it hard-fails with
+    "Checkpoint block not found", an unrecoverable job error, not a
+    slowdown.  This is a quiesce-point operation, not a background
+    reaper; there is deliberately no keep-alive list because the JVM
+    cannot know which Python-side frames are still live.
+
+    Catalog-cached relations are cleared FIRST (``catalog.clearCache``):
+    RDD-level unpersist bypasses the CacheManager, so reaping without it
+    would leave cached plans routed through dead InMemoryRelations that
+    recompute on every use and never re-cache.
 
     Returns the number of RDDs unpersisted (non-blocking)."""
+    spark.catalog.clearCache()
     # Py4J exposes the JavaSparkContext's java.util.Map as a dict-like
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     rdds = list(jmap.values())

@@ -565,6 +565,71 @@ def test_semantic_dedup_exact_twin_tiebreak(clustered):
     assert got[0] is True and got[999] is False
 
 
+def test_semantic_dedup_capped_oracle_preconditions():
+    """``semantic_dedup_capped``'s DuckDB oracle replays the cap's
+    keep-rule assuming two fixture properties, pinned here on every
+    driver SF so a fixture regeneration can't silently break parity:
+
+      (a) no member of an oversized cluster has two seeds at EXACTLY
+          equal unit dot — the engine breaks such ties by hash
+          (``_split_oversized_clusters``), the oracle by seed_idx; with
+          zero ties the orders are vacuously identical;
+      (b) no cluster exceeds cap*64, so the engine's residual
+          ``xxhash64 % hfan`` split (``__hsp``) stays 0, matching the
+          oracle's omission of it.
+    """
+    import duckdb
+
+    import __spark_entry__  # noqa: F401 — registration-order dependency
+    from merkonvectordb_spark import queries_ann as QA
+    from merkonvectordb_spark.operators import ann as A
+
+    # CTE prefixes of the committed oracle: through `assign`/`uem`, and
+    # through `seeds` (for the tie probe)
+    through_uem = (
+        QA._SEMDEDUP_CAPPED_ORACLE.split("osize AS")[0].rstrip().rstrip(",")
+    )
+    through_seeds = (
+        QA._SEMDEDUP_CAPPED_ORACLE.split("sub AS")[0].rstrip().rstrip(",")
+    )
+    for sf in ("0.001", "0.01", "0.1"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf{sf}/embeddings.parquet')"
+        )
+        dup = con.execute(
+            through_uem
+            + "\nSELECT count(*) - count(DISTINCT CAST(emb AS VARCHAR)) "
+            "FROM ce"
+        ).fetchone()[0]
+        assert dup == 0, f"sf{sf}: byte-identical corpus embeddings"
+        mx = con.execute(
+            through_uem
+            + "\nSELECT max(cnt) FROM "
+            "(SELECT cid, count(*) AS cnt FROM assign GROUP BY cid)"
+        ).fetchone()[0]
+        assert mx <= QA.SEMDEDUP_CAP * A.SEMDEDUP_MAX_SUBCENTROIDS, (
+            f"sf{sf}: cluster of {mx} engages the residual hash split"
+        )
+        ties = con.execute(
+            through_seeds
+            + """
+SELECT count(*) FROM (
+  SELECT vec_id FROM (
+    SELECT a.vec_id, list_dot_product(u.ue, s.sv) AS d,
+           max(list_dot_product(u.ue, s.sv))
+             OVER (PARTITION BY a.vec_id) AS md
+    FROM assign a
+    JOIN osize o USING (cid)
+    JOIN uem u ON u.vec_id = a.vec_id
+    JOIN seeds s ON s.scid = a.cid)
+  WHERE d = md GROUP BY vec_id HAVING count(*) > 1)
+"""
+        ).fetchone()[0]
+        assert ties == 0, f"sf{sf}: {ties} members with tied argmax seeds"
+
+
 def test_semantic_dedup_guard_shatters_exact_duplicate_cluster(spark):
     """Regression (r6 review): a cluster of BYTE-IDENTICAL embeddings
     ties on every seed dot, so a seed-index tie-break would send all

@@ -51,9 +51,16 @@ def test_free_persisted_blocks_reaps_checkpoints(spark):
     from merkonvectordb_spark import free_persisted_blocks
 
     free_persisted_blocks(spark)  # start from a clean context
-    pagerank(_star(spark), 6, iterations=2).collect()
+    # hold the frame across the assertions: persistentRdds is a
+    # weak-value map and the ContextCleaner unpersists asynchronously
+    # once the frame is GC'd, so dropping it here would race the counts
+    # below (ADVICE r8)
+    ranked = pagerank(_star(spark), 6, iterations=2)
+    ranked.collect()
     n_pinned = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert n_pinned >= 2  # the edeg + nodes checkpoints are pinned
+    assert n_pinned >= 2  # the edge + nodes checkpoints are pinned
     freed = free_persisted_blocks(spark)
-    assert freed == n_pinned
+    assert freed >= 2
+    assert freed <= n_pinned
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    del ranked

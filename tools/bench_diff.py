@@ -35,19 +35,56 @@ import sys
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _rounds() -> list[int]:
+def _committed_names() -> list[str]:
+    """BENCH_LOCAL names as COMMITTED at HEAD (VERDICT r8 #4): the
+    working-tree file is overwritten by every mid-round full sweep, and
+    round 8 showed mid-round sweeps produce flags the driver's quiet
+    end-of-round sweep contradicts — the committed maps are the only
+    comparable pair."""
+    proc = subprocess.run(
+        ["git", "-C", HERE, "ls-tree", "-r", "--name-only", "HEAD"],
+        capture_output=True,
+        text=True,
+    )
+    if proc.returncode != 0:
+        return []
+    return [
+        ln
+        for ln in proc.stdout.splitlines()
+        if re.fullmatch(r"BENCH_LOCAL_r\d+\.json", ln)
+    ]
+
+
+def _rounds(worktree: bool) -> list[int]:
+    if worktree:
+        names = [
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(HERE, "BENCH_LOCAL_r*.json"))
+        ]
+    else:
+        names = _committed_names()
     out = []
-    for p in glob.glob(os.path.join(HERE, "BENCH_LOCAL_r*.json")):
-        m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", p)
+    for name in names:
+        m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", name)
         if m:
             out.append(int(m.group(1)))
     return sorted(out)
 
 
-def _load(rnd: int) -> dict[str, float]:
-    path = os.path.join(HERE, f"BENCH_LOCAL_r{rnd:02d}.json")
-    with open(path) as fh:
-        data = json.load(fh)
+def _load(rnd: int, worktree: bool) -> dict[str, float]:
+    name = f"BENCH_LOCAL_r{rnd:02d}.json"
+    if worktree:
+        with open(os.path.join(HERE, name)) as fh:
+            data = json.load(fh)
+    else:
+        proc = subprocess.run(
+            ["git", "-C", HERE, "show", f"HEAD:{name}"],
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0:
+            raise FileNotFoundError(f"HEAD:{name} — {proc.stderr.strip()}")
+        data = json.loads(proc.stdout)
     return dict(data["queries"])
 
 
@@ -69,6 +106,32 @@ def solo_times(names: list[str], runs: int = 3) -> dict[str, float]:
     guards this)."""
     env = dict(os.environ, BENCH_PROBE="0", BENCH_RUNS=str(runs))
     batch = list(dict.fromkeys(list(names) + list(CONTROLS)))
+    got = _bench_subprocess(batch, env)
+    if got is not None:
+        return got
+    # one broken query must not void every confirmation (ADVICE r8):
+    # fall back to per-query solo runs, skipping the ones that crash
+    print(
+        "  solo batch failed; falling back to per-query runs",
+        file=sys.stderr,
+    )
+    out: dict[str, float] = {}
+    for name in batch:
+        single = _bench_subprocess([name], env)
+        if single is None:
+            print(f"  solo run failed for {name}", file=sys.stderr)
+        else:
+            out.update(single)
+    return out
+
+
+def _bench_subprocess(
+    batch: list[str], env: dict[str, str]
+) -> dict[str, float] | None:
+    """One bench.py run over ``batch``; None on any failure.  The JSON
+    result line is located by probing each stdout line (a stray WARN on
+    stdout must not break parsing), and a non-zero exit is a failure
+    even if a JSON line was emitted (ADVICE r8)."""
     try:
         proc = subprocess.run(
             [sys.executable, os.path.join(HERE, "bench.py")] + batch,
@@ -77,11 +140,28 @@ def solo_times(names: list[str], runs: int = 3) -> dict[str, float]:
             env=env,
             timeout=1800,
         )
-        line = proc.stdout.strip().splitlines()[0]
-        return dict(json.loads(line)["queries"])
     except Exception as e:
-        print(f"  solo batch failed: {e}", file=sys.stderr)
-        return {}
+        print(f"  bench subprocess error: {e}", file=sys.stderr)
+        return None
+    if proc.returncode != 0:
+        print(
+            f"  bench exited {proc.returncode}: "
+            f"{proc.stderr.strip().splitlines()[-1:]}",
+            file=sys.stderr,
+        )
+        return None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            data = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(data, dict) and "queries" in data:
+            return dict(data["queries"])
+    print("  bench emitted no JSON result line", file=sys.stderr)
+    return None
 
 
 def main() -> int:
@@ -97,15 +177,24 @@ def main() -> int:
     )
     ap.add_argument("--confirm", action="store_true")
     ap.add_argument("--markdown", action="store_true")
+    ap.add_argument(
+        "--worktree",
+        action="store_true",
+        help="diff the working-tree maps instead of the committed "
+        "(HEAD) ones — mid-round sweeps only; the default committed "
+        "pair is the comparable one (VERDICT r8 #4)",
+    )
     args = ap.parse_args()
 
-    rounds = _rounds()
+    rounds = _rounds(args.worktree)
     if args.old is None or args.new is None:
         if len(rounds) < 2:
             print("need two BENCH_LOCAL_r*.json maps", file=sys.stderr)
             return 0
         args.old, args.new = rounds[-2], rounds[-1]
-    old, new = _load(args.old), _load(args.new)
+    old = _load(args.old, args.worktree)
+    new = _load(args.new, args.worktree)
+    provenance = "worktree" if args.worktree else "committed (HEAD)"
 
     common = sorted(set(old) & set(new))
     added = sorted(set(new) - set(old))
@@ -123,7 +212,8 @@ def main() -> int:
     rows.sort(key=lambda r: -r[3])
 
     print(
-        f"r{args.old} -> r{args.new}: {len(common)} common queries, "
+        f"r{args.old} -> r{args.new} [{provenance} maps]: "
+        f"{len(common)} common queries, "
         f"total {tot_old:.1f}s -> {tot_new:.1f}s "
         f"({tot_new / tot_old:.3f}x)"
         + (f"; +{len(added)} added" if added else "")

@@ -113,6 +113,9 @@ ALLOW: dict[tuple[str, str], str] = {
     ("semantic_dedup", "nested_loop"):
         "fixed-K centroid set broadcast for cluster assignment (same "
         "shape as knn_batch_ivf)",
+    ("semantic_dedup_capped", "nested_loop"):
+        "fixed-K centroid set broadcast for cluster assignment (same "
+        "shape as semantic_dedup; the cap adds only hash joins)",
     ("semantic_decontam", "nested_loop"):
         "fixed eval-benchmark set (25 vectors) broadcast against the "
         "training corpus — |corpus|×K with K constant (same shape as "

@@ -59,6 +59,13 @@ DEFAULT = [
 def main() -> int:
     names = sys.argv[1:] or DEFAULT
 
+    # Pair-guard for probe runs (VERDICT r8 #7): a quadratic pair
+    # explosion at a probed scale (round 8: 204.9 M candidates at sf10
+    # for 2,313 output rows) should raise PairExplosionError in seconds,
+    # not burn hours.  The driver never sets this, so registered oracle
+    # behavior is untouched; export SPARK_GRAFT_PAIR_BOUND=0 to disable.
+    os.environ.setdefault("SPARK_GRAFT_PAIR_BOUND", str(100_000_000))
+
     import __spark_entry__ as entrymod
     from merkonvectordb_spark import get_spark
 
