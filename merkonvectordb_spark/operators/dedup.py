@@ -1282,24 +1282,37 @@ def remove_duplicated_spans(
     # consumer re-executes the tokenize+lead-window lineage (measured:
     # the re-execution more than gave back the window saving below)
     g = span_gram_rows(df, id_col, text_col, n).persist()
-    # Rank only DUPLICATED-gram occurrences: the old form ranked every
-    # gram row (row_number window = full sort of the gram table by gh;
-    # at sf10 that sort dominated — wall slope 1.44 measured round 8).
-    # The duplicated-gh frame is a few percent of grams and megabytes
-    # wide, so AQE broadcasts the semi-join and the window sorts only
-    # the ~3 % of occurrences whose gh repeats.  Ranks are unchanged:
-    # a non-duplicated gh's single occurrence had rk=1 and was filtered.
-    dup_gh = (
+    # Redundant-occurrence detection WITHOUT any per-gh sort: the rank
+    # was only ever consumed as ``rk > 1``, i.e. "not the corpus-first
+    # (min (id, pos)) occurrence" — so compute that min as a partial
+    # aggregate (map-side combinable, skew-immune) and exclude it with
+    # a broadcast join.  The round-8 form window-ranked the duplicated
+    # occurrences, but the fixture has only ~154 duplicated ghs at sf10
+    # carrying 570k occurrences — a PARTITION BY gh sort lands almost
+    # entirely on a handful of tasks and re-bends the curve the dup-gh
+    # pre-filter had just fixed (measured: removal slope 1.18 while the
+    # window's input grew at 0.92).  The dup-gh stats frame stays
+    # megabytes at any corpus size with bounded gram repetition.
+    gh_first = (
         g.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(
+                F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+            ).alias("__first"),
+        )
         .where(F.col("__c") > 1)
-        .select("gh")
+        .select("gh", "__first")
     )
-    w_rank = Window.partitionBy("gh").orderBy(id_col, "pos")
     redundant = (
-        g.join(dup_gh, "gh", "left_semi")
-        .withColumn("rk", F.row_number().over(w_rank))
-        .where(F.col("rk") > 1)
+        g.join(gh_first, "gh")
+        .where(
+            ~(
+                (F.col(id_col) == F.col("__first.i"))
+                & (F.col("pos") == F.col("__first.p"))
+            )
+        )
+        .drop("__first")
     )
     runs = _span_runs(redundant, id_col, n)
     covered = runs.select(
@@ -1321,12 +1334,22 @@ def remove_duplicated_spans(
         token_count(F.col(text_col)).cast("bigint").alias("n_tokens_before"),
         tokenize(F.col(text_col)).alias("__toks"),
     )
-    # positions are 1-based (pos0 + 1 upstream); filter's index is
-    # 0-based.  Unaffected docs (null __rm) keep their array untouched.
+    # Kept POSITIONS via array_except (hash-set semantics, O(len+|rm|)
+    # per doc, order-preserving on the first operand), then an O(1)
+    # element_at per survivor.  NOT an indexed-lambda filter with
+    # array_contains — that form measured 2.4 s → 28.6 s at sf3→sf10
+    # (super-linear) vs 2.3 s → 7.6 s for this one (slope ~1.0) on
+    # identical inputs.  Positions are 1-based (pos0 + 1 upstream);
+    # unaffected docs (null __rm) keep their array untouched; the
+    # empty-array guard avoids sequence(1, 0)'s DESCENDING [1, 0].
     kept_arr = F.when(F.col("__rm").isNull(), F.col("__toks")).otherwise(
-        F.filter(
-            F.col("__toks"),
-            lambda _tok, i: ~F.array_contains(F.col("__rm"), i + F.lit(1)),
+        F.when(F.size("__toks") == 0, F.col("__toks")).otherwise(
+            F.transform(
+                F.array_except(
+                    F.sequence(F.lit(1), F.size("__toks")), F.col("__rm")
+                ),
+                lambda p: F.element_at(F.col("__toks"), p),
+            )
         )
     )
     return (
