@@ -177,7 +177,22 @@ def main() -> int:
     n_doc = n_of(5_000)
     n_src = 20
     lens = rng.integers(10, 80, n_doc)
-    words = rng.choice(VOCAB, int(lens.sum()))
+    # SCALE_VOCAB=N draws document words from an N-word synthetic
+    # vocabulary (zipf-ish ranks over "w<i>" tokens) instead of the
+    # 33-word default.  The default's tiny vocabulary makes shingle
+    # sets increasingly self-similar as the corpus grows — rounds 7-8
+    # ATTRIBUTED dedup_near/dedup_incremental's super-linear reads to
+    # that artifact; this knob exists to MEASURE the attribution
+    # (round 9): a realistic vocabulary should hold banded-candidate
+    # density size-independent.
+    n_vocab = int(os.environ.get("SCALE_VOCAB", "0") or 0)
+    if n_vocab > len(VOCAB):
+        ranks = np.arange(1, n_vocab + 1)
+        wts = 1.0 / ranks**0.9  # zipf-ish natural-language shape
+        vocab_arr = np.array([f"w{i}" for i in range(n_vocab)])
+        words = rng.choice(vocab_arr, int(lens.sum()), p=wts / wts.sum())
+    else:
+        words = rng.choice(VOCAB, int(lens.sum()))
     texts = []
     pos = 0
     for ln in lens:
