@@ -122,6 +122,243 @@ def exact_global_quantiles(
     return (out, total) if return_count else out
 
 
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    col: str,
+    qs: dict[str, float],
+) -> DataFrame:
+    """Per-group PERCENTILE_CONT without ``percentile()``'s per-group
+    value buffer (round 9: the ``percentile()`` form measured slope
+    1.21/1.34 across two decades at sf1→sf3→sf10, 115.9 s at sf10 — its
+    ObjectHashAggregate holds a value→count map per group that never
+    spills; this form ran the same probe at slope ~0.9).
+
+    One pass, one hash exchange on the group key: a per-group window
+    ranks values with a SPILLABLE sort, each quantile fetches its ≤2
+    interpolation rows by rank, and the interpolation replays Spark
+    ``Percentile``'s exact arithmetic — ``pos = q·(n−1)`` 0-based,
+    ``v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋)`` — so results are
+    bit-identical to the ``percentile()`` aggregate it replaces.
+
+    ``qs`` maps output column name → quantile in [0, 1].  NULLs are
+    excluded from ranks/counts (SQL aggregate semantics) but still
+    counted by the ``n`` output column (``count(*)`` per group); groups
+    with zero non-null values return NULL quantiles.
+
+    Scale bound (same as any per-group exact percentile): a single
+    group's values sort within one task — spillable, so it degrades to
+    disk instead of OOM — and the group count is the parallelism.  For
+    one-group/global quantiles use ``exact_global_quantiles``.
+    """
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    vals = df.select(*groups, F.col(col).cast("double").alias("__v"))
+    w = Window.partitionBy(*groups).orderBy(F.col("__v").asc_nulls_last())
+    # Per-group counts via a partial-agg groupBy broadcast back — NOT a
+    # second count-over-partition window: the unordered window re-buffers
+    # every partition group through WindowExec's spill path and measured
+    # +0 s at sf3 but +24 s at sf10 on identical data (round 9), while
+    # the groupBy is map-side combinable and its output is |groups| rows.
+    counts = F.broadcast(
+        vals.groupBy(*groups).agg(
+            F.count("__v").alias("__nv"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    ranked = vals.withColumn("__rn", F.row_number().over(w)).join(
+        counts, groups
+    )
+    # 0-based position of each quantile within the group's non-null
+    # order; a row is fetched iff its 0-based rank is some quantile's
+    # floor or ceil.  NULLs sort last and can never match (__nv ≤ rank).
+    def _pos(q: float):
+        return F.lit(float(q)) * (F.col("__nv") - F.lit(1)).cast("double")
+
+    # an all-NULL group has no rank match; keep its first row so the
+    # group still emits (NULL quantiles + its count(*)) — no second
+    # aggregation scan over df needed
+    keep = (F.col("__nv") == 0) & (F.col("__rn") == 1)
+    for q in qs.values():
+        p = _pos(q)
+        r0 = (F.col("__rn") - 1).cast("long")
+        keep = (
+            keep
+            | (r0 == F.floor(p).cast("long"))
+            | (r0 == F.ceil(p).cast("long"))
+        )
+    picked = ranked.where(keep)
+    aggs = [
+        F.first("__nv").alias("__nv"),
+        F.first("__n").alias("__n"),
+    ]
+    for nm, q in qs.items():
+        p = _pos(q)
+        r0 = (F.col("__rn") - 1).cast("long")
+        aggs.append(
+            F.min(
+                F.when(r0 == F.floor(p).cast("long"), F.col("__v"))
+            ).alias(f"__lo_{nm}")
+        )
+        aggs.append(
+            F.min(
+                F.when(r0 == F.ceil(p).cast("long"), F.col("__v"))
+            ).alias(f"__hi_{nm}")
+        )
+    agged = picked.groupBy(*groups).agg(*aggs)
+    outs = []
+    for nm, q in qs.items():
+        p = F.lit(float(q)) * (F.col("__nv") - F.lit(1)).cast("double")
+        lo, hi = F.floor(p).cast("long"), F.ceil(p).cast("long")
+        outs.append(
+            F.when(lo == hi, F.col(f"__lo_{nm}"))
+            .otherwise(
+                F.col(f"__lo_{nm}") * (hi.cast("double") - p)
+                + F.col(f"__hi_{nm}") * (p - lo.cast("double"))
+            )
+            .alias(nm)
+        )
+    return agged.select(
+        *groups,
+        *outs,
+        F.col("__n").cast("bigint").alias("n"),
+    )
+
+
+def grouped_exact_quantiles_ranged(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    col: str,
+    qs: dict[str, float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group PERCENTILE_CONT for FEW HUGE GROUPS — parallelism =
+    partitions, not groups.
+
+    ``grouped_exact_quantiles`` sorts each group inside one task (the
+    right plan when groups ≫ cores); with a handful of groups over a
+    100 TB fact table that is a handful of tasks.  This form
+    range-partitions on (group…, value) so every core sorts a slice,
+    exactly like ``exact_global_quantiles`` but with per-(partition,
+    group) counts: the driver sees P·G count rows + ≤2·G·|qs| fetched
+    values — index metadata, never data.  NULL values are excluded
+    (SQL aggregate semantics); all-NULL groups are absent from the
+    output (callers joining thresholds back don't want them).
+
+    Interpolation replays Spark ``Percentile``'s exact arithmetic, so
+    thresholds computed here are bit-identical to the ``percentile()``
+    aggregate's.  Runs two jobs at call time (counts + fetch) and
+    returns a small local DataFrame of one row per group.
+    """
+    import pandas as pd
+
+    if not qs:
+        raise ValueError("qs must name at least one quantile")
+    spark = df.sparkSession
+    groups = list(group_cols)
+    src = df.select(
+        *groups, F.col(col).cast("double").alias("__v")
+    ).where(F.col("__v").isNotNull())
+    par = num_partitions or spark.sparkContext.defaultParallelism
+    order = [F.asc(g) for g in groups] + [F.asc("__v")]
+
+    def _enumerate(batches):
+        # local rank within (partition, group): partition rows arrive
+        # sorted by (groups…, __v), so a per-group running counter is
+        # the local rank — same trick as exact_global_quantiles
+        seen: dict[tuple, int] = {}
+        for pdf in batches:
+            pdf = pdf.copy()
+            lrs = []
+            for key in map(tuple, pdf[groups].itertuples(index=False)):
+                nxt = seen.get(key, 0) + 1
+                seen[key] = nxt
+                lrs.append(nxt)
+            pdf["__lr"] = pd.Series(lrs, index=pdf.index, dtype="int64")
+            yield pdf
+
+    gfields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name in groups
+    )
+    ranked = (
+        src.repartitionByRange(par, *order)
+        .sortWithinPartitions(*groups, "__v")
+        .withColumn("__pid", F.spark_partition_id())
+        .mapInPandas(
+            _enumerate, f"{gfields}, __v DOUBLE, __pid INT, __lr LONG"
+        )
+    ).persist()
+    # P·G rows to the driver — the only data-independent collect
+    crows = (
+        ranked.groupBy("__pid", *groups)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_group: dict[tuple, list[tuple[int, int]]] = {}
+    for r in crows:
+        key = tuple(r[g] for g in groups)
+        per_group.setdefault(key, []).append((r["__pid"], r["n"]))
+    plans: dict[tuple, dict] = {}
+    wanted: dict[tuple, float | None] = {}
+    for key, parts in per_group.items():
+        parts.sort()
+        offs, tot = [], 0
+        for _pid, n in parts:
+            offs.append(tot)
+            tot += n
+
+        def locate(grank: int, parts=parts, offs=offs) -> tuple[int, int]:
+            i = bisect_right(offs, grank) - 1
+            return parts[i][0], grank - offs[i] + 1
+
+        plan = {}
+        for nm, q in qs.items():
+            pos = q * (tot - 1)
+            lo, hi = int(pos), min(int(pos) + 1, tot - 1)
+            plan[nm] = (pos, lo, hi)
+            for g in (lo, hi):
+                wanted[(key, *locate(g))] = None
+        plans[key] = {"n": tot, "plan": plan, "locate": locate}
+    cond = None
+    for (key, pid, lr) in wanted:
+        c = (F.col("__pid") == pid) & (F.col("__lr") == lr)
+        for g, v in zip(groups, key):
+            c = c & (F.col(g) == v)
+        cond = c if cond is None else (cond | c)
+    if cond is not None:
+        for r in ranked.where(cond).collect():
+            key = tuple(r[g] for g in groups)
+            wanted[(key, r["__pid"], r["__lr"])] = float(r["__v"])
+    ranked.unpersist()
+    out_rows = []
+    for key, info in plans.items():
+        vals = []
+        for nm, q in qs.items():
+            pos, lo, hi = info["plan"][nm]
+            v_lo = wanted[(key, *info["locate"](lo))]
+            v_hi = wanted[(key, *info["locate"](hi))]
+            # Spark Percentile's exact arithmetic (see
+            # grouped_exact_quantiles)
+            vals.append(
+                v_lo
+                if lo == hi
+                else v_lo * (hi - pos) + v_hi * (pos - lo)
+            )
+        out_rows.append((*key, *vals, info["n"]))
+    names = ", ".join(f"`{g}` {t}" for g, t in (
+        (f.name, f.dataType.simpleString())
+        for f in src.schema.fields
+        if f.name in groups
+    ))
+    qnames = ", ".join(f"`{nm}` DOUBLE" for nm in qs)
+    return spark.createDataFrame(
+        out_rows, f"{names}, {qnames}, n_values BIGINT"
+    )
+
+
 def global_ntile(
     df: DataFrame,
     order_cols: Sequence,

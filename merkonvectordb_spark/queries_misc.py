@@ -335,23 +335,36 @@ GROUP BY 1, 2
 """.strip(),
 )
 def q_lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact grouped quantiles (PERCENTILE_CONT): one shuffle on the
-    group key; each group's values buffer within its reducer, so the
-    group count IS the parallelism AND the memory bound — 3 returnflag
-    groups funneled 600k values into 3 tasks (4s); bucketing by supplier
-    gives 96 groups that saturate the cores (<1s) and keep per-task
-    buffers small.  At 100 TB exact per-group percentiles stay feasible
-    exactly while that holds; for global percentiles you'd switch to
-    approx_percentile (t-digest, mergeable map-side) and give up
-    hash-parity — which is why the oracle pins the exact variant."""
+    """Exact grouped quantiles (PERCENTILE_CONT) via
+    ``operators.stats.grouped_exact_quantiles``: one hash exchange on
+    the group key, a SPILLABLE per-group window sort, and interpolation
+    on the ≤2 fetched rows per quantile — bit-identical arithmetic to
+    Spark's ``percentile()`` aggregate, which this replaced in round 9
+    after the aggregate form (ObjectHashAggregate value→count map per
+    group, no spill) measured slope 1.21/1.34 across two decades
+    (115.9 s at sf10; this form ~0.9).  The group count is still the
+    parallelism bound — for one-group/global quantiles use
+    ``exact_global_quantiles`` (the `global_quantiles` query)."""
+    from merkonvectordb_spark.operators.stats import grouped_exact_quantiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy(
-        "l_returnflag", (F.col("l_suppkey") % 32).alias("supp_bucket")
-    ).agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
-        F.count(F.lit(1)).alias("n"),
+    out = grouped_exact_quantiles(
+        li.select(
+            "l_returnflag",
+            (F.col("l_suppkey") % 32).alias("supp_bucket"),
+            "l_extendedprice",
+        ),
+        ["l_returnflag", "supp_bucket"],
+        "l_extendedprice",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+    )
+    return out.select(
+        "l_returnflag",
+        "supp_bucket",
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
+        F.round("p99", 4).alias("p99"),
+        "n",
     )
 
 

@@ -342,11 +342,25 @@ def q_events_outliers_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of mean+3σ because exact order statistics hash-match across
     engines while variance accumulates in engine-dependent FP order —
     the same determinism discipline as the quantile suite."""
+    from merkonvectordb_spark.operators.stats import (
+        grouped_exact_quantiles_ranged,
+    )
+
     ev = load_table(spark, sf_dir, "events")
+    # grouped_exact_quantiles_ranged, not percentile(): 5 event types ×
+    # 10 M events is exactly the few-huge-groups case where the
+    # aggregate's per-group value map (unspillable) dies first at scale
+    # AND where a per-group window sort would run on 5 tasks; the
+    # ranged form sorts on (group, value) range partitions — every core
+    # works — and its interpolation is bit-identical (round 9, pinned
+    # in test_plan_shapes)
     thr = F.broadcast(
-        ev.groupBy("event_type").agg(
-            F.expr("percentile(value, 0.99)").alias("p99")
-        )
+        grouped_exact_quantiles_ranged(
+            ev.select("event_type", "value"),
+            ["event_type"],
+            "value",
+            {"p99": 0.99},
+        ).select("event_type", "p99")
     )
     return (
         ev.join(thr, "event_type")

@@ -365,17 +365,28 @@ FROM q GROUP BY source
 def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-threshold corpus curation: keep docs at or above the
     corpus's own p25 quality, report per-source retention.  The
-    threshold is one exact global percentile (broadcast back as a 1-row
-    join); the filter itself is a scan-local comparison.  At 100 TB the
-    single-group percentile() switches to
+    threshold is one exact global percentile via
     ``operators.stats.exact_global_quantiles`` (range-partition order
-    statistics) — same value, bounded per-task buffers."""
+    statistics — bounded per-task buffers; round 9 replaced the
+    single-group ``percentile()`` whose one aggregation buffer held the
+    whole column).  The threshold value can differ from percentile()'s
+    only in the last bit of an interpolated point, which lies strictly
+    BETWEEN two adjacent order statistics — no document's quality can
+    equal it, so every >= comparison (and the oracle hash) is
+    unchanged.  The filter itself is a scan-local comparison."""
+    from merkonvectordb_spark.operators.stats import exact_global_quantiles
+
     docs = load_table(spark, sf_dir, "documents")
+    # persist: quality_score is the dominant per-row cost and has THREE
+    # consumers (the range-partitioner's sample pass, the order-stats
+    # shuffle, the retention aggregate) — without the cache each
+    # re-evaluates the text expressions (measured 2.3x at sf3, round 9)
     q = docs.select(
         "source", X.quality_score(F.col("text")).alias("quality")
-    )
+    ).persist()
+    [t25] = exact_global_quantiles(q, "quality", [0.25])
     thr = F.broadcast(
-        q.agg(F.expr("percentile(quality, 0.25)").alias("__t"))
+        spark.createDataFrame([(float(t25),)], "__t DOUBLE")
     )
     kept = F.when(F.col("quality") >= F.col("__t"), 1).otherwise(0)
     return (

@@ -98,6 +98,86 @@ def test_global_quantiles_match_builtin(spark):
     assert all(abs(g - w) < 1e-9 for g, w in zip(got, want))
 
 
+def test_grouped_quantiles_match_builtin(spark):
+    """grouped_exact_quantiles must be BIT-identical to percentile()
+    per group — including duplicate values, NULLs, a single-row group,
+    and an all-NULL group (NULL quantiles, count(*) preserved)."""
+    from merkonvectordb_spark.operators.stats import grouped_exact_quantiles
+
+    rows = []
+    for i in range(500):
+        rows.append(("a", float(i % 23)))
+    for i in range(7):
+        rows.append(("b", float(i)))
+    rows.append(("b", None))
+    rows.append(("c", 42.0))
+    rows.extend([("d", None), ("d", None)])  # all-NULL group
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    got = {
+        r["g"]: r
+        for r in grouped_exact_quantiles(
+            df, ["g"], "v", {"p25": 0.25, "p50": 0.5, "p99": 0.99}
+        ).collect()
+    }
+    want = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.25)").alias("p25"),
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.99)").alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want) == {"a", "b", "c", "d"}
+    for g in ("a", "b", "c"):
+        for k in ("p25", "p50", "p99"):
+            assert got[g][k] == want[g][k], (g, k, got[g][k], want[g][k])
+        assert got[g]["n"] == want[g]["n"]
+    assert got["d"]["p50"] is None and got["d"]["n"] == 2
+
+
+def test_grouped_quantiles_ranged_match_builtin(spark):
+    """The few-huge-groups form (range-partitioned on (group, value))
+    must also be bit-identical to percentile() per group — including
+    groups straddling range-partition boundaries and duplicate values."""
+    from merkonvectordb_spark.operators.stats import (
+        grouped_exact_quantiles_ranged,
+    )
+
+    rows = []
+    for i in range(4001):
+        rows.append(("a", float(i % 13)))
+    for i in range(997):
+        rows.append(("b", float(i)))
+    rows.append(("b", None))
+    rows.append(("c", 7.5))
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    got = {
+        r["g"]: r
+        for r in grouped_exact_quantiles_ranged(
+            df, ["g"], "v", {"p25": 0.25, "p50": 0.5, "p99": 0.99}, 8
+        ).collect()
+    }
+    want = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.25)").alias("p25"),
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.99)").alias("p99"),
+            F.count("v").alias("nv"),
+        )
+        .collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    for g in got:
+        for k in ("p25", "p50", "p99"):
+            assert got[g][k] == want[g][k], (g, k, got[g][k], want[g][k])
+        assert got[g]["n_values"] == want[g]["nv"]
+
+
 def test_tpch_q21_scans_lineitem_once(spark, sf_dir):
     """Q21's double-EXISTS (another supplier AND no other late supplier)
     must fuse into ONE per-order aggregation — the textbook plan re-joins
