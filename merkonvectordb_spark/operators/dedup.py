@@ -160,6 +160,40 @@ def band_rows(sets_df: DataFrame) -> DataFrame:
     )
 
 
+def collapse_identical_sets(
+    sets_df: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Identical-shingle-set collapse, exposed for pair-semantics
+    consumers (round 9): returns ``(membership, rep_sets)`` where
+    ``membership`` is ``(__id, __rep)`` (every doc → min-id holder of
+    its exact set) and ``rep_sets`` is the ``(__id, __sh)`` table
+    restricted to representatives.
+
+    Identical sets have identical MinHash signatures, identical band
+    keys, and identical Jaccard against every third set — so banding,
+    verification, and scoring over ``rep_sets`` plus a star expansion
+    is value-identical to running over the full table, while a g-sized
+    identical group costs g membership rows instead of g²/2 candidate
+    pairs (the license-boilerplate adversary; same key scheme as
+    ``near_dedup``'s inline collapse: md5 over the sorted set with each
+    element md5-hashed first, so the fixed-width concatenation is not
+    injectable).  Callers own persistence of both returned frames."""
+    keyed = sets_df.withColumn(
+        "__setkey",
+        F.md5(F.concat_ws("", F.transform(F.array_sort("__sh"), F.md5))),
+    )
+    reps = keyed.groupBy("__setkey").agg(F.min("__id").alias("__rep"))
+    membership = (
+        keyed.select("__setkey", "__id")
+        .join(reps, "__setkey")
+        .select("__id", "__rep")
+    )
+    rep_sets = keyed.join(
+        reps.select(F.col("__rep").alias("__id")), "__id"
+    ).select("__id", "__sh")
+    return membership, rep_sets
+
+
 def candidate_pairs_from_sets(sets_df: DataFrame) -> DataFrame:
     """LSH candidate pairs ``(a, b)`` with a < b from a shingle-set table:
     explode band keys, self-join per bucket.  The join key
@@ -179,6 +213,91 @@ def candidate_pairs_from_sets(sets_df: DataFrame) -> DataFrame:
 
 def candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return candidate_pairs_from_sets(shingle_sets(df, id_col, text_col))
+
+
+def leakage_quarantine(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    splits: dict[str, int],
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Cross-split leakage repair without materializing the pair list:
+    for every verified near-dup pair straddling splits, the
+    LOWER-priority endpoint (train > val > test) is quarantined;
+    returns ``(doc_id, split, n_leak_edges)`` for every such doc.
+
+    A doc's leak-edge count is exactly its count of HIGHER-priority
+    partners, and partnership factors through exact groups: identical
+    shingle sets always pair (Jaccard 1, identical band keys), and a
+    member pair across two groups has its reps' Jaccard.  So the count
+    is a split-HISTOGRAM lookup summed over the doc's own group and its
+    verified-adjacent groups — members + rep-edges work, never pairs.
+    The sf10 fixture's ~10k-doc identical boilerplate group costs 10k
+    membership rows instead of its 50M true-answer pairs (round 9;
+    246.6 s → linear).  Values are identical to the pair-materializing
+    form (pinned in ``test_dedup`` on a split-straddling mega-group).
+
+    ``splits`` must be the three-way ``{"train": w, "val": w,
+    "test": w}`` split this repair rule is defined over."""
+    from merkonvectordb_spark.operators.pipeline import hash_split
+
+    if set(splits) != {"train", "val", "test"}:
+        raise ValueError("leakage_quarantine needs train/val/test splits")
+    sets = shingle_sets(df, id_col, text_col)
+    membership, rep_sets = collapse_identical_sets(sets)
+    membership = membership.localCheckpoint(eager=True)
+    rep_sets = rep_sets.localCheckpoint(eager=True)  # pairs + verify
+    pairs = candidate_pairs_from_sets(rep_sets)
+    edges = jaccard_edges_from_sets(rep_sets, pairs, threshold)
+    mem = hash_split(
+        membership.withColumnRenamed("__id", "doc_id"), "doc_id", splits
+    ).withColumn(
+        "__rk",
+        F.when(F.col("split") == "train", 0)
+        .when(F.col("split") == "val", 1)
+        .otherwise(2),
+    )
+    hist = mem.groupBy("__rep").agg(
+        F.sum(F.when(F.col("__rk") == 0, 1).otherwise(0)).alias("h0"),
+        F.sum(F.when(F.col("__rk") == 1, 1).otherwise(0)).alias("h1"),
+    )
+    # symmetric rep adjacency + self (the within-group term): H(x) =
+    # Σ hist over {x} ∪ neighbors(x).  A doc never counts itself — it
+    # is not lower-ranked than itself — and same-split partners are
+    # excluded by construction (only strictly-lower ranks sum).
+    adj = (
+        edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionByName(
+            edges.select(F.col("b").alias("x"), F.col("a").alias("y"))
+        )
+        .unionByName(
+            hist.select(
+                F.col("__rep").alias("x"), F.col("__rep").alias("y")
+            )
+        )
+    )
+    H = (
+        adj.join(hist.withColumnRenamed("__rep", "y"), "y")
+        .groupBy("x")
+        .agg(F.sum("h0").alias("H0"), F.sum("h1").alias("H1"))
+        .withColumnRenamed("x", "__rep")
+    )
+    n = (
+        F.when(F.col("__rk") == 0, F.lit(0))
+        .when(F.col("__rk") == 1, F.col("H0"))
+        .otherwise(F.col("H0") + F.col("H1"))
+    )
+    return (
+        mem.join(H, "__rep")
+        .withColumn("__n", n)
+        .where(F.col("__n") > 0)
+        .select(
+            "doc_id",
+            "split",
+            F.col("__n").cast("bigint").alias("n_leak_edges"),
+        )
+    )
 
 
 def jaccard_edges_from_sets(

@@ -659,20 +659,31 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     act on raw doubles; ``round(…, 6)`` is output-only (house rule)."""
     from merkonvectordb_spark.operators.dedup import (
         candidate_pairs_from_sets,
+        collapse_identical_sets,
         minhash_signature,
         shingle_base_hashes,
         shingle_sets,
     )
 
-    sets = shingle_sets(
-        near_corpus(spark, sf_dir), "doc_id", "text"
-    ).localCheckpoint(eager=True)  # two consumers: pairs + both score joins
-    sigs = sets.select(
+    # Round 9: score REPRESENTATIVES only, then star-expand.  Identical
+    # shingle sets have identical signatures, so every within-group
+    # pair is (est=1, exact=1, err=0) and every cross-group member pair
+    # carries its reps' scores bit-for-bit — the output (one row per
+    # candidate pair, true-answer-sized: an identical g-group owes
+    # g²/2 rows) is unchanged, but the array-intersection scoring runs
+    # per rep pair, not per member pair (the sf10 fixture's ~10k-doc
+    # identical group: 50M scored joins → 50M cheap expansion rows;
+    # 302 s → output-emit-bound, round 9).
+    sets_all = shingle_sets(near_corpus(spark, sf_dir), "doc_id", "text")
+    membership, rep_sets = collapse_identical_sets(sets_all)
+    membership = membership.localCheckpoint(eager=True)
+    rep_sets = rep_sets.localCheckpoint(eager=True)
+    sigs = rep_sets.select(
         "__id",
         "__sh",
         minhash_signature(shingle_base_hashes(F.col("__sh"))).alias("__sig"),
     )
-    pairs = candidate_pairs_from_sets(sets)
+    pairs = candidate_pairs_from_sets(rep_sets)
     sa = sigs.select(
         F.col("__id").alias("a"),
         F.col("__sh").alias("sh_a"),
@@ -692,20 +703,56 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = F.size(F.array_intersect("sh_a", "sh_b")).cast(
         "double"
     ) / F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    scored_reps = (
         pairs.join(sa, "a")
         .join(sb, "b")
-        .withColumn("__est", est)
-        .withColumn("__exact", exact)
+        .select(
+            F.col("a").alias("ra"),
+            F.col("b").alias("rb"),
+            est.alias("__est"),
+            exact.alias("__exact"),
+        )
+    )
+    ma = membership.select(
+        F.col("__rep").alias("ra"), F.col("__id").alias("ia")
+    )
+    mb = membership.select(
+        F.col("__rep").alias("rb"), F.col("__id").alias("ib")
+    )
+    cross = (
+        scored_reps.join(ma, "ra")
+        .join(mb, "rb")
+        .select(
+            F.least("ia", "ib").alias("a"),
+            F.greatest("ia", "ib").alias("b"),
+            "__est",
+            "__exact",
+        )
+    )
+    wa = membership.select(
+        F.col("__rep").alias("__r"), F.col("__id").alias("a")
+    )
+    wb = membership.select(
+        F.col("__rep").alias("__r"), F.col("__id").alias("b")
+    )
+    within = (
+        wa.join(wb, "__r")
+        .where(F.col("a") < F.col("b"))
         .select(
             "a",
             "b",
-            F.round("__est", 6).alias("est_jaccard"),
-            F.round("__exact", 6).alias("exact_jaccard"),
-            F.round(F.abs(F.col("__est") - F.col("__exact")), 6).alias(
-                "abs_err"
-            ),
+            F.lit(1.0).alias("__est"),
+            F.lit(1.0).alias("__exact"),
         )
+    )
+    return cross.unionByName(within).select(
+        "a",
+        "b",
+        F.round("__est", 6).alias("est_jaccard"),
+        F.round("__exact", 6).alias("exact_jaccard"),
+        F.round(F.abs(F.col("__est") - F.col("__exact")), 6).alias(
+            "abs_err"
+        ),
     )
 
 
@@ -886,48 +933,28 @@ def q_split_leakage_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair straddling splits, quarantine the LOWER-priority
     endpoint (train > val > test — training data is the scarce asset;
     a contaminated eval doc is replaceable), emitting (doc_id, split,
-    n_leak_edges) for every document to pull.  Same banded-candidate →
-    exact-Jaccard edge stage and scan-local content-addressed split
-    labels as the audit — the edge frame is self-sufficient, no join
-    back to the corpus; output is leak-count-sized."""
-    from merkonvectordb_spark.operators.pipeline import hash_split
+    n_leak_edges) for every document to pull.
 
-    corpus = near_corpus(spark, sf_dir)
-    sets = D.shingle_sets(corpus, "doc_id", "text").localCheckpoint(
-        eager=True
-    )
-    pairs = D.candidate_pairs_from_sets(sets)
-    edges = D.jaccard_edges_from_sets(sets, pairs, 0.6)
-    w = {"train": 90, "val": 5, "test": 5}
-    labeled = (
-        hash_split(
-            hash_split(edges.withColumnRenamed("a", "doc_id"), "doc_id", w)
-            .withColumnRenamed("split", "split_a")
-            .withColumnRenamed("doc_id", "a")
-            .withColumnRenamed("b", "doc_id"),
-            "doc_id",
-            w,
-        )
-        .withColumnRenamed("split", "split_b")
-        .withColumnRenamed("doc_id", "b")
-    )
-
-    def rank(c):
-        return (
-            F.when(F.col(c) == "train", 0)
-            .when(F.col(c) == "val", 1)
-            .otherwise(2)
-        )
-
-    worse_is_a = rank("split_a") > rank("split_b")
-    quarantined = labeled.where(
-        F.col("split_a") != F.col("split_b")
-    ).select(
-        F.when(worse_is_a, F.col("a")).otherwise(F.col("b")).alias("doc_id"),
-        F.when(worse_is_a, F.col("split_a"))
-        .otherwise(F.col("split_b"))
-        .alias("split"),
-    )
-    return quarantined.groupBy("doc_id", "split").agg(
-        F.count(F.lit(1)).alias("n_leak_edges")
+    Round-9 plan: the pair list is NEVER materialized.  Identical
+    shingle sets collapse to representatives
+    (``D.collapse_identical_sets``) before banding/verify, and the
+    per-document leak count derives ARITHMETICALLY: a doc's leak edges
+    are exactly its lower-ranked partners, and within an exact group —
+    or across a verified rep edge — every member of the other side is a
+    partner, so the count is a per-group split HISTOGRAM lookup:
+    ``n(doc) = H_train (if doc∉train) + H_val (if doc∈test)`` with H
+    summed over the doc's own group and its verified-adjacent groups
+    (identical sets ⇒ every within-group pair has Jaccard 1 ≥ 0.6 and
+    always bands together; cross-group member pairs share their reps'
+    Jaccard).  Work: members + rep-edges rows — the sf10 fixture's
+    ~10k-doc identical boilerplate group costs 10k membership rows
+    instead of 50M pairs (measured 246.6 s → linear; round 9).  Output
+    values are bit-identical to the pair-materializing form (pinned in
+    ``test_dedup``)."""
+    return D.leakage_quarantine(
+        near_corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        {"train": 90, "val": 5, "test": 5},
+        threshold=0.6,
     )

@@ -610,6 +610,84 @@ def test_split_leakage_quarantine_never_pulls_train(spark):
     assert sum(r.n_leak_edges for r in q) == leaked_pairs
 
 
+def test_leakage_quarantine_histogram_matches_pair_form(spark):
+    """Round 9: the quarantine count is computed from per-group split
+    histograms + rep edges (never a materialized pair list).  On a
+    corpus with an identical mega-group straddling all three splits,
+    near-dup mutant pairs, and uniques, its output must equal the
+    naive pair-materializing form row for row."""
+    from merkonvectordb_spark.operators.dedup import (
+        candidate_pairs_from_sets,
+        jaccard_edges_from_sets,
+        leakage_quarantine,
+        shingle_sets,
+    )
+    from merkonvectordb_spark.operators.pipeline import hash_split
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [(i, base) for i in range(40)]  # identical mega-group
+    for i in range(50, 60):  # near-dup mutant pairs (J ≥ 0.6, not 1.0)
+        doc = f"{base} extra{i} filler{i}"
+        rows.append((i, doc))
+        rows.append((i + 100, doc + " tail"))
+    for i in range(300, 320):  # uniques
+        rows.append((i, " ".join(f"u{i}w{j}" for j in range(25))))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    w = {"train": 90, "val": 5, "test": 5}
+
+    got = {
+        (r.doc_id, r.split): r.n_leak_edges
+        for r in leakage_quarantine(df, "doc_id", "text", w, 0.6).collect()
+    }
+
+    # naive reference: materialize candidate pairs, verify, label, count
+    sets = shingle_sets(df, "doc_id", "text").localCheckpoint(eager=True)
+    edges = jaccard_edges_from_sets(
+        sets, candidate_pairs_from_sets(sets), 0.6
+    )
+    lab = (
+        hash_split(
+            hash_split(edges.withColumnRenamed("a", "doc_id"), "doc_id", w)
+            .withColumnRenamed("split", "split_a")
+            .withColumnRenamed("doc_id", "a")
+            .withColumnRenamed("b", "doc_id"),
+            "doc_id",
+            w,
+        )
+        .withColumnRenamed("split", "split_b")
+        .withColumnRenamed("doc_id", "b")
+    )
+
+    def rank(c):
+        return (
+            F.when(F.col(c) == "train", 0)
+            .when(F.col(c) == "val", 1)
+            .otherwise(2)
+        )
+
+    worse_is_a = rank("split_a") > rank("split_b")
+    want = {
+        (r.doc_id, r.split): r.n_leak_edges
+        for r in lab.where(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.when(worse_is_a, F.col("a")).otherwise(F.col("b")).alias(
+                "doc_id"
+            ),
+            F.when(worse_is_a, F.col("split_a"))
+            .otherwise(F.col("split_b"))
+            .alias("split"),
+        )
+        .groupBy("doc_id", "split")
+        .agg(F.count(F.lit(1)).alias("n_leak_edges"))
+        .collect()
+    }
+    assert want, "fixture produced no leaks — test is vacuous"
+    assert got == want
+
+
 def test_pair_explosion_guard_trips_on_mega_group(spark):
     """VERDICT r7 #2: pair-semantics operators must fail LOUDLY, not
     OOM, when the true answer itself is quadratic.  A 40-doc identical
