@@ -215,6 +215,113 @@ def candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return candidate_pairs_from_sets(shingle_sets(df, id_col, text_col))
 
 
+def leakage_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    splits: dict[str, int],
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Cross-split contamination audit without materializing the pair
+    list: verified near-dup pair counts per unordered split pair,
+    ``(split_lo, split_hi, n_pairs, leaked)``.
+
+    Same factoring as :func:`leakage_quarantine`: pairs factor through
+    exact groups, so per-(split, split) counts are products of
+    per-group split histograms — a rep edge (X, Y) contributes
+    ``hX[s1]·hY[s2] + hX[s2]·hY[s1]`` (or ``hX[s]·hY[s]`` on the
+    diagonal) and a group X contributes its internal combinations
+    ``hX[s1]·hX[s2]`` / ``C(hX[s], 2)``.  Work = groups + rep edges;
+    values identical to the pair-materializing form (pinned in
+    ``test_dedup``); split-pair rows with zero pairs are absent, as in
+    the groupBy-over-pairs form."""
+    names = sorted(splits)  # lexicographic == least/greatest order
+    sets = shingle_sets(df, id_col, text_col)
+    membership, rep_sets = collapse_identical_sets(sets)
+    membership = membership.localCheckpoint(eager=True)
+    rep_sets = rep_sets.localCheckpoint(eager=True)
+    pairs = candidate_pairs_from_sets(rep_sets)
+    edges = jaccard_edges_from_sets(rep_sets, pairs, threshold)
+    from merkonvectordb_spark.operators.pipeline import hash_split
+
+    mem = hash_split(
+        membership.withColumnRenamed("__id", "doc_id"), "doc_id", splits
+    )
+    hist = mem.groupBy("__rep").agg(
+        *[
+            F.sum(
+                F.when(F.col("split") == s, 1).otherwise(0)
+            ).alias(f"h_{s}")
+            for s in names
+        ]
+    )
+    combos = [
+        (names[i], names[j])
+        for i in range(len(names))
+        for j in range(i, len(names))
+    ]
+
+    def _emit(rows_df, exprs):
+        return rows_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(lo).alias("split_lo"),
+                            F.lit(hi).alias("split_hi"),
+                            e.cast("bigint").alias("c"),
+                        )
+                        for (lo, hi), e in exprs
+                    ]
+                )
+            ).alias("r")
+        ).select("r.split_lo", "r.split_hi", "r.c")
+
+    ha = hist.select(
+        F.col("__rep").alias("a"),
+        *[F.col(f"h_{s}").alias(f"a_{s}") for s in names],
+    )
+    hb = hist.select(
+        F.col("__rep").alias("b"),
+        *[F.col(f"h_{s}").alias(f"b_{s}") for s in names],
+    )
+    cross_rows = edges.join(ha, "a").join(hb, "b")
+    cross = _emit(
+        cross_rows,
+        [
+            (
+                (lo, hi),
+                F.col(f"a_{lo}") * F.col(f"b_{hi}")
+                + (
+                    F.col(f"a_{hi}") * F.col(f"b_{lo}")
+                    if lo != hi
+                    else F.lit(0)
+                ),
+            )
+            for lo, hi in combos
+        ],
+    )
+    within = _emit(
+        hist,
+        [
+            (
+                (lo, hi),
+                F.col(f"h_{lo}") * F.col(f"h_{hi}")
+                if lo != hi
+                else F.expr(f"h_{lo} * (h_{lo} - 1) div 2"),
+            )
+            for lo, hi in combos
+        ],
+    )
+    return (
+        cross.unionByName(within)
+        .groupBy("split_lo", "split_hi")
+        .agg(F.sum("c").cast("bigint").alias("n_pairs"))
+        .where(F.col("n_pairs") > 0)
+        .withColumn("leaked", F.col("split_lo") != F.col("split_hi"))
+    )
+
+
 def leakage_quarantine(
     df: DataFrame,
     id_col: str,

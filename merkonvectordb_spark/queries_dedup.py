@@ -827,39 +827,20 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents whose near-twin trains — the number this report exists to
     drive to zero (re-deal the split salt or drop the eval twin).
 
-    Scale shape: edges are Σ|bucket|² banded candidates (never corpus²);
-    the split label is a pure hash of each endpoint id computed
-    scan-local on the EDGE frame (no join back to the corpus — an edge
-    list is self-sufficient because the split is content-addressed).
-    Output is ≤ 6 rows.  All STRING/BIGINT/BOOLEAN."""
-    from merkonvectordb_spark.operators.pipeline import hash_split
-
-    corpus = near_corpus(spark, sf_dir)
-    sets = D.shingle_sets(corpus, "doc_id", "text").localCheckpoint(
-        eager=True
-    )  # two consumers: band self-join + both verify joins
-    pairs = D.candidate_pairs_from_sets(sets)
-    edges = D.jaccard_edges_from_sets(sets, pairs, 0.6)
-    # split as a scan-local expression of the endpoint id: hash_split on
-    # the edge frame itself, once per endpoint (same md5-fold + ranges
-    # as doc_hash_split — one definition, see operators.pipeline)
-    w = {"train": 90, "val": 5, "test": 5}
-    labeled = hash_split(
-        hash_split(edges.withColumnRenamed("a", "doc_id"), "doc_id", w)
-        .withColumnRenamed("split", "split_a")
-        .withColumnRenamed("doc_id", "a")
-        .withColumnRenamed("b", "doc_id"),
+    Scale shape (round 9, ``operators.dedup.leakage_audit``): the pair
+    list is never materialized — pairs factor through exact groups
+    (identical sets always pair at Jaccard 1; cross-group member pairs
+    carry their reps' Jaccard), so per-split-pair counts are PRODUCTS
+    of per-group split histograms summed over groups and rep edges.
+    Work = groups + rep edges; the split label stays a pure
+    content-addressed hash of the endpoint id.  Output is ≤ 6 rows.
+    All STRING/BIGINT/BOOLEAN."""
+    return D.leakage_audit(
+        near_corpus(spark, sf_dir),
         "doc_id",
-        w,
-    ).withColumnRenamed("split", "split_b")
-    return (
-        labeled.select(
-            F.least("split_a", "split_b").alias("split_lo"),
-            F.greatest("split_a", "split_b").alias("split_hi"),
-        )
-        .groupBy("split_lo", "split_hi")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .withColumn("leaked", F.col("split_lo") != F.col("split_hi"))
+        "text",
+        {"train": 90, "val": 5, "test": 5},
+        threshold=0.6,
     )
 
 

@@ -687,6 +687,30 @@ def test_leakage_quarantine_histogram_matches_pair_form(spark):
     assert want, "fixture produced no leaks — test is vacuous"
     assert got == want
 
+    # the audit's histogram products must equal the pair-count groupBy
+    # on the same corpus (including the diagonal C(h,2) terms)
+    from merkonvectordb_spark.operators.dedup import leakage_audit
+
+    got_audit = {
+        (r.split_lo, r.split_hi): (r.n_pairs, r.leaked)
+        for r in leakage_audit(df, "doc_id", "text", w, 0.6).collect()
+    }
+    want_audit = {
+        (r.split_lo, r.split_hi): (r.n_pairs, r.split_lo != r.split_hi)
+        for r in lab.select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .collect()
+    }
+    assert got_audit == want_audit
+    # quarantined edge totals must still reconcile with the audit
+    assert sum(n for (lo, hi), (n, lk) in want_audit.items() if lk) == sum(
+        got.values()
+    )
+
 
 def test_pair_explosion_guard_trips_on_mega_group(spark):
     """VERDICT r7 #2: pair-semantics operators must fail LOUDLY, not
