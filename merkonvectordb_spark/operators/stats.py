@@ -22,6 +22,7 @@ the only driver traffic is P counts and the handful of fetched values.
 
 from __future__ import annotations
 
+import math
 from bisect import bisect_right
 from collections.abc import Sequence
 
@@ -102,8 +103,13 @@ def exact_global_quantiles(
     plan: list[tuple[int, int, float]] = []  # (lo_rank, hi_rank, weight)
     for q in qs:
         pos = q * (total - 1)
-        lo, hi = int(pos), min(int(pos) + 1, total - 1)
-        plan.append((lo, hi, pos - int(pos)))
+        # hi = ceil(pos), so an integral pos gives lo == hi and the
+        # interpolation below degenerates to exactly v_lo — replaying
+        # Spark Percentile's floor==ceil early return (otherwise a
+        # ±Inf/NaN neighbor would poison `(v_hi - v_lo) * 0`, and -0.0
+        # order statistics would flip sign)
+        lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+        plan.append((lo, hi, pos - lo))
         for g in (lo, hi):
             wanted[locate(g)] = None  # type: ignore[assignment]
     cond = None
@@ -118,7 +124,9 @@ def exact_global_quantiles(
     for lo, hi, w in plan:
         v_lo = wanted[locate(lo)]
         v_hi = wanted[locate(hi)]
-        out.append(v_lo + (v_hi - v_lo) * w)
+        # explicit floor==ceil early return (Spark Percentile): with
+        # lo == hi, `v_lo + (v_lo - v_lo) * 0` would still NaN on ±Inf
+        out.append(v_lo if lo == hi else v_lo + (v_hi - v_lo) * w)
     return (out, total) if return_count else out
 
 
@@ -144,7 +152,10 @@ def grouped_exact_quantiles(
     ``qs`` maps output column name → quantile in [0, 1].  NULLs are
     excluded from ranks/counts (SQL aggregate semantics) but still
     counted by the ``n`` output column (``count(*)`` per group); groups
-    with zero non-null values return NULL quantiles.
+    with zero non-null values return NULL quantiles.  A NULL group KEY
+    is a group like any other (SQL GROUP BY semantics): the counts join
+    below is null-safe (``<=>``), so NULL-keyed rows are not silently
+    dropped.
 
     Scale bound (same as any per-group exact percentile): a single
     group's values sort within one task — spillable, so it degrades to
@@ -167,8 +178,17 @@ def grouped_exact_quantiles(
             F.count(F.lit(1)).alias("__n"),
         )
     )
-    ranked = vals.withColumn("__rn", F.row_number().over(w)).join(
-        counts, groups
+    # null-safe equi-join (still a BroadcastHashJoin — Catalyst hashes
+    # EqualNullSafe keys) so a NULL group key joins its own counts row
+    # instead of being dropped, matching groupBy's NULL-keyed group
+    ranked_l = vals.withColumn("__rn", F.row_number().over(w)).alias("l")
+    counts_r = counts.alias("r")
+    jcond = None
+    for g in groups:
+        c = F.col(f"l.{g}").eqNullSafe(F.col(f"r.{g}"))
+        jcond = c if jcond is None else (jcond & c)
+    ranked = ranked_l.join(counts_r, jcond).select(
+        "l.*", F.col("r.__nv").alias("__nv"), F.col("r.__n").alias("__n")
     )
     # 0-based position of each quantile within the group's non-null
     # order; a row is fetched iff its 0-based rank is some quantile's
@@ -317,7 +337,12 @@ def grouped_exact_quantiles_ranged(
         plan = {}
         for nm, q in qs.items():
             pos = q * (tot - 1)
-            lo, hi = int(pos), min(int(pos) + 1, tot - 1)
+            # hi = ceil(pos): an integral pos gives lo == hi, taking the
+            # `v_lo` early-return below exactly as Spark Percentile does
+            # when floor == ceil — the lo+1 form interpolated with
+            # weight 0 instead, which NaNs on a ±Inf neighbor and flips
+            # -0.0 to +0.0 (ADVICE round-9)
+            lo, hi = int(math.floor(pos)), int(math.ceil(pos))
             plan[nm] = (pos, lo, hi)
             for g in (lo, hi):
                 wanted[(key, *locate(g))] = None

@@ -370,10 +370,13 @@ def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics — bounded per-task buffers; round 9 replaced the
     single-group ``percentile()`` whose one aggregation buffer held the
     whole column).  The threshold value can differ from percentile()'s
-    only in the last bit of an interpolated point, which lies strictly
-    BETWEEN two adjacent order statistics — no document's quality can
-    equal it, so every >= comparison (and the oracle hash) is
-    unchanged.  The filter itself is a scan-local comparison."""
+    only in the last bit of an INTERPOLATED point, which lies strictly
+    between two adjacent order statistics — no document's quality can
+    equal such a point.  When ``0.25·(n−1)`` lands exactly on an order
+    statistic the threshold IS a data value and documents CAN equal it,
+    but both implementations then return that identical order statistic
+    verbatim, so every >= comparison (and the oracle hash) is unchanged
+    in both cases.  The filter itself is a scan-local comparison."""
     from merkonvectordb_spark.operators.stats import exact_global_quantiles
 
     docs = load_table(spark, sf_dir, "documents")

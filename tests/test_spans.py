@@ -110,6 +110,25 @@ def test_removal_fully_covered_doc_empties(spark):
     assert out[2]["n_tokens_before"] == 6
 
 
+def test_null_text_doc_emits_empty_contract(spark):
+    # contract pin (ADVICE round-9 #3): a NULL-text doc must emit
+    # (n_tokens_before=0, n_tokens_after=0, text_dedup='') — never NULL
+    # or size(NULL).  tokenize() coalesces NULL → [] internally, so the
+    # reassembly path sees an empty array, not a NULL passthrough.
+    shared = _words("s", 6)
+    df = _docs(spark, [(1, shared), (2, shared), (3, None)])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicated_spans(df, "doc_id", "text", 4).collect()
+    }
+    assert out[3]["n_tokens_before"] == 0
+    assert out[3]["n_tokens_after"] == 0
+    assert out[3]["text_dedup"] == ""
+    # the NULL row must not perturb real removal either
+    assert out[2]["text_dedup"] == ""
+    assert out[1]["text_dedup"] == shared
+
+
 def test_within_doc_repetition_detected(spark):
     # the same 5-token phrase twice inside ONE doc is a duplicate too
     phrase = _words("p", 5)
