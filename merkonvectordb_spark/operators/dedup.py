@@ -194,13 +194,42 @@ def collapse_identical_sets(
     return membership, rep_sets
 
 
-def candidate_pairs_from_sets(sets_df: DataFrame) -> DataFrame:
+def candidate_pairs_from_sets(
+    sets_df: DataFrame, band_freq_cap: int | None = None
+) -> DataFrame:
     """LSH candidate pairs ``(a, b)`` with a < b from a shingle-set table:
     explode band keys, self-join per bucket.  The join key
     (band_id, band_key) hash-partitions both sides; bucket sizes are
     bounded by signature collisions, so the comparison count is
-    Σ|bucket|² — NOT |corpus|²."""
+    Σ|bucket|² — NOT |corpus|².
+
+    ``band_freq_cap`` (opt-in, default ``None`` = exact LSH semantics,
+    zero cost) is the DENSITY lever for degenerate vocabularies
+    (VERDICT r9 #2): template-heavy corpora make DISTINCT shingle sets
+    collide so broadly that Σ|bucket|² itself goes quadratic (measured
+    slope 2.0 on the 33-word adversarial fixture — 6.29 M candidates
+    for ~60 true edges at sf10).  With a cap, each (band_id, band_key)
+    bucket is deterministically sub-sampled to its ``cap`` LOWEST
+    ``__id`` members (a spillable per-bucket sort + row_number — the
+    standard LSH hot-bucket mitigation), so pair work is bounded by
+    #buckets·C(cap, 2) — corpus-linear at any density.  Recall
+    statement: a true pair is still found iff SOME band puts both
+    endpoints inside that bucket's kept prefix; rare (informative)
+    bands are never touched, only the hottest keys lose members —
+    measured recall deltas per fixture live in SCALING.md round 10.
+    Callers that pre-collapse identical sets (``near_dedup``,
+    ``leakage_*``) keep exact-duplicate pairs REGARDLESS of the cap:
+    within-group pairs never pass through banding."""
     bands = band_rows(sets_df)
+    if band_freq_cap is not None:
+        if band_freq_cap < 1:
+            raise ValueError("band_freq_cap must be >= 1")
+        wcap = Window.partitionBy("band_id", "band_key").orderBy("__id")
+        bands = (
+            bands.withColumn("__slot", F.row_number().over(wcap))
+            .where(F.col("__slot") <= band_freq_cap)
+            .drop("__slot")
+        )
     l = bands.alias("l")
     r = bands.alias("r")
     return (
@@ -221,10 +250,17 @@ def leakage_audit(
     text_col: str,
     splits: dict[str, int],
     threshold: float = 0.6,
+    band_freq_cap: int | None = None,
 ) -> DataFrame:
     """Cross-split contamination audit without materializing the pair
     list: verified near-dup pair counts per unordered split pair,
     ``(split_lo, split_hi, n_pairs, leaked)``.
+
+    ``band_freq_cap`` (opt-in): sub-sample hot LSH buckets at the
+    REPRESENTATIVE level — see :func:`candidate_pairs_from_sets`.
+    Within-group (identical-set) pairs never pass through banding, so
+    the cap can only drop DISTINCT-set rep edges; counts are otherwise
+    computed identically.
 
     Same factoring as :func:`leakage_quarantine`: pairs factor through
     exact groups, so per-(split, split) counts are products of
@@ -240,7 +276,7 @@ def leakage_audit(
     membership, rep_sets = collapse_identical_sets(sets)
     membership = membership.localCheckpoint(eager=True)
     rep_sets = rep_sets.localCheckpoint(eager=True)
-    pairs = candidate_pairs_from_sets(rep_sets)
+    pairs = candidate_pairs_from_sets(rep_sets, band_freq_cap)
     edges = jaccard_edges_from_sets(rep_sets, pairs, threshold)
     from merkonvectordb_spark.operators.pipeline import hash_split
 
@@ -328,11 +364,16 @@ def leakage_quarantine(
     text_col: str,
     splits: dict[str, int],
     threshold: float = 0.6,
+    band_freq_cap: int | None = None,
 ) -> DataFrame:
     """Cross-split leakage repair without materializing the pair list:
     for every verified near-dup pair straddling splits, the
     LOWER-priority endpoint (train > val > test) is quarantined;
     returns ``(doc_id, split, n_leak_edges)`` for every such doc.
+
+    ``band_freq_cap`` (opt-in): sub-sample hot LSH buckets at the
+    representative level — see :func:`candidate_pairs_from_sets`; exact
+    (within-group) leak edges are cap-immune by construction.
 
     A doc's leak-edge count is exactly its count of HIGHER-priority
     partners, and partnership factors through exact groups: identical
@@ -355,7 +396,7 @@ def leakage_quarantine(
     membership, rep_sets = collapse_identical_sets(sets)
     membership = membership.localCheckpoint(eager=True)
     rep_sets = rep_sets.localCheckpoint(eager=True)  # pairs + verify
-    pairs = candidate_pairs_from_sets(rep_sets)
+    pairs = candidate_pairs_from_sets(rep_sets, band_freq_cap)
     edges = jaccard_edges_from_sets(rep_sets, pairs, threshold)
     mem = hash_split(
         membership.withColumnRenamed("__id", "doc_id"), "doc_id", splits
@@ -517,6 +558,7 @@ def near_dedup(
     text_col: str = "text",
     threshold: float = 0.6,
     exact_precollapse: bool = True,
+    band_freq_cap: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: exact pre-collapse → MinHash → LSH
     buckets → exact-Jaccard verify → connected components.  Returns one
@@ -545,42 +587,33 @@ def near_dedup(
 
     The shingle-set table is computed ONCE and persisted: banding, the
     Jaccard verify, and the CC lineage all reuse it instead of
-    re-hashing the corpus per stage."""
+    re-hashing the corpus per stage.
+
+    ``band_freq_cap`` (opt-in): sub-sample hot LSH buckets — see
+    :func:`candidate_pairs_from_sets`.  With ``exact_precollapse`` the
+    cap acts on representatives only, so exact-duplicate groups always
+    cluster regardless of the cap."""
     sets_all = shingle_sets(df, id_col, text_col)
     membership = None
-    keyed = None
+    base = None
     if exact_precollapse:
-        # hash each shingle BEFORE joining: every element contributes a
-        # fixed 32 hex chars, so the encoding is unambiguous — a plain
-        # separator join is injectable (shingles may contain any
-        # non-whitespace byte, so {"a<sep>b"} and {"a","b"} would
-        # concatenate identically and wrongly merge distinct sets)
-        keyed = sets_all.withColumn(
-            "__setkey",
-            F.md5(F.concat_ws("", F.transform(F.array_sort("__sh"), F.md5))),
-        ).persist()
-        reps = keyed.groupBy("__setkey").agg(F.min("__id").alias("__rep"))
-        # localCheckpoint (eager): materializes NOW through the keyed
-        # cache and cuts lineage, so the final expansion join can run
-        # after every cache below is released without recomputing
-        # shingles — the same lineage-cut pattern connected_components
-        # uses for its label frames
-        membership = (
-            keyed.select("__setkey", "__id")
-            .join(reps, "__setkey")
-            .select("__id", "__rep")
-            .localCheckpoint()
-        )
-        sets_df = (
-            keyed.join(
-                reps.select(F.col("__rep").alias("__id")), "__id"
-            )
-            .select("__id", "__sh")
-            .persist()
-        )
+        # the collapse itself lives in collapse_identical_sets — ONE
+        # copy of the correctness-critical __setkey scheme (ADVICE
+        # round-9 #4); the shingle table is cached here so the
+        # membership checkpoint and the rep-set materialization both
+        # re-derive only the cheap md5 keying, never the tokenizer.
+        # localCheckpoint (eager): materializes membership NOW and cuts
+        # lineage, so the final expansion join can run after every
+        # cache below is released without recomputing shingles — the
+        # same lineage-cut pattern connected_components uses for its
+        # label frames
+        base = sets_all.persist()
+        membership, rep_sets = collapse_identical_sets(base)
+        membership = membership.localCheckpoint()
+        sets_df = rep_sets.persist()
     else:
         sets_df = sets_all.persist()
-    pairs = candidate_pairs_from_sets(sets_df)
+    pairs = candidate_pairs_from_sets(sets_df, band_freq_cap)
     edges = jaccard_edges_from_sets(sets_df, pairs, threshold)
     labels = connected_components(edges)
     # CC materialized the edge list (count + collect/checkpoint), so the
@@ -588,8 +621,8 @@ def near_dedup(
     # expansion below references only labels and the checkpointed
     # membership frame
     sets_df.unpersist()
-    if keyed is not None:
-        keyed.unpersist()
+    if base is not None:
+        base.unpersist()
     if membership is not None:
         # star expansion: every doc inherits its representative's
         # component label; an exact group whose rep has no near-dup

@@ -739,3 +739,73 @@ def test_pair_explosion_guard_trips_on_mega_group(spark):
         n_default = op(df, "doc_id", "text").count()
         n_bounded = op(df, "doc_id", "text", max_pairs=10_000).count()
         assert n_default == n_bounded == 780
+
+
+def test_band_freq_cap_semantics(spark):
+    """Round 10 (VERDICT r9 #2): the LSH hot-bucket density lever.
+    Pins the keep-rule — capped candidates are a subset of the exact
+    ones, restricted per bucket to the cap LOWEST ids — and the
+    cap-immunity of exact-duplicate groups (they never pass through
+    banding in the collapse-first pipelines)."""
+    from merkonvectordb_spark.operators.dedup import (
+        candidate_pairs_from_sets,
+        leakage_audit,
+        near_dedup,
+        shingle_sets,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [(i, base) for i in range(40)]  # identical mega-group
+    for i in range(50, 60):  # distinct near-dup sets sharing vocabulary
+        rows.append((i, f"{base} extra{i} filler{i}"))
+        rows.append((i + 100, f"{base} extra{i} filler{i} tail"))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    sets = shingle_sets(df, "doc_id", "text").localCheckpoint(eager=True)
+
+    exact = {(r.a, r.b) for r in candidate_pairs_from_sets(sets).collect()}
+    capped = {
+        (r.a, r.b)
+        for r in candidate_pairs_from_sets(sets, band_freq_cap=3).collect()
+    }
+    assert capped <= exact
+    assert capped, "cap=3 dropped every candidate — fixture too hot"
+    # a cap at least as large as the doc count is a no-op
+    assert {
+        (r.a, r.b)
+        for r in candidate_pairs_from_sets(
+            sets, band_freq_cap=len(rows)
+        ).collect()
+    } == exact
+    # cap=1 leaves at most one member per bucket: zero banded pairs
+    assert candidate_pairs_from_sets(sets, band_freq_cap=1).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        candidate_pairs_from_sets(sets, band_freq_cap=0)
+
+    # exact-duplicate pairs are cap-immune: with cap=1 (no banded rep
+    # pairs at all) the audit still reports the mega-group's and the
+    # identical-set pairs' within-group combinations, and near_dedup
+    # still clusters every identical group on its min id
+    w = {"train": 90, "val": 5, "test": 5}
+    capped_audit = {
+        (r.split_lo, r.split_hi): r.n_pairs
+        for r in leakage_audit(
+            df, "doc_id", "text", w, 0.6, band_freq_cap=1
+        ).collect()
+    }
+    assert sum(capped_audit.values()) >= 40 * 39 // 2
+    nd = {
+        r.doc_id: (r.group_id, r.group_sz)
+        for r in near_dedup(
+            df, "doc_id", "text", 0.6, band_freq_cap=1
+        ).collect()
+    }
+    assert nd[39] == (0, 40)  # mega-group intact without any banded pair
+    for i in range(50, 60):
+        assert nd[i] == (i, 1)  # distinct near-dups lost at cap=1 —
+        assert nd[i + 100][1] == 1  # the documented recall trade
