@@ -14,6 +14,11 @@ the driver, so the number measures the plan, not ``collect()``
 serialization).  Each query runs ``BENCH_RUNS`` times (default 2) and the
 minimum is reported — the first run pays one-time costs (parquet footer
 reads, codegen), the min is the steady-state number a warm cluster sees.
+``BENCH_STAT=median`` (round 10, VERDICT r9 #5) switches the reported
+statistic to the median-of-runs — pair with ``BENCH_RUNS=3`` for the
+end-of-round committed sweep so tail queries carry less single-window
+hypervisor-steal risk (BASELINE.md noise provenance); the default stays
+min-of-2 (the driver's own sweep cost is not ours to triple).
 All diagnostics go to stderr; stdout carries exactly the one JSON line.
 """
 
@@ -34,6 +39,9 @@ def _sf_from_dir(sf_dir: str) -> float:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("BENCH_RUNS", "2"))
+    stat = os.environ.get("BENCH_STAT", "min")
+    if stat not in ("min", "median"):
+        raise SystemExit(f"BENCH_STAT must be min|median, got {stat!r}")
     only = sys.argv[1:]  # optional query-name filter for local iteration
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -64,12 +72,15 @@ def main() -> int:
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
-        best = float("inf")
+        obs: list[float] = []
         for _ in range(max(1, runs)):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            obs.append(time.perf_counter() - t0)
+        obs.sort()
+        # median: lower-middle for even n — never averages two windows
+        picked = obs[0] if stat == "min" else obs[(len(obs) - 1) // 2]
+        timings[name] = round(picked, 4)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
         # a few queries persist() intermediates they cannot unpersist
         # (lazy results); without this the sweep accumulates dead cache

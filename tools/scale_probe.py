@@ -11,10 +11,19 @@ shown for context.
 Usage: python tools/scale_probe.py [query ...]   (default: headline set)
 Writes a markdown table to stdout; exit code is always 0 (this is a
 diagnostic, not a gate — the gate on plan shape is tools/plan_lint.py).
+
+Every measured row is ALSO appended to the machine-readable ledger
+``PROBES.jsonl`` at the repo root (round 10, VERDICT r9 #3): one JSON
+object per (query, probe-run) with the per-sf walls, the top-decade
+slope, the fixture paths, and the relevant env levers — so coverage
+(``tools/probe_coverage.py``) is computed from records, not prose.
+Set ``PROBE_LEDGER=0`` to suppress (e.g. throwaway experiments) or
+``PROBE_LEDGER=/path.jsonl`` to redirect.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -54,6 +63,31 @@ DEFAULT = [
     "bloom_semi_join",    # runtime-filtered semi-join
     "events_value_trend", # moment-sum aggregation
 ]
+
+
+def _ledger_append(name: str, times: list[float], slope: float | None) -> None:
+    """One JSONL record per measured (query, probe run) — the raw
+    material for tools/probe_coverage.py.  Timestamps are whole probe
+    runs, so wall-noise context (BASELINE.md) travels with the row."""
+    dest = os.environ.get("PROBE_LEDGER", "")
+    if dest == "0":
+        return
+    path = dest or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PROBES.jsonl",
+    )
+    rec = {
+        "query": name,
+        "sfs": [sf for _, sf in SFS],
+        "dirs": [d for d, _ in SFS],
+        "walls_sec": [round(t, 3) for t in times],
+        "slope_top_decade": round(slope, 3) if slope is not None else None,
+        "band_cap": os.environ.get("SPARK_GRAFT_BAND_CAP") or None,
+        "pair_bound": os.environ.get("SPARK_GRAFT_PAIR_BOUND") or None,
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    with open(path, "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
 
 
 def main() -> int:
@@ -119,6 +153,7 @@ def main() -> int:
             + (f"  slope={slope:.2f}" if slope is not None else ""),
             file=sys.stderr,
         )
+        _ledger_append(name, times, slope)
 
     hdr = " | ".join(f"sf{sf:g}" for _, sf in SFS)
     slope_hdr = (
