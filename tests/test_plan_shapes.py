@@ -138,6 +138,70 @@ def test_grouped_quantiles_match_builtin(spark):
     assert got["d"]["p50"] is None and got["d"]["n"] == 2
 
 
+def test_grouped_quantiles_null_group_key(spark):
+    """ADVICE round-9 #1: a NULL group KEY is a group like any other
+    (SQL GROUP BY semantics).  The counts join is null-safe, so the
+    NULL-keyed group must appear with correct quantiles — not be
+    silently dropped by a null-unsafe equi-join."""
+    from merkonvectordb_spark.operators.stats import grouped_exact_quantiles
+
+    rows = [("a", float(i)) for i in range(9)]
+    rows += [(None, float(10 * i)) for i in range(5)]
+    rows.append((None, None))
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    got = {
+        r["g"]: r
+        for r in grouped_exact_quantiles(
+            df, ["g"], "v", {"p50": 0.5}
+        ).collect()
+    }
+    want = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want) == {"a", None}
+    assert got[None]["p50"] == want[None]["p50"] == 20.0
+    assert got[None]["n"] == 6
+    assert got["a"]["p50"] == want["a"]["p50"]
+
+
+def test_global_quantiles_integral_position_inf_safe(spark):
+    """ADVICE round-9 #2: when q·(n−1) lands exactly on an order
+    statistic, the interpolation must early-return that value (Spark
+    Percentile's floor==ceil branch) — the lo+1 form computed
+    `v_lo + (v_hi − v_lo)·0`, which NaNs when a ±Inf neighbors the hit
+    and flips -0.0.  Pin against percentile() with an Inf max."""
+    from merkonvectordb_spark.operators.stats import (
+        exact_global_quantiles,
+        grouped_exact_quantiles_ranged,
+    )
+
+    vals = [1.0, 2.0, 3.0, 4.0, float("inf")]
+    df = spark.createDataFrame([(v,) for v in vals], "v DOUBLE")
+    # n=5: q=0.75 → pos=3.0 (integral, Inf neighbor), q=1.0 → pos=4 (Inf)
+    got = exact_global_quantiles(df, "v", [0.0, 0.75, 1.0], 4)
+    want = df.select(
+        F.expr("percentile(v, array(0.0, 0.75, 1.0))")
+    ).first()[0]
+    assert got[0] == want[0] == 1.0
+    assert got[1] == want[1] == 4.0  # NOT NaN
+    assert got[2] == want[2] == float("inf")
+
+    gdf = spark.createDataFrame([("a", v) for v in vals], "g STRING, v DOUBLE")
+    rg = {
+        r["g"]: r
+        for r in grouped_exact_quantiles_ranged(
+            gdf, ["g"], "v", {"p75": 0.75, "p100": 1.0}, 4
+        ).collect()
+    }
+    assert rg["a"]["p75"] == 4.0 and rg["a"]["p100"] == float("inf")
+
+
 def test_grouped_quantiles_ranged_match_builtin(spark):
     """The few-huge-groups form (range-partitioned on (group, value))
     must also be bit-identical to percentile() per group — including
