@@ -196,3 +196,31 @@ def test_oracles_reference_only_preregistered_views():
             tables.add(m.group(1))
         unknown = tables - allowed - ctes - {"unnest", "generate_series"}
         assert not unknown, f"{name}: unknown relations {sorted(unknown)}"
+
+
+def test_probe_ledger_parses_and_covers_registry():
+    """Round 10 (VERDICT r9 #3): PROBES.jsonl is the machine ledger the
+    coverage table is computed from.  Every line must parse with the
+    fields tools/probe_coverage.py consumes, reference a registered (or
+    since-renamed) query, and the combined ledger+history coverage must
+    have zero unprobed registered queries — the closeout invariant."""
+    import json
+    import os
+
+    import __spark_entry__ as entry
+    from tools.probe_coverage import _PROSE_SLOPES, ledger_best
+
+    repo = _repo_root()
+    path = os.path.join(repo, "PROBES.jsonl")
+    assert os.path.exists(path), "PROBES.jsonl missing"
+    names = set(entry.queries())
+    with open(path) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            assert {"query", "sfs", "walls_sec", "slope_top_decade"} <= set(rec)
+            assert len(rec["sfs"]) == len(rec["walls_sec"]) >= 1
+    best = ledger_best(path)
+    covered = names & (set(best) | set(_PROSE_SLOPES))
+    assert covered == names, f"unprobed: {sorted(names - covered)[:10]}"
