@@ -247,3 +247,46 @@ def test_cms_estimate_upper_bounds_every_count(spark, vals):
     truth = Counter(vals)
     for v, n in truth.items():
         assert est[v] >= n
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=6, max_size=12).map(
+            lambda cs: " ".join("w" + c for c in cs)
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+    caps=st.tuples(st.integers(1, 3), st.integers(4, 30)),
+)
+def test_band_cap_monotone_subset(spark, texts, caps):
+    """Band-frequency-cap properties over random small-vocab corpora
+    (the degenerate-vocabulary shape the lever exists for):
+    candidates(cap_lo) ⊆ candidates(cap_hi) ⊆ exact candidates, and a
+    cap ≥ corpus size is exactly the identity."""
+    from merkonvectordb_spark.operators.dedup import (
+        candidate_pairs_from_sets,
+        shingle_sets,
+    )
+
+    cap_lo, cap_hi = caps
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    sets = shingle_sets(df, "doc_id", "text").localCheckpoint(eager=True)
+    exact = {(r.a, r.b) for r in candidate_pairs_from_sets(sets).collect()}
+    lo = {
+        (r.a, r.b)
+        for r in candidate_pairs_from_sets(sets, cap_lo).collect()
+    }
+    hi = {
+        (r.a, r.b)
+        for r in candidate_pairs_from_sets(sets, cap_hi).collect()
+    }
+    assert lo <= hi <= exact
+    full = {
+        (r.a, r.b)
+        for r in candidate_pairs_from_sets(sets, len(texts)).collect()
+    }
+    assert full == exact
