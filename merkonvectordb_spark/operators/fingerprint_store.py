@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from merkonvectordb_spark.operators.dedup import band_rows, shingle_sets
@@ -119,12 +119,33 @@ def probe_minhash_store(
     id_col: str = "doc_id",
     text_col: str = "text",
     version: int | None = None,
+    band_freq_cap: int | None = None,
 ) -> DataFrame:
     """``(new_id, hist_id, jaccard)`` — every stored document whose
     exact shingle Jaccard with a new-batch document meets ``threshold``.
     Only the new batch is shingled; history is served from the store
     (optionally a pinned BANDS ``version`` — probe a stable candidate
     snapshot while an append commits).
+
+    ``band_freq_cap`` (opt-in, default ``None`` = exact semantics) is
+    the probe-side face of the LSH hot-bucket density lever
+    (``operators.dedup.candidate_pairs_from_sets``): against a
+    template-heavy HISTORY, one hot (band_id, band_key) bucket makes
+    the candidate join emit |batch hits| × |bucket| rows regardless of
+    how small the batch is.  With a cap, the history side of each
+    matched bucket is deterministically sub-sampled to its ``cap``
+    LOWEST ``__id`` members.  Cost containment: the cap's row_number
+    window runs AFTER a broadcast semi-join restricting stored bands to
+    the batch's (band_id, band_key) set — the window therefore shuffles
+    only matched-bucket rows (bucket-occupancy-sized), never the
+    history-sized bands table, preserving the probe's amortization
+    contract.  Recall mirrors the self-dedup cap: a true (new, hist)
+    pair is found iff SOME shared band keeps the historical endpoint in
+    its bucket's low-id prefix; exact duplicates of a kept historical
+    doc always collide with it in every band.  The keep-rule is stable
+    across appends (ids are never removed and the prefix is by global
+    ``__id`` order), so a pair dropped today is dropped tomorrow, not
+    flapping.
 
     The shingle side always reads LATEST, never ``version``: the two
     tables' version counters are independent (a crashed append, or
@@ -143,6 +164,19 @@ def probe_minhash_store(
         "band_id", F.col("band_id").cast("int")
     )
     hist_bands = store.bands.read(version)
+    if band_freq_cap is not None:
+        if band_freq_cap < 1:
+            raise ValueError("band_freq_cap must be >= 1")
+        probe_keys = new_bands.select("band_id", "band_key").distinct()
+        wcap = Window.partitionBy("band_id", "band_key").orderBy("__id")
+        hist_bands = (
+            hist_bands.join(
+                F.broadcast(probe_keys), ["band_id", "band_key"], "left_semi"
+            )
+            .withColumn("__slot", F.row_number().over(wcap))
+            .where(F.col("__slot") <= band_freq_cap)
+            .drop("__slot")
+        )
     cand = (
         new_bands.withColumnRenamed("__id", "new_id")
         .join(

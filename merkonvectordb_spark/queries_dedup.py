@@ -243,7 +243,14 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="minhash_store_")
     try:
         store = build_minhash_store(spark, hist, root)
-        out = probe_minhash_store(store, newb, threshold=0.6)
+        # band_freq_cap: same opt-in density lever as the leakage
+        # queries — the driver never sets it, so oracle behavior is
+        # bit-identical by default; scale probes engage it against
+        # template-heavy histories (probe-side keep-rule documented in
+        # operators.fingerprint_store.probe_minhash_store)
+        out = probe_minhash_store(
+            store, newb, threshold=0.6, band_freq_cap=band_cap()
+        )
         return spark.createDataFrame(
             out.select("new_id", "hist_id", "jaccard").collect(),
             "new_id LONG, hist_id LONG, jaccard DOUBLE",

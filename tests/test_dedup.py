@@ -809,3 +809,70 @@ def test_band_freq_cap_semantics(spark):
     for i in range(50, 60):
         assert nd[i] == (i, 1)  # distinct near-dups lost at cap=1 —
         assert nd[i + 100][1] == 1  # the documented recall trade
+
+
+def test_probe_band_freq_cap_semantics(spark, tmp_path):
+    """Round 10 follow-on: the probe-side face of the hot-bucket lever
+    (``probe_minhash_store(band_freq_cap=...)``).  Pins: capped hits are
+    a subset of exact hits; a cap at least as large as the history is a
+    no-op; against an exact-duplicate (maximally hot) history group,
+    cap=1 keeps exactly the LOWEST-id historical partner — deterministic
+    and stable across appends; cap=0 raises."""
+    import pytest
+
+    from merkonvectordb_spark.operators.fingerprint_store import (
+        append_minhash_store,
+        build_minhash_store,
+        probe_minhash_store,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    # hot history: ids 10..49 all identical (every band bucket holds all
+    # 40), plus one unrelated doc
+    hist = spark.createDataFrame(
+        [(i, base) for i in range(10, 50)]
+        + [(9, "totally unrelated text body without overlap")],
+        "doc_id LONG, text STRING",
+    )
+    new = spark.createDataFrame(
+        [(1000, f"{base} extra tail")], "doc_id LONG, text STRING"
+    )
+    store = build_minhash_store(spark, hist, str(tmp_path / "fp"))
+
+    exact = {
+        (r.new_id, r.hist_id)
+        for r in probe_minhash_store(store, new, threshold=0.5).collect()
+    }
+    assert exact == {(1000, i) for i in range(10, 50)}
+    # no-op cap
+    assert {
+        (r.new_id, r.hist_id)
+        for r in probe_minhash_store(
+            store, new, threshold=0.5, band_freq_cap=41
+        ).collect()
+    } == exact
+    # cap=1: every bucket keeps only hist id 10 — one deterministic hit
+    capped = {
+        (r.new_id, r.hist_id)
+        for r in probe_minhash_store(
+            store, new, threshold=0.5, band_freq_cap=1
+        ).collect()
+    }
+    assert capped == {(1000, 10)}
+    # the keep-rule is append-stable: appending HIGHER ids to the hot
+    # group cannot change which partner the capped probe returns
+    append_minhash_store(
+        store,
+        spark.createDataFrame([(60, base)], "doc_id LONG, text STRING"),
+    )
+    assert {
+        (r.new_id, r.hist_id)
+        for r in probe_minhash_store(
+            store, new, threshold=0.5, band_freq_cap=1
+        ).collect()
+    } == {(1000, 10)}
+    with pytest.raises(ValueError):
+        probe_minhash_store(store, new, band_freq_cap=0)
