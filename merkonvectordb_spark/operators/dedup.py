@@ -174,24 +174,53 @@ def collapse_identical_sets(
     verification, and scoring over ``rep_sets`` plus a star expansion
     is value-identical to running over the full table, while a g-sized
     identical group costs g membership rows instead of g²/2 candidate
-    pairs (the license-boilerplate adversary; same key scheme as
-    ``near_dedup``'s inline collapse: md5 over the sorted set with each
-    element md5-hashed first, so the fixed-width concatenation is not
-    injectable).  Callers own persistence of both returned frames."""
+    pairs (the license-boilerplate adversary; the key scheme: md5 over
+    the sorted set with each element md5-hashed first, so the
+    fixed-width concatenation is not injectable — ONE copy of it lives
+    here).
+
+    Both returned frames are EAGER localCheckpoints: the keyed frame
+    (shingle sets + set key) is cached once, both outputs materialize
+    through that single cache — the tokenizer and the per-element md5
+    keying run exactly once per input row, instead of once per
+    downstream materialization — and the transient cache is released
+    before returning.  Lineage is cut, so callers may drop any upstream
+    cache immediately and need no checkpoint of their own."""
     keyed = sets_df.withColumn(
         "__setkey",
         F.md5(F.concat_ws("", F.transform(F.array_sort("__sh"), F.md5))),
-    )
+    ).persist()
     reps = keyed.groupBy("__setkey").agg(F.min("__id").alias("__rep"))
     membership = (
         keyed.select("__setkey", "__id")
         .join(reps, "__setkey")
         .select("__id", "__rep")
+        .localCheckpoint(eager=True)
     )
-    rep_sets = keyed.join(
-        reps.select(F.col("__rep").alias("__id")), "__id"
-    ).select("__id", "__sh")
+    rep_sets = (
+        keyed.join(reps.select(F.col("__rep").alias("__id")), "__id")
+        .select("__id", "__sh")
+        .localCheckpoint(eager=True)
+    )
+    keyed.unpersist()
     return membership, rep_sets
+
+
+def cap_band_rows(bands: DataFrame, band_freq_cap: int) -> DataFrame:
+    """The LSH hot-bucket keep-rule — ONE copy, shared by the
+    self-dedup candidate join and the fingerprint-store probe: each
+    (band_id, band_key) bucket keeps its ``band_freq_cap`` LOWEST
+    ``__id`` members (spillable per-bucket sort + row_number).  Any
+    change to the rule (ordering, tie-breaking) lands in both
+    consumers at once."""
+    if band_freq_cap < 1:
+        raise ValueError("band_freq_cap must be >= 1")
+    wcap = Window.partitionBy("band_id", "band_key").orderBy("__id")
+    return (
+        bands.withColumn("__slot", F.row_number().over(wcap))
+        .where(F.col("__slot") <= band_freq_cap)
+        .drop("__slot")
+    )
 
 
 def candidate_pairs_from_sets(
@@ -222,14 +251,7 @@ def candidate_pairs_from_sets(
     within-group pairs never pass through banding."""
     bands = band_rows(sets_df)
     if band_freq_cap is not None:
-        if band_freq_cap < 1:
-            raise ValueError("band_freq_cap must be >= 1")
-        wcap = Window.partitionBy("band_id", "band_key").orderBy("__id")
-        bands = (
-            bands.withColumn("__slot", F.row_number().over(wcap))
-            .where(F.col("__slot") <= band_freq_cap)
-            .drop("__slot")
-        )
+        bands = cap_band_rows(bands, band_freq_cap)
     l = bands.alias("l")
     r = bands.alias("r")
     return (
@@ -273,9 +295,8 @@ def leakage_audit(
     the groupBy-over-pairs form."""
     names = sorted(splits)  # lexicographic == least/greatest order
     sets = shingle_sets(df, id_col, text_col)
+    # the collapse returns eager checkpoints (one shingle/keying pass)
     membership, rep_sets = collapse_identical_sets(sets)
-    membership = membership.localCheckpoint(eager=True)
-    rep_sets = rep_sets.localCheckpoint(eager=True)
     pairs = candidate_pairs_from_sets(rep_sets, band_freq_cap)
     edges = jaccard_edges_from_sets(rep_sets, pairs, threshold)
     from merkonvectordb_spark.operators.pipeline import hash_split
@@ -393,9 +414,8 @@ def leakage_quarantine(
     if set(splits) != {"train", "val", "test"}:
         raise ValueError("leakage_quarantine needs train/val/test splits")
     sets = shingle_sets(df, id_col, text_col)
+    # the collapse returns eager checkpoints (one shingle/keying pass)
     membership, rep_sets = collapse_identical_sets(sets)
-    membership = membership.localCheckpoint(eager=True)
-    rep_sets = rep_sets.localCheckpoint(eager=True)  # pairs + verify
     pairs = candidate_pairs_from_sets(rep_sets, band_freq_cap)
     edges = jaccard_edges_from_sets(rep_sets, pairs, threshold)
     mem = hash_split(
@@ -595,34 +615,27 @@ def near_dedup(
     cluster regardless of the cap."""
     sets_all = shingle_sets(df, id_col, text_col)
     membership = None
-    base = None
+    cached = None
     if exact_precollapse:
         # the collapse itself lives in collapse_identical_sets — ONE
         # copy of the correctness-critical __setkey scheme (ADVICE
-        # round-9 #4); the shingle table is cached here so the
-        # membership checkpoint and the rep-set materialization both
-        # re-derive only the cheap md5 keying, never the tokenizer.
-        # localCheckpoint (eager): materializes membership NOW and cuts
-        # lineage, so the final expansion join can run after every
-        # cache below is released without recomputing shingles — the
-        # same lineage-cut pattern connected_components uses for its
-        # label frames
-        base = sets_all.persist()
-        membership, rep_sets = collapse_identical_sets(base)
-        membership = membership.localCheckpoint()
-        sets_df = rep_sets.persist()
+        # round-9 #4).  The helper materializes membership and the
+        # rep-set table through a SINGLE internal cache (tokenizer and
+        # md5 keying run once) and returns eager checkpoints, so no
+        # caller-side persist is needed and lineage is already cut for
+        # the final expansion join below.
+        membership, sets_df = collapse_identical_sets(sets_all)
     else:
-        sets_df = sets_all.persist()
+        cached = sets_df = sets_all.persist()
     pairs = candidate_pairs_from_sets(sets_df, band_freq_cap)
     edges = jaccard_edges_from_sets(sets_df, pairs, threshold)
     labels = connected_components(edges)
     # CC materialized the edge list (count + collect/checkpoint), so the
-    # shingle caches have served all their consumers — free them; the
-    # expansion below references only labels and the checkpointed
-    # membership frame
-    sets_df.unpersist()
-    if base is not None:
-        base.unpersist()
+    # shingle cache (non-precollapse path) has served all its consumers
+    # — free it; the expansion below references only labels and the
+    # checkpointed membership frame
+    if cached is not None:
+        cached.unpersist()
     if membership is not None:
         # star expansion: every doc inherits its representative's
         # component label; an exact group whose rep has no near-dup

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from merkonvectordb_spark.operators.dedup import band_rows, shingle_sets
@@ -142,10 +142,15 @@ def probe_minhash_store(
     contract.  Recall mirrors the self-dedup cap: a true (new, hist)
     pair is found iff SOME shared band keeps the historical endpoint in
     its bucket's low-id prefix; exact duplicates of a kept historical
-    doc always collide with it in every band.  The keep-rule is stable
-    across appends (ids are never removed and the prefix is by global
-    ``__id`` order), so a pair dropped today is dropped tomorrow, not
-    flapping.
+    doc always collide with it in every band.  The keep-rule (shared
+    with the self-dedup cap — ``operators.dedup.cap_band_rows``) is
+    stable across appends PROVIDED ids are assigned monotonically
+    (each batch's ids exceed the history's, the normal ingest-sequence
+    contract): then an append can only extend a bucket's kept low-id
+    prefix, never displace it, so a partner reported today is reported
+    tomorrow.  Appending a LOWER id into a hot bucket (backfill with
+    out-of-order ids) can evict a previous partner from the prefix —
+    pin a bands ``version`` if replaying a probe must be exact.
 
     The shingle side always reads LATEST, never ``version``: the two
     tables' version counters are independent (a crashed append, or
@@ -165,17 +170,14 @@ def probe_minhash_store(
     )
     hist_bands = store.bands.read(version)
     if band_freq_cap is not None:
-        if band_freq_cap < 1:
-            raise ValueError("band_freq_cap must be >= 1")
+        from merkonvectordb_spark.operators.dedup import cap_band_rows
+
         probe_keys = new_bands.select("band_id", "band_key").distinct()
-        wcap = Window.partitionBy("band_id", "band_key").orderBy("__id")
-        hist_bands = (
+        hist_bands = cap_band_rows(
             hist_bands.join(
                 F.broadcast(probe_keys), ["band_id", "band_key"], "left_semi"
-            )
-            .withColumn("__slot", F.row_number().over(wcap))
-            .where(F.col("__slot") <= band_freq_cap)
-            .drop("__slot")
+            ),
+            band_freq_cap,
         )
     cand = (
         new_bands.withColumnRenamed("__id", "new_id")

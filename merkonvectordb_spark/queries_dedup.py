@@ -697,9 +697,8 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical group: 50M scored joins → 50M cheap expansion rows;
     # 302 s → output-emit-bound, round 9).
     sets_all = shingle_sets(near_corpus(spark, sf_dir), "doc_id", "text")
+    # the collapse returns eager checkpoints (one shingle/keying pass)
     membership, rep_sets = collapse_identical_sets(sets_all)
-    membership = membership.localCheckpoint(eager=True)
-    rep_sets = rep_sets.localCheckpoint(eager=True)
     sigs = rep_sets.select(
         "__id",
         "__sh",

@@ -23,11 +23,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--caps")]
+    # accept both `--caps=4,8` and `--caps 4,8` (the usage line's form)
+    argv = sys.argv[1:]
     caps = [2, 4, 8]
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--caps"):
-            caps = [int(x) for x in a.split("=", 1)[1].split(",")]
+            if "=" in a:
+                spec = a.split("=", 1)[1]
+            else:
+                i += 1
+                if i >= len(argv):
+                    print("--caps needs a value, e.g. --caps 4,8", file=sys.stderr)
+                    return 2
+                spec = argv[i]
+            caps = [int(x) for x in spec.split(",")]
+        elif ":" not in a:
+            print(f"fixture arg must be dir:sf, got {a!r}", file=sys.stderr)
+            return 2
+        else:
+            args.append(a)
+        i += 1
     dirs = (
         [(p.rsplit(":", 1)[0], p.rsplit(":", 1)[1]) for p in args]
         if args
@@ -51,8 +69,8 @@ def main() -> int:
     print("|---|---|---|---|---|")
     for d, sf in dirs:
         sets_all = shingle_sets(near_corpus(spark, d), "doc_id", "text")
+        # collapse returns eager checkpoints — no extra checkpoint needed
         _membership, rep_sets = collapse_identical_sets(sets_all)
-        rep_sets = rep_sets.localCheckpoint(eager=True)
         base_edges = None
         for cap in [None] + caps:
             pairs = candidate_pairs_from_sets(rep_sets, cap)

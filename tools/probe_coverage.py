@@ -6,9 +6,10 @@ Sources, in precedence order:
 
 1. ``PROBES.jsonl`` — the machine ledger ``tools/scale_probe.py`` has
    appended to since round 10.  The freshest record at the WIDEST top
-   decade wins; records with a band-cap/pair-bound lever engaged are
-   reported with the lever noted (they measure the mitigated plan, not
-   default semantics).
+   decade wins; records with an answer-shaping lever engaged (band
+   cap, or a pair bound other than scale_probe's standard fail-loud
+   backstop) are reported with the lever noted (they measure the
+   mitigated plan, not default semantics).
 2. ``_PROSE_SLOPES`` below — the hand-carried history of rounds 5-9,
    when probe results lived only in SCALING.md prose/tables.  Each
    entry cites its round and fixture decade so a stale number is
@@ -130,10 +131,6 @@ _PROSE_SLOPES: dict[str, tuple[float, str, str, str]] = {
 }
 
 
-def _decade_width(sfs: list[float]) -> float:
-    return (sfs[-1] / sfs[-2]) if len(sfs) >= 2 else 0.0
-
-
 def _top_sf(sfs: list[float]) -> float:
     return sfs[-1] if sfs else 0.0
 
@@ -156,7 +153,7 @@ def ledger_best(path: str) -> dict[str, dict]:
             cur = best.get(rec["query"])
             if cur is None or _top_sf(rec["sfs"]) > _top_sf(cur["sfs"]) or (
                 _top_sf(rec["sfs"]) == _top_sf(cur["sfs"])
-                and rec["ts"] >= cur["ts"]
+                and rec.get("ts", "") >= cur.get("ts", "")
             ):
                 best[rec["query"]] = rec
     return best
@@ -176,6 +173,11 @@ def main() -> int:
             lever = []
             if rec.get("band_cap"):
                 lever.append(f"band_cap={rec['band_cap']}")
+            # pair_bound=100000000 is scale_probe's standard fail-loud
+            # backstop (never shapes an answer that produced a slope —
+            # it can only raise); note only a NON-standard bound
+            if rec.get("pair_bound") and rec["pair_bound"] != "100000000":
+                lever.append(f"pair_bound={rec['pair_bound']}")
             decade = (
                 f"sf{sfs[-2]:g}→sf{sfs[-1]:g}" if len(sfs) >= 2 else "?"
             )
