@@ -53,6 +53,16 @@ def get_spark(
         # keep it explicit so bench numbers are reproducible.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # driver-collect ceiling (Spark default 1g).  Opt-in lever for
+        # scale probes: the few queries whose REGISTERED form collects
+        # corpus-proportional output to the driver (memory-sink
+        # streaming oracles) hit the 1g ceiling around sf30, which
+        # measures the harness sink, not the operator — production
+        # forms writeStream to real sinks.  Default stays Spark's.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "1g"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -65,7 +65,12 @@ DEFAULT = [
 ]
 
 
-def _ledger_append(name: str, times: list[float], slope: float | None) -> None:
+def _ledger_append(
+    name: str,
+    times: list[float],
+    slope: float | None,
+    error: str | None = None,
+) -> None:
     """One JSONL record per measured (query, probe run) — the raw
     material for tools/probe_coverage.py.  Timestamps are whole probe
     runs, so wall-noise context (BASELINE.md) travels with the row."""
@@ -86,6 +91,8 @@ def _ledger_append(name: str, times: list[float], slope: float | None) -> None:
         "pair_bound": os.environ.get("SPARK_GRAFT_PAIR_BOUND") or None,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
+    if error is not None:
+        rec["error"] = error
     with open(path, "a") as fh:
         fh.write(json.dumps(rec) + "\n")
 
@@ -117,27 +124,48 @@ def main() -> int:
             print(f"unknown query: {name}", file=sys.stderr)
             continue
         times = []
+        failed = None
         for sf_dir, _sf in SFS:
             best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best = min(best, time.perf_counter() - t0)
-                # several operators persist() intermediates they cannot
-                # unpersist (lazy results); without this the probe
-                # accumulates dead cache blocks across (query, sf, run)
-                # cells and later cells measure eviction/GC pressure,
-                # not the plan (same reason bench.py clears per query)
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                    # several operators persist() intermediates they
+                    # cannot unpersist (lazy results); without this the
+                    # probe accumulates dead cache blocks across
+                    # (query, sf, run) cells and later cells measure
+                    # eviction/GC pressure, not the plan (same reason
+                    # bench.py clears per query)
+                    spark.catalog.clearCache()
+                    # clearCache misses localCheckpoint blocks; reap
+                    # those too or later cells measure accumulated-
+                    # block GC pressure (session.free_persisted_blocks)
+                    from merkonvectordb_spark import free_persisted_blocks
+
+                    free_persisted_blocks(spark)
+            except Exception as exc:  # noqa: BLE001 — diagnostic sweep
+                # One query's blow-up (OOM, maxResultSize, a guard
+                # tripping at a new decade) must not abort the whole
+                # sweep — round 10 lost a 40-minute batch to exactly
+                # that.  Record the failure in the ledger (walls
+                # measured so far, no slope, error noted) and move on.
+                failed = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+                print(f"  {name} FAILED at {sf_dir}: {failed}", file=sys.stderr)
+                for q in spark.streams.active:  # zombie micro-batches
+                    q.stop()
                 spark.catalog.clearCache()
-                # clearCache misses localCheckpoint blocks; reap those
-                # too or later cells measure accumulated-block GC
-                # pressure (see session.free_persisted_blocks)
                 from merkonvectordb_spark import free_persisted_blocks
 
                 free_persisted_blocks(spark)
+                break
             times.append(best)
+        if failed is not None:
+            _ledger_append(name, times, None, error=failed)
+            continue
         # exponent from the two LARGEST scale factors; undefined (and
         # previously an IndexError) when SCALE_SFS names a single dir
         slope = (
