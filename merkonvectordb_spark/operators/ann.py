@@ -915,8 +915,15 @@ def semantic_dedup(
     Default ``None`` preserves exact published semantics (and the
     registered oracle's replay).
     """
+    from merkonvectordb_spark.operators.skew import spread_small_scan
+
+    # corpus×K scoring is CPU-bound interpreted fold arithmetic; a
+    # narrow scan (small file = 1-2 splits) would run it serially
+    # (measured round 10: 4.0 s on 2 tasks = 40 % of the query wall).
+    # spread_small_scan is a no-op once the scan arrives wider than the
+    # core count, so nothing changes at cluster scale.
     scored = (
-        corpus.select(F.col(id_col), F.col(emb_col))
+        spread_small_scan(corpus.select(F.col(id_col), F.col(emb_col)))
         .crossJoin(F.broadcast(centroids))
         .withColumn("__cos", cosine_similarity(F.col(emb_col), F.col("cv")))
         .where(F.col("__cos").isNotNull() & (~F.isnan("__cos")))

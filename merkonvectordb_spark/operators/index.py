@@ -86,9 +86,13 @@ def build_ivf_index(
     one struct per corpus row, then the write clusters rows by cid so
     each list is one partition directory.
     """
-    assign = ivf_assign(corpus, centroids, id_col, emb_col, 1).withColumn(
-        "cid", F.col("cid").cast("int")
-    )
+    from merkonvectordb_spark.operators.skew import spread_small_scan
+
+    # the corpus×K scoring is CPU-bound; spread a narrow (small-file)
+    # scan over the cores first — no-op when the scan is already wide
+    assign = ivf_assign(
+        spread_small_scan(corpus), centroids, id_col, emb_col, 1
+    ).withColumn("cid", F.col("cid").cast("int"))
     rows = assign.join(
         corpus.select(id_col, emb_col, *extra_cols), id_col
     ).select(id_col, "cid", emb_col, *extra_cols)
@@ -150,8 +154,11 @@ def append_to_ivf_index(
     v = idx.lists.current_version()
     paired = idx.lists._txn_map(v).get(_PAIRED_CENTROIDS)
     cents = idx.centroids.read(paired)
+    from merkonvectordb_spark.operators.skew import spread_small_scan
+
     assign = ivf_assign(
-        new_rows, cents.select("cid", "cv"), id_col, emb_col, 1
+        spread_small_scan(new_rows), cents.select("cid", "cv"), id_col,
+        emb_col, 1,
     ).withColumn("cid", F.col("cid").cast("int"))
     rows = assign.join(
         new_rows.select(id_col, emb_col, *extra_cols), id_col

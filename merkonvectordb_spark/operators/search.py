@@ -121,7 +121,9 @@ def knn(
     # threshold + ordering act on the RAW score (the reference filters the
     # raw similarity, MerkonMemoryStore.cs:138); rounding is output-only —
     # filtering a rounded score would admit e.g. 0.5999996 at t=0.6.
-    df = df.withColumn("__raw", score)
+    from merkonvectordb_spark.operators.skew import spread_small_scan
+
+    df = spread_small_scan(df).withColumn("__raw", score)
     df = df.where(_scoreable_at_least(F.col("__raw"), min_score))
     order = [F.desc("__raw")]
     if tie_break and tie_break in df.columns:
@@ -192,8 +194,13 @@ def knn_batch(
         if assume_normalized
         else cosine_similarity(F.col(embedding_col), F.col("__qvec"))
     )
+    from merkonvectordb_spark.operators.skew import spread_small_scan
+
+    # per-(row, query) scoring is CPU-bound fold arithmetic and the
+    # BroadcastNestedLoopJoin runs on the corpus's OWN partitioning — a
+    # narrow small-file scan would score serially; no-op at cluster scale
     scored = (
-        corpus.crossJoin(q)
+        spread_small_scan(corpus).crossJoin(q)
         .where(F.size(F.col(embedding_col)) == F.size(F.col("__qvec")))
         .withColumn("__raw", score)
         .where(_scoreable_at_least(F.col("__raw"), min_score))

@@ -51,6 +51,32 @@ def _row_salt(df: DataFrame, n_salt: int) -> Column:
     )
 
 
+def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin a compute-heavy frame across the cluster ONLY when its
+    current partitioning is narrower than the core count.
+
+    The inverse-skew problem (guide §2.5 "input skew"): a byte-light but
+    CPU-heavy input — one small parquet file arrives as 1-2 scan splits,
+    while the per-row work downstream is interpreted higher-order folds
+    over 256-wide arrays — runs its whole scoring stage on 1-2 cores and
+    leaves the rest idle (measured round 10: semantic_dedup's corpus×K
+    scoring spent 4.0 s of CPU on a 2-task stage, 40 % of the query wall,
+    with 30 cores idle).
+
+    Scale-adaptive by construction: at 100 TB the scan already arrives
+    in thousands of splits, ``getNumPartitions() >= cores`` holds, and
+    the frame passes through UNTOUCHED — this never adds a cluster-scale
+    shuffle.  Only apply it to frames whose downstream per-row compute
+    dwarfs one extra small shuffle (vector scoring, shingle hashing);
+    a metadata-sized side (query sets, centroid frames) should never
+    pay the exchange.  Results are partitioning-independent, so this is
+    a pure physical hint."""
+    par = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

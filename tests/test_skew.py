@@ -77,3 +77,20 @@ def test_salt_spreads_identical_rows_within_one_partition(spark):
     ).coalesce(1)
     salts = {r[0] for r in df.select(_row_salt(df, 16)).collect()}
     assert len(salts) >= 8
+
+
+def test_spread_small_scan_widens_narrow_frames_only(spark):
+    from merkonvectordb_spark.operators.skew import spread_small_scan
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    wide = spark.range(1000).repartition(par + 4)
+
+    spread = spread_small_scan(narrow)
+    assert spread.rdd.getNumPartitions() == par
+    # results are partitioning-independent
+    assert sorted(r.id for r in spread.collect()) == list(range(1000))
+
+    # an already-wide frame passes through UNTOUCHED — the exact same
+    # plan object, no exchange added (the 100 TB no-op guarantee)
+    assert spread_small_scan(wide) is wide
