@@ -121,9 +121,12 @@ def knn(
     # threshold + ordering act on the RAW score (the reference filters the
     # raw similarity, MerkonMemoryStore.cs:138); rounding is output-only —
     # filtering a rounded score would admit e.g. 0.5999996 at t=0.6.
-    from merkonvectordb_spark.operators.skew import spread_small_scan
-
-    df = spread_small_scan(df).withColumn("__raw", score)
+    # no spread_small_scan here (unlike knn_batch): single-query scoring
+    # is one dot/cosine fold per row — measured round 10, the round-robin
+    # exchange cost ≈ the serial compute it spreads (knn_topk 0.39 s →
+    # 0.57-0.90 s), a net loss; the batch form's Q-fold work is what
+    # justifies the exchange
+    df = df.withColumn("__raw", score)
     df = df.where(_scoreable_at_least(F.col("__raw"), min_score))
     order = [F.desc("__raw")]
     if tie_break and tie_break in df.columns:
