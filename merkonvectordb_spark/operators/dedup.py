@@ -190,19 +190,35 @@ def collapse_identical_sets(
         "__setkey",
         F.md5(F.concat_ws("", F.transform(F.array_sort("__sh"), F.md5))),
     ).persist()
-    reps = keyed.groupBy("__setkey").agg(F.min("__id").alias("__rep"))
-    membership = (
-        keyed.select("__setkey", "__id")
-        .join(reps, "__setkey")
-        .select("__id", "__rep")
-        .localCheckpoint(eager=True)
-    )
-    rep_sets = (
-        keyed.join(reps.select(F.col("__rep").alias("__id")), "__id")
-        .select("__id", "__sh")
-        .localCheckpoint(eager=True)
-    )
-    keyed.unpersist()
+    try:
+        reps = keyed.groupBy("__setkey").agg(F.min("__id").alias("__rep"))
+        mem_plan = (
+            keyed.select("__setkey", "__id")
+            .join(reps, "__setkey")
+            .select("__id", "__rep")
+        )
+        rep_plan = (
+            keyed.join(reps.select(F.col("__rep").alias("__id")), "__id")
+            .select("__id", "__sh")
+        )
+        # materialize BOTH eager checkpoints concurrently (guide §2.6
+        # overlap independent jobs): they are independent consumers of
+        # the one `keyed` cache — Spark's per-partition block locking
+        # makes whichever job arrives first compute a cache partition
+        # while the other waits, so the keying still runs once and the
+        # second job's stages back-fill idle cores during the first's
+        # tail.  Measured round 10 on leakage_audit at sf0.1
+        # (interleaved min-of-3 ×4): 3.32 s median sequential → 3.04 s
+        # concurrent, every pair in favor, across the 7 collapse
+        # consumers.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            fm = pool.submit(lambda: mem_plan.localCheckpoint(eager=True))
+            fr = pool.submit(lambda: rep_plan.localCheckpoint(eager=True))
+            membership, rep_sets = fm.result(), fr.result()
+    finally:
+        keyed.unpersist()
     return membership, rep_sets
 
 
