@@ -69,11 +69,26 @@ def build_minhash_store(
     growth)."""
     store = MinHashStore(spark, root)
     sets_df = shingle_sets(docs, id_col, text_col).persist()
-    store.shingles.replace(sets_df)
-    store.bands.replace(
-        band_rows(sets_df).withColumn("band_id", F.col("band_id").cast("int"))
-    )
-    sets_df.unpersist()
+    try:
+        # the two table writes are independent consumers of the one
+        # persisted shingle frame — overlap them (guide §2.6): the
+        # banding write's signature fold back-fills cores while the
+        # shingle write drains its tail.  Replace-commits touch
+        # different table roots, so there is no ordering contract to
+        # preserve here (unlike append_exactly_once's watermark pair).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            fs = pool.submit(store.shingles.replace, sets_df)
+            fb = pool.submit(
+                store.bands.replace,
+                band_rows(sets_df).withColumn(
+                    "band_id", F.col("band_id").cast("int")
+                ),
+            )
+            fs.result(), fb.result()
+    finally:
+        sets_df.unpersist()
     return store
 
 
