@@ -612,8 +612,13 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("__qv"),
         )
     )
+    from merkonvectordb_spark.operators.skew import spread_small_scan
+
+    # spread the narrow scan before the corpus×Q scoring + map-side
+    # bounded top-k (round 10: two 1-task stages carried 1.7 s of the
+    # query's 1.8 s wall); no-op once the scan arrives wide
     scored = (
-        emb.crossJoin(qset)
+        spread_small_scan(emb).crossJoin(qset)
         .withColumn(
             "qs", cosine_similarity(F.col("embedding"), F.col("__qv"))
         )
@@ -1336,7 +1341,12 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = emb.where(F.col("vec_id") < 25).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cv")
     )
-    tr = emb.where(F.col("vec_id") >= 25)
+    from merkonvectordb_spark.operators.skew import spread_small_scan
+
+    # the train×eval cosine scoring is CPU-bound folds; the small-file
+    # scan arrives 1-2 splits and ran it serially (measured round 10:
+    # 1.34 s on 1 task = 73 % of the query wall); no-op on wide scans
+    tr = spread_small_scan(emb.where(F.col("vec_id") >= 25))
     scored = tr.crossJoin(F.broadcast(ev)).withColumn(
         "raw", cosine_similarity(F.col("emb"), F.col("cv"))
     )
