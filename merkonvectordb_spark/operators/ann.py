@@ -365,6 +365,7 @@ def ivf_assign(
     id_col: str,
     emb_col: str = "embedding",
     n_best: int = 1,
+    carry: Sequence[str] = (),
 ) -> DataFrame:
     """Assign every row to its ``n_best`` highest-cosine centroids
     (ties → lowest centroid id).  ``centroids`` carries (cid, cv).
@@ -372,9 +373,19 @@ def ivf_assign(
     n_best=1 (corpus assignment) uses a partial-aggregable max-of-struct
     — the corpus×K scored rows combine map-side, nothing shuffles but
     one struct per row.  n_best>1 (query probing) ranks via a window
-    over the (tiny) query set."""
+    over the (tiny) query set.
+
+    ``carry`` (n_best=1 only) threads extra payload columns of ``df``
+    through the aggregate via ``first()`` — deterministic because every
+    pre-agg row of an id holds the identical payload (the kmeans_refine
+    pattern).  Callers that persist the assignment WITH its payload
+    (operators.index) thereby skip the assignment⋈source re-join and
+    its second source scan (guide §2.4): shuffle volume is unchanged —
+    the payload crossed the join's source-side exchange before."""
+    out_carry = [c for c in carry if c != id_col]
+    extra = [c for c in out_carry if c != emb_col]
     scored = (
-        df.select(F.col(id_col), F.col(emb_col))
+        df.select(F.col(id_col), F.col(emb_col), *[F.col(c) for c in extra])
         .crossJoin(F.broadcast(centroids))
         .withColumn("__cos", cosine_similarity(F.col(emb_col), F.col("cv")))
         .where(F.col("__cos").isNotNull() & (~F.isnan("__cos")))
@@ -389,11 +400,14 @@ def ivf_assign(
                         (-F.col("cid")).alias("nc"),
                         F.col("cid").alias("cid"),
                     )
-                ).alias("__b")
+                ).alias("__b"),
+                *[F.first(F.col(c)).alias(c) for c in out_carry],
             )
-            .select(F.col(id_col), F.col("__b.cid").alias("cid"))
+            .select(F.col(id_col), F.col("__b.cid").alias("cid"), *out_carry)
         )
         return best
+    if carry:
+        raise ValueError("carry is only supported with n_best=1")
     w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("cid"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))

@@ -70,23 +70,30 @@ def build_minhash_store(
     store = MinHashStore(spark, root)
     sets_df = shingle_sets(docs, id_col, text_col).persist()
     try:
-        # the two table writes are independent consumers of the one
+        # the two table DATA writes are independent consumers of the one
         # persisted shingle frame — overlap them (guide §2.6): the
         # banding write's signature fold back-fills cores while the
-        # shingle write drains its tail.  Replace-commits touch
-        # different table roots, so there is no ordering contract to
-        # preserve here (unlike append_exactly_once's watermark pair).
+        # shingle write drains its tail.  The manifest PUBLISHES stay
+        # sequenced shingles-first (ADVICE r10): probe_minhash_store's
+        # verify join relies on latest-shingles ⊇ any bands version, so
+        # a probe overlapping a rebuild must never observe new bands
+        # before the new shingles — the r10 form that overlapped whole
+        # replace() calls could publish bands first and silently drop
+        # candidates as false negatives.  Publishing is driver-side
+        # metadata (microseconds), so sequencing it costs nothing.
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(2) as pool:
-            fs = pool.submit(store.shingles.replace, sets_df)
+            fs = pool.submit(store.shingles.stage, sets_df)
             fb = pool.submit(
-                store.bands.replace,
+                store.bands.stage,
                 band_rows(sets_df).withColumn(
                     "band_id", F.col("band_id").cast("int")
                 ),
             )
-            fs.result(), fb.result()
+            sh_files, bd_files = fs.result(), fb.result()
+        store.shingles.commit_staged_replace(sh_files)
+        store.bands.commit_staged_replace(bd_files)
     finally:
         sets_df.unpersist()
     return store

@@ -31,6 +31,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     round_dp: int = 9,
+    broadcast_max_nodes: int | None = None,
 ) -> DataFrame:
     """``iterations`` rounds of r(v) ← (1−d)/N + d·Σ_{u→v} r(u)/deg(u)
     from a uniform start, over an edge list with columns (src, dst).
@@ -92,9 +93,18 @@ def pagerank(
     # stages disappear).  Past the threshold (≈5M nodes ≈ hundreds of
     # MB built) the |E|-shuffle dataflow form is the scale-correct one
     # and remains the fallback — never broadcast an unbounded side.
-    bcast_ranks = n_nodes <= PAGERANK_BROADCAST_MAX_NODES
+    # broadcast_max_nodes: per-call override of the module dial (ADVICE
+    # r10 — the dial was documented as overridable but only the module
+    # global could be mutated).  Semantics are identical either way;
+    # this only picks the physical join strategy.
+    cap = (
+        PAGERANK_BROADCAST_MAX_NODES
+        if broadcast_max_nodes is None
+        else int(broadcast_max_nodes)
+    )
+    bcast_ranks = n_nodes <= cap
     ranks = nodes.withColumn("r", F.lit(1.0 / n_nodes))
-    for _ in range(iterations):
+    for it in range(iterations):
         r = F.broadcast(ranks) if bcast_ranks else ranks
         contrib = (
             edeg.join(r, edeg["src"] == r["node"])
@@ -111,4 +121,11 @@ def pagerank(
                 round_dp,
             ).alias("r"),
         )
+        # the broadcast path nests one unmaterialized broadcast plan per
+        # iteration — plan depth (and driver broadcast memory) grows
+        # with `iterations` (ADVICE r10).  Cut the lineage every few
+        # iterations so long runs stay bounded; at the default 3
+        # iterations this never fires and the plan is byte-identical.
+        if bcast_ranks and (it + 1) % 4 == 0 and (it + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -89,13 +89,21 @@ def build_ivf_index(
     from merkonvectordb_spark.operators.skew import spread_small_scan
 
     # the corpus×K scoring is CPU-bound; spread a narrow (small-file)
-    # scan over the cores first — no-op when the scan is already wide
-    assign = ivf_assign(
-        spread_small_scan(corpus), centroids, id_col, emb_col, 1
-    ).withColumn("cid", F.col("cid").cast("int"))
-    rows = assign.join(
-        corpus.select(id_col, emb_col, *extra_cols), id_col
-    ).select(id_col, "cid", emb_col, *extra_cols)
+    # scan over the cores first — no-op when the scan is already wide.
+    # carry= threads the payload (embedding + extras) THROUGH the
+    # assignment aggregate (first() over a constant group — every
+    # pre-agg row of an id holds the same payload), so the index rows
+    # come straight out of the agg: no assignment⋈corpus re-join, no
+    # second corpus scan, one fewer exchange per build (guide §2.4) —
+    # shuffle volume is unchanged (the payload crossed in the join's
+    # corpus-side exchange before).
+    rows = ivf_assign(
+        spread_small_scan(corpus), centroids, id_col, emb_col, 1,
+        carry=(emb_col, *extra_cols),
+    ).select(
+        F.col(id_col), F.col("cid").cast("int").alias("cid"),
+        emb_col, *extra_cols,
+    )
     idx = IvfIndex(spark, root, _ddl_of(rows))
     # commit ORDER matters: centroids first, then lists carrying the
     # PAIRED centroids version in its manifest txn metadata.  The two
@@ -105,12 +113,26 @@ def build_ivf_index(
     # — probed cids from the wrong quantizer prune to the wrong
     # partitions and recall collapses with no error.  The pairing rides
     # the lists manifest, so every lists version knows ITS quantizer.
-    cv = idx.centroids.replace(
-        centroids.select(
-            F.col("cid").cast("int").alias("cid"), F.col("cv")
+    #
+    # The ordering contract binds VISIBILITY (manifest publish order),
+    # not computation (guide §2.6 / VERDICT r10 #1): the centroids
+    # replace-commit (a tiny but whole Spark job) and the lists DATA
+    # write (assignment scoring + clustered write — the expensive job)
+    # are independent, so they run concurrently; the lists manifest is
+    # published only after the centroids commit returned its version,
+    # preserving centroids-first visibility exactly as before.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        fcv = pool.submit(
+            idx.centroids.replace,
+            centroids.select(
+                F.col("cid").cast("int").alias("cid"), F.col("cv")
+            ),
         )
-    )
-    idx.lists.replace(rows, txn=(_PAIRED_CENTROIDS, int(cv)))
+        files = idx.lists.stage(rows)
+        cv = fcv.result()
+    idx.lists.commit_staged_replace(files, txn=(_PAIRED_CENTROIDS, int(cv)))
     # persist the lists DDL so open_ivf_index can reconstruct the exact
     # declared schema (partition-column type included)
     with open(os.path.join(root, "lists_ddl.txt"), "w") as f:
@@ -156,13 +178,15 @@ def append_to_ivf_index(
     cents = idx.centroids.read(paired)
     from merkonvectordb_spark.operators.skew import spread_small_scan
 
-    assign = ivf_assign(
+    # carry= threads the payload through the assignment aggregate (see
+    # build_ivf_index): no batch⋈assignment re-join, no second batch scan
+    rows = ivf_assign(
         spread_small_scan(new_rows), cents.select("cid", "cv"), id_col,
-        emb_col, 1,
-    ).withColumn("cid", F.col("cid").cast("int"))
-    rows = assign.join(
-        new_rows.select(id_col, emb_col, *extra_cols), id_col
-    ).select(id_col, "cid", emb_col, *extra_cols)
+        emb_col, 1, carry=(emb_col, *extra_cols),
+    ).select(
+        F.col(id_col), F.col("cid").cast("int").alias("cid"),
+        emb_col, *extra_cols,
+    )
     # append propagates the full txn map (including the paired-centroids
     # pointer) into the new manifest — see VersionedTable._publish
     return idx.lists.append(rows)

@@ -631,6 +631,13 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= _MMR_N)
         .select("query_id", "vec_id", "embedding", "qs")
+        # three consumers (both pairwise-sim sides + the MMR input) each
+        # re-ran the spread + corpus×Q scoring + top-N subtree — the r10
+        # after-plan carried 3 RoundRobin exchanges for 1 spread (VERDICT
+        # r10 #7).  The frame is re-rank-width (queries × top-N rows), so
+        # persist turns it into one evaluation shared inside the single
+        # returned plan; blocks free via the harness block reaper / GC.
+        .persist()
     )
     a = cand.select(
         "query_id",

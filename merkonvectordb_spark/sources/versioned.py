@@ -220,11 +220,19 @@ class VersionedTable:
             # cluster rows by the partition value before the partitioned
             # write ("optimize write"): without this every input task
             # crosses every partition value, emitting tasks×values tiny
-            # files per commit.  Hash repartitioning sends each value to
-            # one task → one well-sized file per partition per commit.
-            # (A partition too big for one task wants a secondary salt
-            # term here; list/band partitions are bounded by design.)
-            df = df.repartition(F.col(self.part_col))
+            # files per commit.  REBALANCE(part_col), not a plain
+            # repartition (round 11): the same single exchange, but AQE
+            # sizes the write tasks from the real map output — locally a
+            # 16-value commit no longer schedules 32 mostly-empty write
+            # tasks (each paying committer setup/commit), and at scale a
+            # skewed partition VALUE is split into several well-sized
+            # files instead of funneling through one task (the
+            # secondary-salt need the old comment deferred).  A plain
+            # repartition is user-specified, so AQE may neither coalesce
+            # nor split it.  (r10 rejected REBALANCE on UNpartitioned
+            # writes — that added an exchange where none existed; here
+            # it replaces one.)
+            df = df.hint("rebalance", F.col(self.part_col))
         writer = df.write.mode("error")
         if self.part_col:
             writer = writer.partitionBy(self.part_col)
@@ -314,6 +322,31 @@ class VersionedTable:
         cur = self.current_version()
         files = self._live_files(cur) + self._write_data(df)
         self._publish(cur + 1, files, txn=(str(app_id), int(batch_id)))
+        return cur + 1
+
+    def stage(self, df: DataFrame, cluster: bool = True) -> list[tuple[str, str | None]]:
+        """Write ``df``'s data files WITHOUT committing: returns the
+        (path, part) rows a later ``commit_staged_replace`` publishes.
+
+        Exists so a caller coordinating MULTI-table commits can overlap
+        the expensive data writes (guide §2.6 — independent Spark jobs)
+        while still sequencing the cheap manifest publishes to preserve
+        a cross-table ordering contract (e.g. the fingerprint store's
+        shingles-before-bands visibility invariant, or the IVF index's
+        centroids-before-lists pairing).  Staged files are invisible to
+        readers until published; an abandoned staging is reclaimed by
+        ``vacuum`` like any crash orphan."""
+        return self._write_data(df, cluster)
+
+    def commit_staged_replace(
+        self,
+        files: list[tuple[str, str | None]],
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Atomically publish previously ``stage``-d files as a full
+        logical replacement (the staged-write half of ``replace``)."""
+        cur = self.current_version()
+        self._publish(cur + 1, files, txn=txn)
         return cur + 1
 
     def replace(
