@@ -288,6 +288,12 @@ def q_late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from merkonvectordb_spark.functions.text import tokenize
 
     docs = load_table(spark, sf_dir, "documents")
+    # NOT spread before tokenize (round 11): the two 1-task tokenize
+    # stages carry ~0.9 s of wall at sf0.1, but a raw-TEXT round-robin
+    # exchange costs what the parallelized tokenize saves (interleaved
+    # A/B medians 1.33 s spread vs 1.18 s unspread — same law the r10
+    # corpus_curation revert recorded; text payloads don't pay the way
+    # 0.1 MB embedding columns do)
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok")
     )
