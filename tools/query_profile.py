@@ -149,10 +149,20 @@ def main() -> int:
                 s["t1"] = info.get("Completion Time", 0)
 
     for name, t0, t1 in marks:
+        # primary attribution: the job's spark.job.description property
+        # (set to profile:<name> around the timed run) — exact, immune to
+        # back-to-back queries or cleanup jobs landing inside the window.
+        # Jobs submitted from helper threads may miss the thread-local
+        # description; those fall back to the old ±500 ms wall window.
+        want = f"profile:{name}"
         lo, hi = (anchor + t0) * 1000, (anchor + t1) * 1000
         rows = []
         for (sid, att), s in stages.items():
-            if not s.get("t0") or s["t0"] < lo - 500 or s["t0"] > hi + 500:
+            desc = jobs_desc.get(stage_job.get(sid, -1), "")
+            if desc:
+                if desc != want:
+                    continue
+            elif not s.get("t0") or s["t0"] < lo - 500 or s["t0"] > hi + 500:
                 continue
             rows.append((sid, att, s))
         rows.sort(key=lambda r: -(r[2]["t1"] - r[2]["t0"]))
