@@ -38,7 +38,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from merkonvectordb_spark.operators.dedup import band_rows, shingle_sets
+from merkonvectordb_spark.operators.dedup import band_rows, shingle_analysis
 from merkonvectordb_spark.sources.versioned import VersionedTable
 
 _BANDS_DDL = "__id LONG, band_id INT, band_key STRING"
@@ -68,7 +68,9 @@ def build_minhash_store(
     any previous build — use :func:`append_minhash_store` for daily
     growth)."""
     store = MinHashStore(spark, root)
-    sets_df = shingle_sets(docs, id_col, text_col).persist()
+    # fused Arrow pass: the banding write reuses the carried __sig; the
+    # stored shingle table keeps its (__id, __sh) DDL via explicit select
+    sets_df = shingle_analysis(docs, id_col, text_col).persist()
     try:
         # the two table DATA writes are independent consumers of the one
         # persisted shingle frame — overlap them (guide §2.6): the
@@ -84,7 +86,7 @@ def build_minhash_store(
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(2) as pool:
-            fs = pool.submit(store.shingles.stage, sets_df)
+            fs = pool.submit(store.shingles.stage, sets_df.select("__id", "__sh"))
             fb = pool.submit(
                 store.bands.stage,
                 band_rows(sets_df).withColumn(
@@ -116,19 +118,20 @@ def append_minhash_store(
     watermark, so a retry skips whichever table already committed the
     batch and completes the other — the pair converges.
     """
-    sets_df = shingle_sets(docs, id_col, text_col).persist()
+    sets_df = shingle_analysis(docs, id_col, text_col).persist()
+    sets_narrow = sets_df.select("__id", "__sh")
     bands = band_rows(sets_df).withColumn(
         "band_id", F.col("band_id").cast("int")
     )
     if batch_id is not None:
         store.shingles.append_exactly_once(
-            sets_df, "fingerprint_shingles", batch_id
+            sets_narrow, "fingerprint_shingles", batch_id
         )
         v = store.bands.append_exactly_once(
             bands, "fingerprint_bands", batch_id
         )
     else:
-        store.shingles.append(sets_df)
+        store.shingles.append(sets_narrow)
         v = store.bands.append(bands)
     sets_df.unpersist()
     return v
@@ -184,10 +187,11 @@ def probe_minhash_store(
     candidate always verifies against a present set."""
     # localCheckpoint (eager), not persist: the returned frame is lazy,
     # so a persist here could never be unpersisted by this function
-    new_sets = shingle_sets(new_docs, id_col, text_col).localCheckpoint(
+    new_full = shingle_analysis(new_docs, id_col, text_col).localCheckpoint(
         eager=True
     )
-    new_bands = band_rows(new_sets).withColumn(
+    new_sets = new_full.select("__id", "__sh")
+    new_bands = band_rows(new_full).withColumn(
         "band_id", F.col("band_id").cast("int")
     )
     hist_bands = store.bands.read(version)

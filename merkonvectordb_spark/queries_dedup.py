@@ -682,9 +682,7 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from merkonvectordb_spark.operators.dedup import (
         candidate_pairs_from_sets,
         collapse_identical_sets,
-        minhash_signature,
-        shingle_base_hashes,
-        shingle_sets,
+        shingle_analysis,
     )
 
     # Round 9: score REPRESENTATIVES only, then star-expand.  Identical
@@ -696,14 +694,11 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per rep pair, not per member pair (the sf10 fixture's ~10k-doc
     # identical group: 50M scored joins → 50M cheap expansion rows;
     # 302 s → output-emit-bound, round 9).
-    sets_all = shingle_sets(near_corpus(spark, sf_dir), "doc_id", "text")
-    # the collapse returns eager checkpoints (one shingle/keying pass)
+    sets_all = shingle_analysis(near_corpus(spark, sf_dir), "doc_id", "text")
+    # the collapse returns eager checkpoints (one fused Arrow pass);
+    # rep_sets carries the pass's __sig through, so no recompute here
     membership, rep_sets = collapse_identical_sets(sets_all)
-    sigs = rep_sets.select(
-        "__id",
-        "__sh",
-        minhash_signature(shingle_base_hashes(F.col("__sh"))).alias("__sig"),
-    )
+    sigs = rep_sets.select("__id", "__sh", "__sig")
     pairs = candidate_pairs_from_sets(rep_sets, band_cap())
     sa = sigs.select(
         F.col("__id").alias("a"),

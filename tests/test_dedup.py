@@ -221,6 +221,67 @@ def test_simhash_arrow_path_matches_expression(spark, sf_dir):
     assert set(egot) == {1, 2, 6}
 
 
+def test_shingle_analysis_matches_expression_chain(spark, sf_dir):
+    """Round 11: the banding/collapse consumers swapped the shingle →
+    setkey → MinHash-signature chain (3 interpreted higher-order
+    transforms, two md5 calls per shingle, 16 interpreted arms) for ONE
+    fused Arrow pass (``shingle_analysis``).  Every column must be
+    VALUE-identical to the expression forms — same shingle lists in
+    first-occurrence order, same md5-over-sorted-md5s set key, same
+    16-arm prime-field signature — on real fixture text and on
+    whitespace/unicode/edge docs, with empty shingle sets dropped like
+    ``shingle_sets``'s ``size > 0`` filter."""
+    from merkonvectordb_spark.operators.dedup import (
+        minhash_signature,
+        shingle_analysis,
+        shingle_base_hashes,
+        shingle_sets,
+    )
+    from merkonvectordb_spark.schema import load_table
+
+    def jvm(df):
+        return {
+            r["__id"]: (list(r["__sh"]), r["__setkey"], list(r["__sig"]))
+            for r in shingle_sets(df, "doc_id", "text")
+            .select(
+                "__id",
+                "__sh",
+                F.md5(
+                    F.concat_ws("", F.transform(F.array_sort("__sh"), F.md5))
+                ).alias("__setkey"),
+                minhash_signature(
+                    shingle_base_hashes(F.col("__sh"))
+                ).alias("__sig"),
+            )
+            .collect()
+        }
+
+    def arrow(df):
+        return {
+            r["__id"]: (list(r["__sh"]), r["__setkey"], list(r["__sig"]))
+            for r in shingle_analysis(df, "doc_id", "text").collect()
+        }
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    want, got = jvm(docs), arrow(docs)
+    assert got == want and len(got) > 0
+    edge = spark.createDataFrame(
+        [
+            (1, "  tab\tsep\nlines\x0bvtab\fff\rcr two more words  "),
+            (2, "MiXeD CaSe ÜNICODE tökens here and MORE of them"),
+            (3, ""),              # no tokens -> dropped
+            (4, None),            # NULL text -> dropped
+            (5, " \t\r\n "),      # whitespace only -> dropped
+            (6, "one two"),       # below the shingle window -> dropped
+            (7, "a b c a b c a b c d"),  # duplicate shingles collapse
+        ],
+        "doc_id LONG, text STRING",
+    )
+    ewant, egot = jvm(edge), arrow(edge)
+    assert egot == ewant
+    assert set(egot) == {1, 2, 7}
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard prefix filtering
 # ---------------------------------------------------------------------------
